@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loader for the driver-generated testdata (TESTDATA.md / FIXTURES.md).
+  *
+  * One parquet file per table under the scale-factor directory. All reads go
+  * through here so scan-level concerns (timestamp normalization, future
+  * partitioning/bucketing hooks) live in one place.
+  *
+  * 100 TB note: at cluster scale each "file" becomes a partitioned directory;
+  * only this object would change (add partition-pruning predicates + a
+  * catalog), not the operators.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case _        => spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long (ns since epoch)
+    * via the legacy flag, then integer-divide to µs — `div` (integral
+    * division) not `/` (double division: ns epoch values ~1.7e18 exceed
+    * 2^53 and would lose precision). Cast to NTZ so the wall-clock value
+    * matches what DuckDB yields for `CAST(ts AS TIMESTAMP)` on the same
+    * file (both truncate ns → µs).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+  }
+
+  // Named accessors (readability in operator code).
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

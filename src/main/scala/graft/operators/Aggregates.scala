@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-D: aggregation (ops 27–36).
+  *
+  * SAS semantics covered: PROC MEANS/SUMMARY multi-statistic output, CLASS
+  * `_TYPE_` subtotal combinations (= GROUPING SETS / ROLLUP / CUBE with
+  * `grouping()` bits), PROC FREQ crosstabs, PROC UNIVARIATE quantiles.
+  *
+  * 100 TB notes, applying to every query here: these are all single-shuffle
+  * hash aggregations with map-side partial aggregation (Spark plans
+  * HashAggregate(partial) → Exchange(key) → HashAggregate(final)), the shape
+  * that scales linearly with executors. Group-key cardinality here is tiny
+  * (≤ thousands), so the final stage is never the bottleneck; for
+  * billion-group keys you'd bump `spark.sql.shuffle.partitions` and let AQE
+  * coalesce. Exact `countDistinct` rewrites to expand+two-phase agg (one
+  * extra shuffle) — at 100 TB prefer `approx_count_distinct` (op 29).
+  */
+object Aggregates extends QueryGroup {
+
+  import Det._
+
+  /** op 27 — TPC-H Q1 shape: PROC MEANS n/sum/mean/std by CLASS over lineitem. */
+  private val aggMultiStat = GraftQuery(
+    "agg_multi_stat",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast(TimestampNTZType))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          dstd(col("l_quantity")).as("std_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS count_order,
+             ${sqlSum("l_quantity")} AS sum_qty,
+             ${sqlSum("l_extendedprice")} AS sum_base_price,
+             ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+             ${sqlAvg("l_quantity")} AS avg_qty,
+             ${sqlAvg("l_extendedprice")} AS avg_price,
+             ${sqlAvg("l_discount")} AS avg_disc,
+             ${sqlStd("l_quantity")} AS std_qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** op 28 — exact COUNT(DISTINCT …): orders and parts per line status. */
+  private val aggCountDistinct = GraftQuery(
+    "agg_count_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_linestatus,
+             COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus ASC NULLS FIRST"""))
+
+  /** op 29 — HLL approximate distinct (the 100 TB twin of op 28).
+    * No oracle: HLL sketches differ across engines; correctness is asserted
+    * in AggregatesSpec against the exact count within the configured rsd. */
+  private val aggApproxDistinct = GraftQuery(
+    "agg_approx_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type").asc_nulls_first),
+    None)
+
+  // Shared SQL for ops 30–32: identical text runs on Spark SQL and DuckDB —
+  // `_type_` is composed from per-column GROUPING() bits (SAS `_TYPE_`
+  // convention: 0 = grand total ... all-bits = most detailed) instead of
+  // engine-specific GROUPING_ID() bit orders.
+  private def subtotalSql(groupClause: String): String = s"""
+      SELECT (1 - GROUPING(o_orderstatus)) * 2 + (1 - GROUPING(o_orderpriority)) AS _type_,
+             o_orderstatus, o_orderpriority,
+             COUNT(*) AS n,
+             ${sqlSum("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY $groupClause
+      ORDER BY _type_ ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  private def sqlOnView(name: String, sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      Tables(s, dir, name).createOrReplaceTempView(name)
+      s.sql(sql)
+    }
+
+  /** op 30 — PROC SUMMARY TYPES: chosen subtotal combinations. */
+  private val groupingSetsSql =
+    subtotalSql("GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())")
+  private val aggGroupingSets =
+    GraftQuery("agg_grouping_sets", sqlOnView("orders", groupingSetsSql), Some(groupingSetsSql))
+
+  /** op 31 — hierarchical subtotals (TYPES () a a*b). */
+  private val rollupSql = subtotalSql("ROLLUP (o_orderstatus, o_orderpriority)")
+  private val aggRollup =
+    GraftQuery("agg_rollup", sqlOnView("orders", rollupSql), Some(rollupSql))
+
+  /** op 32 — default CLASS behavior: all 2^n combinations (`_TYPE_`). */
+  private val cubeSql = subtotalSql("CUBE (o_orderstatus, o_orderpriority)")
+  private val aggCube =
+    GraftQuery("agg_cube", sqlOnView("orders", cubeSql), Some(cubeSql))
+
+  /** op 33 — GROUP BY … HAVING: big customers by order volume. */
+  private val aggHaving = GraftQuery(
+    "agg_having",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+        .where(col("total_spend") > lit(1500000.0))
+        .orderBy(col("o_custkey").asc_nulls_first),
+    Some(s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total_spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING ${sqlSum("o_totalprice")} > 1500000.0
+      ORDER BY o_custkey ASC NULLS FIRST"""))
+
+  /** op 34 — PROC FREQ TABLES a*b: two-way contingency counts (long form). */
+  private val aggFreqCrosstab = GraftQuery(
+    "agg_freq_crosstab",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** op 35 — PROC UNIVARIATE quantiles: exact `percentile` ≡ DuckDB
+    * `quantile_cont` (both linear-interpolate at p·(n−1); pinned by
+    * AggregatesSpec on the quantile9 micro-fixture, gotcha G5). Values are
+    * rounded to 6dp on both sides: interpolation arithmetic is the one spot
+    * where engines' expression shapes aren't forced identical.
+    * 100 TB: switch to `percentile_approx` (single-pass sketch). */
+  private val aggQuantiles = GraftQuery(
+    "agg_quantiles",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus,
+             ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+             MIN(o_totalprice) AS lo,
+             MAX(o_totalprice) AS hi
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus ASC NULLS FIRST"""))
+
+  /** op 36 — values→array per group (SAS transpose idiom). Sorted distinct
+    * set for determinism (bare collect_list order is partition-dependent). */
+  private val aggCollectList = GraftQuery(
+    "agg_collect_list",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+        .orderBy(col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, list(o_orderpriority ORDER BY o_orderpriority ASC) AS priorities
+      FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus ASC NULLS FIRST"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
+    aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles, aggCollectList)
+}
