@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    operators.Aggregates)
+    operators.RowOps,
+    operators.Joins,
+    operators.Aggregates,
+    operators.SortSetOps)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2-C: joins (ops 16–26).
+  *
+  * SAS semantics covered: MERGE…BY with IN= flags (inner/left/full/semi/
+  * anti subsets), PROC SQL join planning, the DATA-step hash object
+  * (= broadcast hash join), PUT(x, userfmt.) lookup decode, sorted-MERGE
+  * carry-forward (= as-of join), inequality/interval joins.
+  *
+  * 100 TB notes: fact⋈fact equi joins shuffle both sides on the key —
+  * that is correct and unavoidable; what matters is (a) every dimension
+  * small enough to broadcast IS broadcast (ops 21/24 force it; Catalyst +
+  * AQE handle the rest under the threshold), (b) non-equi joins always
+  * carry an equi conjunct (ops 23/26 join on a key first, then band-filter
+  * — pure theta would be a cartesian at scale), and (c) the as-of join
+  * (op 25) is the union+window formulation — one shuffle, no candidate
+  * blowup — rather than range-join + top-1, which explodes on dense keys.
+  */
+object Joins extends QueryGroup {
+
+  /** op 16 — MERGE a(in=A) b(in=B); IF A AND B: inner equi join. */
+  private val joinInnerEqui = GraftQuery(
+    "join_inner_equi",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("o_orderkey").asc_nulls_first),
+    Some("""
+      SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey ASC NULLS FIRST"""))
+
+  /** op 17 — IF A: left outer join (customers keep their zero-order rows). */
+  private val joinLeftOuter = GraftQuery(
+    "join_left_outer",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("c_custkey").asc_nulls_first),
+    Some(s"""
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+             ${Det.sqlSum("o_totalprice")} AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey ASC NULLS FIRST"""))
+
+  /** op 18 — bare MERGE…BY: full outer. Two per-customer aggregates (F-
+    * status vs O-status orders) so both sides genuinely have unmatched
+    * keys; output coalesces the key, SAS-merge style. */
+  private val joinFullOuter = GraftQuery(
+    "join_full_outer",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("n_f"))
+      val op = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("n_o"))
+      f.join(op, col("fk") === col("ok"), "full")
+        .select(coalesce(col("fk"), col("ok")).as("custkey"), col("n_f"), col("n_o"))
+        .orderBy(col("custkey").asc_nulls_first)
+    },
+    Some("""
+      SELECT COALESCE(f.fk, o.ok) AS custkey, n_f, n_o
+      FROM (SELECT o_custkey AS fk, COUNT(*) AS n_f FROM orders WHERE o_orderstatus='F' GROUP BY 1) f
+      FULL JOIN (SELECT o_custkey AS ok, COUNT(*) AS n_o FROM orders WHERE o_orderstatus='O' GROUP BY 1) o
+        ON f.fk = o.ok
+      ORDER BY custkey ASC NULLS FIRST"""))
+
+  /** op 19 — IF A AND B keeping only A's columns: left semi (EXISTS). */
+  private val joinLeftSemi = GraftQuery(
+    "join_left_semi",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey").asc_nulls_first),
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey ASC NULLS FIRST"""))
+
+  /** op 20 — IF A AND NOT B: left anti (customers with no big order). */
+  private val joinLeftAnti = GraftQuery(
+    "join_left_anti",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey").asc_nulls_first),
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey ASC NULLS FIRST"""))
+
+  /** op 21 — DATA-step hash object: explicit broadcast of the dim chain.
+    * PlanSpec asserts BroadcastHashJoin appears in the physical plan. */
+  private val joinBroadcastHash = GraftQuery(
+    "join_broadcast_hash",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first),
+    Some(s"""
+      SELECT r_name, COUNT(*) AS n_customers, ${Det.sqlSum("c_acctbal")} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name ASC NULLS FIRST"""))
+
+  /** op 22 — comma-list without ON: cartesian product (region × nation). */
+  private val joinCross = GraftQuery(
+    "join_cross",
+    (s, dir) =>
+      Tables.region(s, dir).select(col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  /** op 23 — non-equi band join: lineitems shipped within 30 days of their
+    * order date. Equi conjunct on the key keeps this a sort-merge join with
+    * a residual band filter — the only theta-join shape that scales. */
+  private val joinThetaRange = GraftQuery(
+    "join_theta_range",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""))
+
+  /** op 24 — PUT(x, userfmt.) decode: tiny in-code mapping table, broadcast
+    * joined (the PROC FORMAT CNTLIN= pattern). */
+  private val joinLookupFormat = GraftQuery(
+    "join_lookup_format",
+    (s, dir) => {
+      import s.implicits._
+      val fmt = Seq(
+        ("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "medium"),
+        ("4-NOT SPECIFIED", "unspecified"), ("5-LOW", "low"))
+        .toDF("code", "label")
+      Tables.orders(s, dir)
+        .join(broadcast(fmt), col("o_orderpriority") === col("code"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label").asc_nulls_first)
+    },
+    Some("""
+      SELECT label, COUNT(*) AS n
+      FROM orders
+      LEFT JOIN (VALUES ('1-URGENT','urgent'),('2-HIGH','high'),('3-MEDIUM','medium'),
+                        ('4-NOT SPECIFIED','unspecified'),('5-LOW','low')) AS fmt(code,label)
+        ON o_orderpriority = code
+      GROUP BY label
+      ORDER BY label ASC NULLS FIRST"""))
+
+  /** op 25 — as-of join (sorted MERGE + RETAIN carry-forward): each
+    * purchase event gets the user's most recent click at-or-before it.
+    * Implemented as union + ordered window `last(ignoreNulls)` — a single
+    * shuffle on user_id, no join blowup on dense keys (the 100 TB-safe
+    * formulation); oracle is DuckDB's native ASOF LEFT JOIN. */
+  private val joinAsof = GraftQuery(
+    "join_asof",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("timestamp_ntz").as("click_ts"),
+          col("event_id"))
+      // Order ties so a click at the same µs as a purchase is visible to it
+      // (ASOF's <= semantics): clicks (event_id null) sort first.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("prior_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("prior_click_ts"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             CAST(c.ts AS TIMESTAMP) AS prior_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id ASC NULLS FIRST"""))
+
+  /** op 26 — interval containment: error events within 1 hour after a
+    * signup by the same user (equi on user + time band). */
+  private val joinInterval = GraftQuery(
+    "join_interval",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("signup_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      errors.join(signups,
+          col("user_id") === col("su") &&
+            col("error_ts") >= col("signup_ts") &&
+            col("error_ts") < col("signup_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("error_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_ts").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS error_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id
+       AND CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY error_id ASC NULLS FIRST, signup_ts ASC NULLS FIRST"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
+    joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
+    joinAsof, joinInterval)
+}
