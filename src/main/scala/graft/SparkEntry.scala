@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
+    operators.Sources,
     operators.RowOps,
     operators.Joins,
     operators.Aggregates,
-    operators.SortSetOps)
+    operators.Windows,
+    operators.SortSetOps,
+    operators.Reshape,
+    operators.Scalars)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = groups.flatMap(_.queries)
