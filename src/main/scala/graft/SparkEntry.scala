@@ -19,7 +19,10 @@ object SparkEntry {
     operators.Windows,
     operators.SortSetOps,
     operators.Reshape,
-    operators.Scalars)
+    operators.Scalars,
+    operators.EtlComposites,
+    operators.LlmOps,
+    operators.Multimodal)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-J: ETL composites (ops 58–62) — the reference's actual job
+  * patterns: SCD2 dimension maintenance, incremental append+dedup, validate/
+  * split row routing, CDC row hashing, surrogate key assignment.
+  *
+  * Master/delta inputs are derived deterministically from the testdata
+  * (delta = every 10th/7th business key, mutated) so the oracle can state
+  * the expected outcome in closed form while the Spark side runs the real
+  * general-purpose algorithm (join-based merge, not the closed form).
+  *
+  * 100 TB notes: SCD2 here is the join formulation of Delta-style MERGE
+  * INTO — one shuffle join master⋈delta on the business key; master stays
+  * partitioned by key so repeated loads co-locate. Incremental dedup
+  * shuffles once on the key. Validate/split computes rules in ONE pass and
+  * routes by tag — never run the input twice with complementary filters at
+  * scale (the driver harness consumes one DataFrame, so the routed union
+  * carries a status tag; callers would `.filter` each side off a cached df).
+  */
+object EtlComposites extends QueryGroup {
+
+  private val eff = "2024-01-01"
+
+  /** op 58 — SCD Type-2 load: close changed rows, version them, insert new
+    * keys. Real full-outer-join merge on the Spark side. */
+  private val etlScd2Load = GraftQuery(
+    "etl_scd2_load",
+    (s, dir) => {
+      val effD = lit(eff).cast(DateType)
+      val master = Tables.customer(s, dir)
+        .select(col("c_custkey").as("bk"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"),
+          lit("2020-01-01").cast(DateType).as("valid_from"),
+          lit(null).cast(DateType).as("valid_to"),
+          lit(1).as("is_current"))
+      val delta = Tables.customer(s, dir).filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("bk"), (col("c_acctbal") + 100.0).as("acctbal"),
+          col("c_mktsegment").as("segment"))
+        .unionByName(
+          Tables.customer(s, dir).filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1000000L).as("bk"),
+              lit(1000.0).as("acctbal"), lit("NEW").as("segment")))
+      val m = master.as("m")
+      val d = delta.as("d")
+      val j = m.join(d, col("m.bk") === col("d.bk"), "full")
+      val changed = col("d.bk").isNotNull && col("m.bk").isNotNull &&
+        (col("m.acctbal") =!= col("d.acctbal") || col("m.segment") =!= col("d.segment"))
+      val unchanged = j.filter(col("d.bk").isNull ||
+          (col("m.bk").isNotNull && !changed))
+        .select(col("m.bk"), col("m.acctbal"), col("m.segment"),
+          col("m.valid_from"), col("m.valid_to"), col("m.is_current"))
+      val closed = j.filter(changed)
+        .select(col("m.bk"), col("m.acctbal"), col("m.segment"),
+          col("m.valid_from"), effD.as("valid_to"), lit(0).as("is_current"))
+      val newVersion = j.filter(changed)
+        .select(col("d.bk"), col("d.acctbal"), col("d.segment"),
+          effD.as("valid_from"), lit(null).cast(DateType).as("valid_to"),
+          lit(1).as("is_current"))
+      val inserted = j.filter(col("m.bk").isNull)
+        .select(col("d.bk"), col("d.acctbal"), col("d.segment"),
+          effD.as("valid_from"), lit(null).cast(DateType).as("valid_to"),
+          lit(1).as("is_current"))
+      unchanged.unionByName(closed).unionByName(newVersion).unionByName(inserted)
+        .orderBy(col("bk").asc_nulls_first, col("valid_from").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT c_custkey AS bk, c_acctbal AS acctbal, c_mktsegment AS segment,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '2020-01-01', DATE '$eff', 0
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
+             DATE '$eff', NULL, 1
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1000.0, 'NEW',
+             DATE '$eff', NULL, 1
+      FROM customer WHERE c_custkey % 10 = 0
+      ORDER BY bk ASC NULLS FIRST, valid_from ASC NULLS FIRST"""))
+
+  /** op 59 — PROC APPEND + SORT NODUPKEY: append delta, keep latest per
+    * business key by (event time desc, delta-wins) — window, not
+    * dropDuplicates (G2). */
+  private val etlIncrementalDedup = GraftQuery(
+    "etl_incremental_dedup",
+    (s, dir) => {
+      val master = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          lit("master").as("src"))
+      val delta = Tables.orders(s, dir).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"),
+          lit("delta").as("src"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("o_orderdate").desc_nulls_last, col("src").asc_nulls_first)
+      master.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderdate, src
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                    ORDER BY o_orderdate DESC NULLS LAST, src ASC NULLS FIRST) AS rn
+        FROM (
+          SELECT o_orderkey, o_totalprice, o_orderdate, 'master' AS src FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 1.1, o_orderdate + INTERVAL 1 DAY, 'delta'
+          FROM orders WHERE o_orderkey % 7 = 0))
+      WHERE rn = 1
+      ORDER BY o_orderkey ASC NULLS FIRST"""))
+
+  /** op 60 — validate/split: rules evaluated once, rows routed clean/reject
+    * with reason tags (the two-OUTPUT DATA step). */
+  private val etlValidateSplit = GraftQuery(
+    "etl_validate_split",
+    (s, dir) => {
+      val rules = array(
+        when(col("l_discount") > 0.08, lit("disc_high")),
+        when(col("l_tax") === 0.0, lit("tax_zero")),
+        when(col("l_quantity") > 45.0, lit("qty_high")))
+      Tables.lineitem(s, dir)
+        .withColumn("errs", filter(rules, e => e.isNotNull))
+        .withColumn("status", when(size(col("errs")) === 0, "ok").otherwise("reject"))
+        .withColumn("err_tags", concat_ws(",", col("errs")))
+        .select("l_orderkey", "l_linenumber", "status", "err_tags")
+        .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN len(errs) = 0 THEN 'ok' ELSE 'reject' END AS status,
+             COALESCE(array_to_string(errs, ','), '') AS err_tags
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               list_filter([
+                 CASE WHEN l_discount > 0.08 THEN 'disc_high' END,
+                 CASE WHEN l_tax = 0.0 THEN 'tax_zero' END,
+                 CASE WHEN l_quantity > 45.0 THEN 'qty_high' END], e -> e IS NOT NULL) AS errs
+        FROM lineitem)
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""))
+
+  /** op 61 — MD5(CATX('|',…)) CDC row fingerprint; nulls encoded as ''
+    * explicitly so null≠'null' and hash is stable. */
+  private val etlRowHash = GraftQuery(
+    "etl_row_hash",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("row_hash", md5(concat_ws("|",
+          col("c_custkey").cast(StringType),
+          coalesce(col("c_name"), lit("")),
+          coalesce(col("c_acctbal").cast(StringType), lit("")),
+          coalesce(col("c_mktsegment"), lit("")))))
+        .select("c_custkey", "row_hash")
+        .orderBy(col("c_custkey").asc_nulls_first),
+    Some("""
+      SELECT c_custkey,
+             md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+                 COALESCE(c_name, ''), COALESCE(CAST(c_acctbal AS VARCHAR), ''),
+                 COALESCE(c_mktsegment, ''))) AS row_hash
+      FROM customer
+      ORDER BY c_custkey ASC NULLS FIRST"""))
+
+  /** op 62 — surrogate key via row_number over an explicit total order —
+    * NOT monotonically_increasing_id (partition-dependent, non-contiguous).
+    * 100 TB: a single unpartitioned window serializes; assign instead as
+    * per-partition row_number + exclusive-prefix-sum of partition counts
+    * (same contract, no single-reducer bottleneck). */
+  private val etlSurrogateKey = GraftQuery(
+    "etl_surrogate_key",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("sk",
+          row_number().over(Window.orderBy(col("c_custkey").asc_nulls_first)))
+        .select("sk", "c_custkey", "c_name")
+        .orderBy(col("sk").asc_nulls_first),
+    Some("""
+      SELECT ROW_NUMBER() OVER (ORDER BY c_custkey ASC NULLS FIRST) AS sk,
+             c_custkey, c_name
+      FROM customer
+      ORDER BY sk ASC NULLS FIRST"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    etlScd2Load, etlIncrementalDedup, etlValidateSplit, etlRowHash, etlSurrogateKey)
+}

@@ -1,0 +1,521 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryGroup, Tables}
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-L + the mandated training-data-pipeline operators:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force + IVF), text analysis
+  * (stats, tf-idf, language-ID, quality scoring, token counting,
+  * fingerprinting), multimodal struct assembly, histograms.
+  *
+  * The testdata has NO natural duplicates (FIXTURES.md), so the near-dup
+  * queries PLANT deterministic mutants (key + 1_000_000, a one-word or
+  * small-vector perturbation) and must rediscover exactly those pairs —
+  * end-to-end proof the detector works, with output stable for the driver.
+  *
+  * 100 TB notes per family:
+  * - exact dedup: one shuffle on the 256-bit hash — the cheapest possible;
+  *   always run it before any near-dup pass.
+  * - MinHash+LSH: signatures are map-side; the ONLY shuffle is the band
+  *   join, whose bucket sizes are bounded by band width. Exact-Jaccard
+  *   verification happens only on candidate pairs (tiny). This is the
+  *   canonical web-scale near-dup shape; never all-pairs.
+  * - similarity search: brute-force top-k is a broadcast of the query side
+  *   + map-side heap (TakeOrderedAndProject) — linear scan, fine for one
+  *   query over 100 TB. For query SETS, IVF (llm_ann_ivf) prunes to
+  *   nprobe/nlist of the data; partition the vector table by centroid id
+  *   so a probe reads only its buckets.
+  */
+object LlmOps extends QueryGroup {
+
+  private val SIG_HASHES = 64
+  private val LSH_BANDS = 16
+  private val LSH_ROWS = 4
+
+  private def docVec(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  private def cosR(a: Column, b: Column): Column = round(VectorOps.cosine(a, b), 6)
+
+  /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash. */
+  private val llmDedupExact = GraftQuery(
+    "llm_dedup_exact",
+    (s, dir) => {
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("text_hash", sha2(TextOps.normalize(col("text")), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text_hash")
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT doc_id, text_hash
+      FROM (SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                                      ORDER BY doc_id ASC) AS rn
+            FROM documents)
+      WHERE rn = 1
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** op 70 — MinHash + LSH near-dup: plant one-word mutants, shingle (5-word),
+    * 64-hash MinHash, 16×4 LSH bands, candidate pairs from band buckets,
+    * exact-Jaccard verification ≥ 0.5. Oracle: none (SURVEY G4) —
+    * LlmOpsSpec asserts exactly the planted pairs are recovered. */
+  private val llmDedupMinhash = GraftQuery(
+    "llm_dedup_minhash",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      val sh = docs.unionByName(mutants)
+        .withColumn("shingles",
+          array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), 5)))
+        .select("doc_id", "shingles")
+      val banded = sh
+        .withColumn("sig", TextOps.minhashSignature(col("shingles"), SIG_HASHES))
+        .select(col("doc_id"), posexplode(TextOps.lshBands(col("sig"), LSH_BANDS, LSH_ROWS)))
+        .toDF("doc_id", "band_idx", "band_hash")
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val cand = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    },
+    None)
+
+  /** SimHash dedup signature: 64-bit per doc from token hashes; near-dups
+    * differ in few bits (Hamming). Oracle: none — LlmOpsSpec asserts mutant
+    * Hamming distance ≪ unrelated-pair distance. */
+  private val llmDedupSimhash = GraftQuery(
+    "llm_dedup_simhash",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("hashes", TextOps.tokenHashes(TextOps.normalize(col("text"))))
+        .withColumn("simhash", TextOps.simhash("hashes"))
+        .select("doc_id", "simhash")
+        .orderBy(col("doc_id").asc_nulls_first),
+    None)
+
+  /** n-gram Jaccard all-pairs within a language (bounded candidate set):
+    * top-50 most similar English doc pairs by exact 3-shingle Jaccard. */
+  private val llmJaccardPairs = GraftQuery(
+    "llm_jaccard_pairs",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .withColumn("sh",
+          array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), 3)))
+        .select("doc_id", "sh")
+      val a = sh.as("a")
+      val b = sh.as("b")
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          TextOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .orderBy(col("jaccard").desc_nulls_last,
+          col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+        .limit(50)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(words) - 1, 2))]) AS sh
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM documents WHERE lang = 'en'))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ORDER BY jaccard DESC NULLS LAST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
+      LIMIT 50"""))
+
+  /** op 71 — brute-force cosine top-k: query = vec 0, top-11 (BASELINE
+    * knn_cosine shape). Broadcast the 1-row query side; TakeOrderedAndProject
+    * keeps it a linear scan + heap at any scale. */
+  private val llmCosineTopk = GraftQuery(
+    "llm_cosine_topk",
+    (s, dir) => {
+      val q = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+      docVec(s, dir)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(11)
+    },
+    Some("""
+      SELECT b.vec_id,
+             round(list_cosine_similarity(
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+      ORDER BY cos_sim DESC NULLS LAST, b.vec_id ASC NULLS FIRST
+      LIMIT 11"""))
+
+  /** op 72 — k-NN join: 20 query vectors × corpus, top-5 each. Broadcast
+    * the query side; at 100 TB swap the crossJoin for IVF probing
+    * (llm_ann_ivf) or LSH bucketing — same downstream top-k shape. */
+  private val llmKnnJoin = GraftQuery(
+    "llm_knn_join",
+    (s, dir) => {
+      val q = docVec(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      docVec(s, dir)
+        .crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_id", "rn", "vec_id", "cos_sim")
+        .orderBy(col("q_id").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+    Some("""
+      SELECT q_id, rn, vec_id, cos_sim
+      FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               round(list_cosine_similarity(
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) DESC NULLS LAST,
+                 b.vec_id ASC NULLS FIRST) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 20)
+      WHERE rn <= 5
+      ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST"""))
+
+  /** Embedding-cosine near-dup: plant slightly-perturbed copies of every
+    * 100th vector (affine 0.9x+0.02 keeps cosine ≈ 0.97–0.99 vs ≤ 0.52 for
+    * unrelated pairs), then find all pairs ≥ 0.9. */
+  private val llmEmbedNeardup = GraftQuery(
+    "llm_embed_neardup",
+    (s, dir) => {
+      val base = docVec(s, dir)
+      val planted = base.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+      val all = base.unionByName(planted)
+      val a = all.as("a")
+      val b = all.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosR(col("a.v"), col("b.v")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+        .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      allv AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(v, x -> x * 0.9 + 0.02)
+        FROM base WHERE vec_id % 100 = 0)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+      ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST"""))
+
+  /** IVF-style ANN: coarse-quantize to 16 "centroids" (deterministic
+    * training stub: the 16 lowest vec_ids — a real build would k-means;
+    * the PLUMBING — assignment, probe pruning, bucket-limited scan — is
+    * the scale path and is real). Query probes 4 of 16 buckets.
+    * Oracle: none (approximate); LlmOpsSpec asserts recall vs llm_cosine_topk. */
+  private val llmAnnIvf = GraftQuery(
+    "llm_ann_ivf",
+    (s, dir) => {
+      val vecs = docVec(s, dir)
+      val cents = vecs.orderBy(col("vec_id").asc).limit(16)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("c", cosR(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("v"))
+      val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = cents.crossJoin(broadcast(q))
+        .select(col("cent_id"), cosR(col("cv"), col("qv")).as("c"))
+        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
+        .limit(4)
+        .select("cent_id")
+      assigned
+        .join(broadcast(probes), "cent_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(10)
+    },
+    None)
+
+  /** op 73 — text stats per language: doc/token/char totals + exact mean
+    * tokens + top-3 terms (explode → count → windowed top-k → re-collect). */
+  private val llmTextStats = GraftQuery(
+    "llm_text_stats",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", split(TextOps.normalize(col("text")), " "))
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast(LongType)).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(size(col("toks")).cast(LongType)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_tokens"))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
+      val top = docs.select(col("lang"), explode(col("toks")).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(transform(array_sort(collect_list(struct(col("rn"), col("term")))),
+          x => x.getField("term")).as("top_terms"))
+      stats.join(top, "lang")
+        .select("lang", "n_docs", "total_tokens", "total_chars", "avg_tokens", "top_terms")
+        .orderBy(col("lang").asc_nulls_first)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT lang, n_chars,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      stats AS (
+        SELECT lang, COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+        FROM docs GROUP BY lang),
+      top AS (
+        SELECT lang, list(term ORDER BY rn ASC) AS top_terms
+        FROM (SELECT lang, term, ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY n DESC NULLS LAST, term ASC NULLS FIRST) AS rn
+              FROM (SELECT lang, term, COUNT(*) AS n
+                    FROM (SELECT lang, unnest(toks) AS term FROM docs)
+                    GROUP BY lang, term))
+        WHERE rn <= 3 GROUP BY lang)
+      SELECT s.lang, n_docs, total_tokens, total_chars, avg_tokens, top_terms
+      FROM stats s JOIN top USING (lang)
+      ORDER BY lang ASC NULLS FIRST"""))
+
+  /** op 74 — tf-idf: explode → tf per (doc,term), df per term, idf =
+    * ln((N+1)/(df+1)), top-5 terms per doc. */
+  private val llmTfidf = GraftQuery(
+    "llm_tfidf",
+    (s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc_nulls_last, col("term").asc_nulls_first)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf").cast(DoubleType) *
+            log((col("n_docs").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "rn", "term", "score")
+        .orderBy(col("doc_id").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+    Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, rn, term, score
+      FROM (
+        SELECT doc_id, term,
+               round(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6) AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY round(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6) DESC NULLS LAST,
+                          term ASC NULLS FIRST) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+      WHERE rn <= 5
+      ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST"""))
+
+  /** op 75 — multimodal struct column: documents⋈embeddings assembled into
+    * struct(meta struct, vec array), nested-path projection + filter.
+    * Output is flattened for oracle hashing; the struct assembly and
+    * dot-path access are the Spark-side point. */
+  private val llmMultimodalStruct = GraftQuery(
+    "llm_multimodal_struct",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .withColumn("rec", struct(
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          VectorOps.toDouble(col("embedding")).as("vec")))
+        .filter(col("rec.meta.lang") === "en")
+        .select(
+          col("doc_id"),
+          col("rec.meta.lang").as("lang"),
+          col("rec.meta.n_chars").as("n_chars"),
+          round(element_at(col("rec.vec"), 1), 6).as("dim0"),
+          size(col("rec.vec")).as("n_dims"))
+        .orderBy(col("doc_id").asc_nulls_first),
+    Some("""
+      SELECT doc_id, lang, n_chars,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS dim0,
+             len(embedding) AS n_dims
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      WHERE lang = 'en'
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** op 76 — fixed-width histogram of n_chars per language. */
+  private val llmHistogram = GraftQuery(
+    "llm_histogram",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", expr("(n_chars div 50) * 50"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang").asc_nulls_first, col("bucket").asc_nulls_first),
+    Some("""
+      SELECT lang, (n_chars // 50) * 50 AS bucket, COUNT(*) AS n
+      FROM documents
+      GROUP BY lang, bucket
+      ORDER BY lang ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
+
+  /** Language-ID (n-gram heuristic): self-trained top-50 char-trigram
+    * profile per language, classify each doc by profile overlap. The
+    * testdata's text is synthetic (vocabulary does not differ by lang), so
+    * accuracy against the lang column is not the assertion — LlmOpsSpec
+    * validates the classifier on genuinely distinct language fixtures.
+    * Oracle: none. */
+  private val llmLangId = GraftQuery(
+    "llm_lang_id",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .withColumn("tris", TextOps.charTrigrams("norm"))
+      val wProf = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc_nulls_last, col("tri").asc_nulls_first)
+      val profiles = docs.select(col("lang"), explode(col("tris")).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wProf))
+        .filter(col("rn") <= 50)
+        .groupBy(col("lang").as("cand_lang"))
+        .agg(collect_set(col("tri")).as("profile"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc_nulls_last, col("cand_lang").asc_nulls_first)
+      docs.select("doc_id", "lang", "tris")
+        .crossJoin(broadcast(profiles))
+        .withColumn("score", size(array_intersect(col("tris"), col("profile"))))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    None)
+
+  /** Quality scoring: token/length/stopword/digit heuristics composed into
+    * a [0,1] score — the standard pre-training corpus filter features. */
+  private val llmQualityScore = GraftQuery(
+    "llm_quality_score",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+      val words = split(TextOps.normalize(col("text")), " ")
+      val nTok = size(words).cast(DoubleType)
+      val stopRatio =
+        size(filter(words, w => w.isin(stop.map(x => x: Any): _*))).cast(DoubleType) / nTok
+      val digitRatio =
+        regexp_count(col("text"), lit("[0-9]")).cast(DoubleType) /
+          length(col("text")).cast(DoubleType)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(words).as("n_tokens"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(digitRatio, 6).as("digit_ratio"),
+          round(
+            lit(0.4) * stopRatio + lit(0.3) * least(nTok / 100.0, lit(1.0)) +
+              lit(0.3) * (lit(1.0) - digitRatio), 6).as("quality"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) AS digit_ratio
+        FROM documents)
+      SELECT doc_id,
+             len(words) AS n_tokens,
+             round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                   / CAST(len(words) AS DOUBLE), 6) AS stop_ratio,
+             round(digit_ratio, 6) AS digit_ratio,
+             round(0.4 * (CAST(len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                          / CAST(len(words) AS DOUBLE))
+                   + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+                   + 0.3 * (1.0 - digit_ratio), 6) AS quality
+      FROM f
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** Token counting: whitespace, regex word-ish tokens, and the chars/4
+    * BPE-budget estimate. */
+  private val llmTokenCount = GraftQuery(
+    "llm_token_count",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+          ceil(length(col("text")).cast(DoubleType) / 4.0).cast(LongType).as("bpe_est"))
+        .orderBy(col("doc_id").asc_nulls_first),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+      FROM documents
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** Winnowing fingerprints (rolling char-8-gram hashes, min per 4-window):
+    * robust local document fingerprint. Oracle: none (xxhash64 is
+    * Spark-specific); LlmOpsSpec asserts edit-robustness properties. */
+  private val llmFingerprint = GraftQuery(
+    "llm_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .withColumn("grams", TextOps.charGramHashes("norm", 8))
+        .withColumn("fps", TextOps.winnow("grams", 4))
+        .select(
+          col("doc_id"),
+          size(col("fps")).as("n_fps"),
+          slice(col("fps"), 1, 4).as("fp_head"))
+        .orderBy(col("doc_id").asc_nulls_first),
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(
+    llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
+    llmCosineTopk, llmKnnJoin, llmEmbedNeardup, llmAnnIvf,
+    llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
+    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint)
+}
