@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Scalars,
     operators.EtlComposites,
     operators.LlmOps,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.StreamingOps)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, QueryGroup, Tables}
+import graft.streaming.EventPipelines
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2-K: streaming (ops 63–68), registered through their BATCH
+  * TWINS — each `queries` entry applies an EventPipelines transform (the
+  * exact code a `readStream` job runs) to the batch events table so the
+  * driver's DuckDB oracle can hash-verify it; the streaming execution of
+  * the same transforms (MemoryStream, watermarks, late data) is asserted
+  * in StreamingSpec.
+  */
+object StreamingOps extends QueryGroup {
+
+  /** op 63 — tumbling 1h counts. Window alignment: both engines bucket to
+    * epoch-aligned hours (time_bucket ≡ window('1 hour')). */
+  private val streamTumblingCounts = GraftQuery(
+    "stream_tumbling_counts",
+    (s, dir) =>
+      EventPipelines.tumblingCounts(Tables.events(s, dir))
+        .orderBy(col("w_start").asc_nulls_first, col("event_type").asc_nulls_first),
+    Some(s"""
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+             event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+      FROM events
+      GROUP BY w_start, event_type
+      ORDER BY w_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
+  /** op 64 — sliding 1h/15min windows: every event lands in 4 windows
+    * (oracle reconstructs them via bucket − k·15min). */
+  private val streamSlidingAvg = GraftQuery(
+    "stream_sliding_avg",
+    (s, dir) =>
+      EventPipelines.slidingAvg(Tables.events(s, dir))
+        .orderBy(col("w_start").asc_nulls_first, col("event_type").asc_nulls_first),
+    Some(s"""
+      SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - k.k * INTERVAL 15 MINUTE AS w_start,
+             event_type, COUNT(*) AS n,
+             ${Det.sqlAvg("value")} AS avg_value
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+      GROUP BY w_start, event_type
+      ORDER BY w_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
+  /** op 65 — sessionization (30-min gap), lag/gap/cumsum batch twin. */
+  private val streamSessionWindows = GraftQuery(
+    "stream_session_windows",
+    (s, dir) =>
+      EventPipelines.sessionizeBatch(Tables.events(s, dir))
+        .orderBy(col("user_id").asc_nulls_first, col("session_id").asc_nulls_first),
+    Some(s"""
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+      FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                        OR CAST(ts AS TIMESTAMP) > LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events))
+      GROUP BY user_id, session_id
+      ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST"""))
+
+  /** op 66 — watermark late-drop semantics replayed over arrival order. */
+  private val streamWatermarkLate = GraftQuery(
+    "stream_watermark_late",
+    (s, dir) =>
+      EventPipelines.watermarkDropLate(Tables.events(s, dir))
+        .orderBy(col("w_start").asc_nulls_first, col("event_type").asc_nulls_first),
+    Some("""
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start, event_type, COUNT(*) AS n
+      FROM (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+               MAX(CAST(ts AS TIMESTAMP)) OVER (ORDER BY event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - INTERVAL 10 MINUTE AS wm
+        FROM events)
+      WHERE ts >= wm
+      GROUP BY w_start, event_type
+      ORDER BY w_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
+  /** op 67 — stateful dedup: first arrival per (user, event_type). */
+  private val streamDedupStateful = GraftQuery(
+    "stream_dedup_stateful",
+    (s, dir) =>
+      EventPipelines.dedupFirstArrival(Tables.events(s, dir))
+        .orderBy(col("event_id").asc_nulls_first),
+    Some("""
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY event_id ASC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY event_id ASC NULLS FIRST"""))
+
+  /** op 68 — stream ⋈ static dimension enrichment (broadcast). */
+  private val streamStaticEnrich = GraftQuery(
+    "stream_static_enrich",
+    (s, dir) =>
+      EventPipelines.staticEnrich(
+          Tables.events(s, dir),
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"))
+        .orderBy(col("event_id").asc_nulls_first),
+    Some("""
+      SELECT event_id, user_id, event_type, value, c_mktsegment AS segment
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      ORDER BY event_id ASC NULLS FIRST"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
+    streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
+}
