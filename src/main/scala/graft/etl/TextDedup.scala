@@ -1,0 +1,52 @@
+package graft.etl
+
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection pipelines (SURVEY §2 op 70) as reusable
+  * operators over any (id, text) DataFrame.
+  *
+  * MinHash+LSH shape (the only one that scales — never all-pairs):
+  *   shingle → 64-hash MinHash signature (map-side) → band keys →
+  *   self-join on band key (the single shuffle; bucket sizes bounded by
+  *   band selectivity) → exact-Jaccard verify on candidates only.
+  */
+object TextDedup {
+
+  /** Candidate near-dup pairs with exact Jaccard ≥ `threshold`.
+    * Input df must have columns (`id` bigint, `text` string). */
+  def minhashPairs(docs: DataFrame, shingleWords: Int, nHashes: Int,
+      nBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(nBands * rowsPerBand == nHashes, "bands*rows must equal signature length")
+    val sh = docs
+      .withColumn("shingles",
+        array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), shingleWords)))
+      .select("id", "shingles")
+    val banded = sh
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), nHashes))
+      .select(col("id"), posexplode(TextOps.lshBands(col("sig"), nBands, rowsPerBand)))
+      .toDF("id", "band_idx", "band_hash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over an (id, text) DataFrame. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hashes", TextOps.tokenHashes(TextOps.normalize(col("text"))))
+      .withColumn("simhash", TextOps.simhash("hashes"))
+      .select("id", "simhash")
+}

@@ -31,7 +31,6 @@ object EtlComposites extends QueryGroup {
   private val etlScd2Load = GraftQuery(
     "etl_scd2_load",
     (s, dir) => {
-      val effD = lit(eff).cast(DateType)
       val master = Tables.customer(s, dir)
         .select(col("c_custkey").as("bk"), col("c_acctbal").as("acctbal"),
           col("c_mktsegment").as("segment"),
@@ -45,27 +44,7 @@ object EtlComposites extends QueryGroup {
           Tables.customer(s, dir).filter(col("c_custkey") % 10 === 0)
             .select((col("c_custkey") + 1000000L).as("bk"),
               lit(1000.0).as("acctbal"), lit("NEW").as("segment")))
-      val m = master.as("m")
-      val d = delta.as("d")
-      val j = m.join(d, col("m.bk") === col("d.bk"), "full")
-      val changed = col("d.bk").isNotNull && col("m.bk").isNotNull &&
-        (col("m.acctbal") =!= col("d.acctbal") || col("m.segment") =!= col("d.segment"))
-      val unchanged = j.filter(col("d.bk").isNull ||
-          (col("m.bk").isNotNull && !changed))
-        .select(col("m.bk"), col("m.acctbal"), col("m.segment"),
-          col("m.valid_from"), col("m.valid_to"), col("m.is_current"))
-      val closed = j.filter(changed)
-        .select(col("m.bk"), col("m.acctbal"), col("m.segment"),
-          col("m.valid_from"), effD.as("valid_to"), lit(0).as("is_current"))
-      val newVersion = j.filter(changed)
-        .select(col("d.bk"), col("d.acctbal"), col("d.segment"),
-          effD.as("valid_from"), lit(null).cast(DateType).as("valid_to"),
-          lit(1).as("is_current"))
-      val inserted = j.filter(col("m.bk").isNull)
-        .select(col("d.bk"), col("d.acctbal"), col("d.segment"),
-          effD.as("valid_from"), lit(null).cast(DateType).as("valid_to"),
-          lit(1).as("is_current"))
-      unchanged.unionByName(closed).unionByName(newVersion).unionByName(inserted)
+      graft.etl.Scd.scd2Load(master, delta, Seq("acctbal", "segment"), eff)
         .orderBy(col("bk").asc_nulls_first, col("valid_from").asc_nulls_first)
     },
     Some(s"""

@@ -75,28 +75,10 @@ object LlmOps extends QueryGroup {
       val mutants = docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
-      val sh = docs.unionByName(mutants)
-        .withColumn("shingles",
-          array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), 5)))
-        .select("doc_id", "shingles")
-      val banded = sh
-        .withColumn("sig", TextOps.minhashSignature(col("shingles"), SIG_HASHES))
-        .select(col("doc_id"), posexplode(TextOps.lshBands(col("sig"), LSH_BANDS, LSH_ROWS)))
-        .toDF("doc_id", "band_idx", "band_hash")
-      val a = banded.as("a")
-      val b = banded.as("b")
-      val cand = a.join(b,
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-        .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+      graft.etl.TextDedup.minhashPairs(
+          docs.unionByName(mutants).select(col("doc_id").as("id"), col("text")),
+          shingleWords = 5, nHashes = SIG_HASHES,
+          nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, threshold = 0.5)
         .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
     },
     None)
@@ -107,10 +89,9 @@ object LlmOps extends QueryGroup {
   private val llmDedupSimhash = GraftQuery(
     "llm_dedup_simhash",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("hashes", TextOps.tokenHashes(TextOps.normalize(col("text"))))
-        .withColumn("simhash", TextOps.simhash("hashes"))
-        .select("doc_id", "simhash")
+      graft.etl.TextDedup.simhashes(
+          Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id").asc_nulls_first),
     None)
 

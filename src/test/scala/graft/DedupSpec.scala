@@ -1,0 +1,44 @@
+package graft
+
+import graft.etl.TextDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md neardup4: A, A-with-one-word-changed (near-dup), B, C.
+  * MinHash+LSH must surface exactly the {A, A'} pair; SimHash must place
+  * them within small Hamming distance while unrelated pairs stay far. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val wordsA = (1 to 50).map(i => s"alpha$i")
+  private val textA  = wordsA.mkString(" ")
+  private val textA2 = wordsA.updated(24, "CHANGED").mkString(" ")
+  private val textB  = (1 to 50).map(i => s"beta$i").mkString(" ")
+  private val textC  = (1 to 50).map(i => s"gamma$i").mkString(" ")
+
+  private lazy val neardup4 =
+    Seq((1L, textA), (2L, textA2), (3L, textB), (4L, textC)).toDF("id", "text")
+
+  test("neardup4: minhash+LSH finds exactly the planted pair at J >= 0.7") {
+    val pairs = TextDedup.minhashPairs(neardup4,
+        shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // one word changed in 50 -> 5 of 46 shingles differ: J = 41/51
+    assert(math.abs(pairs.head._3 - 41.0 / 51.0) < 1e-12)
+  }
+
+  test("neardup4: dedup is idempotent (no pairs among survivors)") {
+    val survivors = neardup4.filter("id != 2")
+    val again = TextDedup.minhashPairs(survivors, 5, 64, 16, 4, 0.7)
+    assert(again.count() == 0)
+  }
+
+  test("neardup4: simhash Hamming distance separates near-dups from strangers") {
+    val sh = TextDedup.simhashes(neardup4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 12)
+    assert(hamming(sh(1L), sh(3L)) >= 20)
+    assert(hamming(sh(1L), sh(4L)) >= 20)
+  }
+}

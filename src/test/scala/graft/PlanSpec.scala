@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §4 / the 100 TB contract): filters and
+  * projections reach the parquet scan, small dims broadcast, global top-k
+  * avoids a full sort, aggregates keep map-side partial stages. These are
+  * the properties that decide whether a plan survives a 100× scale-up, so
+  * they are pinned as tests, not left to eyeballing .explain(). */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_where: predicate pushed to parquet + column pruning") {
+    val p = plan("filter_where")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses:\n" + p)
+  }
+
+  test("join_broadcast_hash: dims broadcast, no shuffle join") {
+    val p = plan("join_broadcast_hash")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk_global: TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_multi_stat: two-phase hash aggregation (map-side partial)") {
+    val p = plan("agg_multi_stat")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("join_lookup_format: tiny VALUES dim broadcast") {
+    val p = plan("join_lookup_format")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the row-logic pipeline") {
+    // AQE prints stages only once final: execute, then inspect
+    val df = SparkEntry.queries("derive_columns")(spark, sf)
+    df.collect()  // collect (not count) so THIS QueryExecution is the one that ran
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in simple mode
+    assert("\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("flagship entry: broadcast the filtered dim, shuffle only the facts") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

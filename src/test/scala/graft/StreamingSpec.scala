@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.EventPipelines
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** SURVEY §2-K streaming semantics: the EventPipelines transforms running
+  * under Structured Streaming (MemoryStream), including the FIXTURES.md
+  * stream_late scenario (watermark drops late rows in append mode), and
+  * batch≡stream equivalence of the tumbling aggregation. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val batchEvents = Seq(
+    Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 10:20:00"), 1, "click", 2.0),
+    Ev(3, t("2024-01-01 11:10:00"), 2, "view", 3.0),
+    Ev(4, t("2024-01-01 11:40:00"), 2, "view", 4.0),
+    Ev(5, t("2024-01-01 12:30:00"), 1, "click", 5.0))
+
+  test("tumbling counts: streaming (complete mode) == batch twin") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents.take(3))
+    stream.addData(batchEvents.drop(3))
+    val q = EventPipelines.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = EventPipelines.tumblingCounts(batchEvents.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stream_late fixture: watermark drops a late row in append mode") {
+    val stream = MemoryStream[Ev](spark)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                     Ev(2, t("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time: watermark -> 10:50, finalizing the 10:00 window
+      stream.addData(Ev(3, t("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // LATE: 09:40 is far behind the 10:50 watermark -> must be dropped
+      stream.addData(Ev(4, t("2024-01-01 09:40:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance again so any (wrongly) accepted late window would flush
+      stream.addData(Ev(5, t("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", 2L)))     // on-time window emitted
+    assert(!rows.exists(_._1.startsWith("2024-01-01 09:40")))  // late row dropped
+  }
+
+  test("dropDuplicatesWithinWatermark: same event_id delivered twice emits once") {
+    val stream = MemoryStream[Ev](spark)
+    val dedup = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Ev(1, t("2024-01-01 10:01:00"), 1, "click", 1.0),  // duplicate id
+                     Ev(2, t("2024-01-01 10:02:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("session_window (native) agrees with lag/cumsum sessionize on batch events") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val native = EventPipelines.sessionWindows(events)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    val twin = EventPipelines.sessionizeBatch(events)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    assert(native.toSet == twin.toSet && twin.nonEmpty)
+  }
+
+  test("stream-static enrich runs under readStream semantics (stream join static)") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents)
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val q = EventPipelines.staticEnrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val segs = spark.table("enrich_out").select("event_id", "segment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(segs(1L) == "BUILDING" && segs(3L) == "MACHINERY" && segs.size == 5)
+  }
+}

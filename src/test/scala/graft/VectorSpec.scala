@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine: identity, orthogonality, known angle") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) == 0.0)
+    assert(math.abs(r(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("ann_ivf: includes the query itself and stays within brute-force top-50") {
+    val ann = SparkEntry.queries("llm_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.head == ((0L, 1.0)))  // self-match first
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+    // recompute a generous brute-force top-50 for containment
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val top50 = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("qv")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.map(_._1).forall(top50.contains), s"ANN hits outside brute top-50: ${ann.mkString(",")}")
+    // and the exact top-k query agrees with itself deterministically
+    assert(brute.collect().map(_.getLong(0)).head == 0L)
+  }
+
+  test("knn_join: every query id present with k results, self-match ranked 1") {
+    val r = SparkEntry.queries("llm_knn_join")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    val byQ = r.groupBy(_._1)
+    assert(byQ.keySet == (0L until 20L).toSet)
+    assert(byQ.values.forall(_.length == 5))
+    assert(byQ.forall { case (q, rows) => rows.find(_._2 == 1).get._3 == q })
+  }
+}
