@@ -19,12 +19,15 @@ object TextDedup {
   def minhashPairs(docs: DataFrame, shingleWords: Int, nHashes: Int,
       nBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     require(nBands * rowsPerBand == nHashes, "bands*rows must equal signature length")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs
-      .withColumn("shingles",
-        array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), shingleWords)))
+      .withColumn("norm", TextOps.normalize(col("text")))
+      .withColumn("shingles", expr(s"word_shingles(norm, $shingleWords)"))
       .select("id", "shingles")
     val banded = sh
-      .withColumn("sig", TextOps.minhashSignature(col("shingles"), nHashes))
+      // single-pass native signature (see MinHashSignature scaladoc: the
+      // higher-order TextOps.minhashSignature re-hashes per seed, 64x cost)
+      .withColumn("sig", expr(s"minhash_sig(shingles, $nHashes)"))
       .select(col("id"), posexplode(TextOps.lshBands(col("sig"), nBands, rowsPerBand)))
       .toDF("id", "band_idx", "band_hash")
     val a = banded.as("a")
@@ -38,7 +41,7 @@ object TextDedup {
     cand
       .join(sh.select(col("id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

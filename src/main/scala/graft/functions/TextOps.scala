@@ -84,8 +84,9 @@ object TextOps {
           transform(sequence(1, greatest(size($gramHashesCol) - ${w - 1}, 1)),
             j -> array_min(slice($gramHashesCol, j, $w)))))""")
 
-  /** Character trigrams (distinct) — the language-ID feature space. */
-  def charTrigrams(textCol: String): Column = expr(
-    s"""array_distinct(transform(sequence(1, greatest(length($textCol) - 2, 1)),
-          i -> substr($textCol, i, 3)))""")
+  /** Character trigrams (distinct) — the language-ID feature space.
+    * Callers must have run GraftFunctions.register on the session: the
+    * native CharNgrams expression replaces the interpreted
+    * array_distinct(transform(substr…)) form (10× at sf0.1). */
+  def charTrigrams(textCol: String): Column = expr(s"char_ngrams($textCol, 3)")
 }

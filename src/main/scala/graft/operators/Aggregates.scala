@@ -85,7 +85,7 @@ object Aggregates extends QueryGroup {
     (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy(col("event_type").asc_nulls_first),
     None)
 

@@ -41,7 +41,10 @@ object LlmOps extends QueryGroup {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
-  private def cosR(a: Column, b: Column): Column = round(VectorOps.cosine(a, b), 6)
+  /** round-6 codegen'd cosine (bit-identical to VectorOps.cosine — see
+    * CosineSimilarity scaladoc; the custom Expression keeps all-pairs ops
+    * inside whole-stage codegen). Args are SQL expression strings. */
+  private def cosR(a: String, b: String): Column = round(expr(s"cosine_fast($a, $b)"), 6)
 
   /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash. */
   private val llmDedupExact = GraftQuery(
@@ -95,37 +98,40 @@ object LlmOps extends QueryGroup {
         .orderBy(col("doc_id").asc_nulls_first),
     None)
 
-  /** n-gram Jaccard all-pairs within a language (bounded candidate set):
-    * top-50 most similar English doc pairs by exact 3-shingle Jaccard. */
+  /** n-gram Jaccard near-dup with BLOCKED candidate generation: pairs are
+    * compared only within a (lang, source) block — at sf0.1 that is ~100k
+    * pairs instead of 2M all-pairs, and at 100 TB blocking (or LSH, op 70)
+    * is the only viable shape. Top-50 most similar English pairs. */
   private val llmJaccardPairs = GraftQuery(
     "llm_jaccard_pairs",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val sh = Tables.documents(s, dir)
         .filter(col("lang") === "en")
-        .withColumn("sh",
-          array_distinct(TextOps.wordShingles(TextOps.normalize(col("text")), 3)))
-        .select("doc_id", "sh")
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .withColumn("sh", expr("word_shingles(norm, 3)"))
+        .select("doc_id", "source", "sh")
       val a = sh.as("a")
       val b = sh.as("b")
-      a.join(b, col("a.doc_id") < col("b.doc_id"))
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          TextOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+          expr("jaccard_sim(a.sh, b.sh)").as("jaccard"))
         .orderBy(col("jaccard").desc_nulls_last,
           col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
         .limit(50)
     },
     Some("""
       WITH sh AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                list_distinct([array_to_string(words[i:i+2], ' ')
                  FOR i IN range(1, greatest(len(words) - 1, 2))]) AS sh
-        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
               FROM documents WHERE lang = 'en'))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
       ORDER BY jaccard DESC NULLS LAST, doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST
       LIMIT 50"""))
 
@@ -135,10 +141,11 @@ object LlmOps extends QueryGroup {
   private val llmCosineTopk = GraftQuery(
     "llm_cosine_topk",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val q = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
       docVec(s, dir)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .select(col("vec_id"), cosR("v", "qv").as("cos_sim"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(11)
     },
@@ -157,13 +164,14 @@ object LlmOps extends QueryGroup {
   private val llmKnnJoin = GraftQuery(
     "llm_knn_join",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val q = docVec(s, dir).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
       docVec(s, dir)
         .crossJoin(broadcast(q))
-        .select(col("q_id"), col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .select(col("q_id"), col("vec_id"), cosR("v", "qv").as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("q_id", "rn", "vec_id", "cos_sim")
@@ -191,6 +199,7 @@ object LlmOps extends QueryGroup {
   private val llmEmbedNeardup = GraftQuery(
     "llm_embed_neardup",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val base = docVec(s, dir)
       val planted = base.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -200,7 +209,7 @@ object LlmOps extends QueryGroup {
       val b = all.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosR(col("a.v"), col("b.v")).as("cos_sim"))
+          cosR("a.v", "b.v").as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
         .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
     },
@@ -226,26 +235,27 @@ object LlmOps extends QueryGroup {
   private val llmAnnIvf = GraftQuery(
     "llm_ann_ivf",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val vecs = docVec(s, dir)
       val cents = vecs.orderBy(col("vec_id").asc).limit(16)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
       val assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("c", cosR(col("v"), col("cv")))
+        .withColumn("c", cosR("v", "cv"))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"), col("v"))
       val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
-        .select(col("cent_id"), cosR(col("cv"), col("qv")).as("c"))
+        .select(col("cent_id"), cosR("cv", "qv").as("c"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
         .limit(4)
         .select("cent_id")
       assigned
         .join(broadcast(probes), "cent_id")
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), cosR(col("v"), col("qv")).as("cos_sim"))
+        .select(col("vec_id"), cosR("v", "qv").as("cos_sim"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(10)
     },
@@ -391,6 +401,7 @@ object LlmOps extends QueryGroup {
   private val llmLangId = GraftQuery(
     "llm_lang_id",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("tris", TextOps.charTrigrams("norm"))
@@ -402,11 +413,18 @@ object LlmOps extends QueryGroup {
         .filter(col("rn") <= 50)
         .groupBy(col("lang").as("cand_lang"))
         .agg(collect_set(col("tri")).as("profile"))
+      // Score via explode + broadcast join + count (codegen'd) rather than
+      // per-row array_intersect against each profile (interpreted, 25x
+      // slower at sf0.1). Every doc overlaps the corpus-derived profiles,
+      // so the argmax row always exists.
+      val profTris = profiles
+        .select(col("cand_lang"), explode(col("profile")).as("tri"))
       val wBest = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc_nulls_last, col("cand_lang").asc_nulls_first)
-      docs.select("doc_id", "lang", "tris")
-        .crossJoin(broadcast(profiles))
-        .withColumn("score", size(array_intersect(col("tris"), col("profile"))))
+      docs.select(col("doc_id"), col("lang"), explode(col("tris")).as("tri"))
+        .join(broadcast(profTris), "tri")
+        .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+        .agg(count(lit(1)).cast(IntegerType).as("score"))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
