@@ -196,7 +196,35 @@ object Aggregates extends QueryGroup {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus ASC NULLS FIRST"""))
 
+  /** UDAF surface — typed Aggregator (SasStatsAggregator): PROC MEANS
+    * n/nmiss/min/max/range with SAS missing semantics over a column made
+    * nullable via NULLIF. */
+  private val aggCustomAggregator = GraftQuery(
+    "agg_custom_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val stats = udaf(graft.functions.SasStatsAggregator.agg)
+      Tables.lineitem(s, dir)
+        .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+        .groupBy(col("l_linestatus"))
+        .agg(stats(col("d")).as("s"))
+        .select(col("l_linestatus"), col("s.n").as("n"), col("s.nmiss").as("nmiss"),
+          col("s.min").as("min_d"), col("s.max").as("max_d"), col("s.range").as("range_d"))
+        .orderBy(col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_linestatus,
+             COUNT(d) AS n,
+             COUNT(*) - COUNT(d) AS nmiss,
+             MIN(d) AS min_d,
+             MAX(d) AS max_d,
+             MAX(d) - MIN(d) AS range_d
+      FROM (SELECT l_linestatus, NULLIF(l_discount, 0.0) AS d FROM lineitem)
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
-    aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles, aggCollectList)
+    aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles, aggCollectList,
+    aggCustomAggregator)
 }
