@@ -141,6 +141,9 @@ object Bench {
       // re-planning barriers; with 4 static partitions there is nothing to
       // adapt. At cluster scale AQE should be ON (skew join, coalescing).
       .config("spark.sql.adaptive.enabled", "false")
+      // dims up to orders-size are broadcastable on this machine; lets the
+      // registry pass auto-BHJ without per-op hints
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -157,7 +160,8 @@ object Bench {
       fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) }
 
     val timed = headline.map { case (name, fn) =>
-      fn(spark, sfDir).collect() // warmup: plan + codegen + JIT + footers
+      fn(spark, sfDir).collect() // warmup: plan + codegen + footers
+      fn(spark, sfDir).collect() // second warmup: C2 JIT of the hot loops
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).collect()
