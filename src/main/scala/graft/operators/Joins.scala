@@ -244,8 +244,34 @@ object Joins extends QueryGroup {
        AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       ORDER BY error_id ASC NULLS FIRST, signup_ts ASC NULLS FIRST"""))
 
+  /** op 25 via the custom operator path (c): the SAME as-of semantics
+    * executed by graft's native AsOfJoinPlan/AsOfJoinExec (logical node →
+    * strategy → co-partitioned one-pass merge exec) instead of the
+    * union+window formulation — both hash-verified against DuckDB's native
+    * ASOF JOIN. */
+  private val joinAsofNative = GraftQuery(
+    "join_asof_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("prior_click_ts"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             CAST(c.ts AS TIMESTAMP) AS prior_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
-    joinAsof, joinInterval)
+    joinAsof, joinAsofNative, joinInterval)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** The custom AsOfJoinExec operator: exact semantics on a hand-computed
+  * fixture, equivalence with the union+window formulation on real data,
+  * and presence of the custom exec node in the physical plan. */
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("hand-computed fixture: latest prior row per key, nulls when none") {
+    val trades = Seq(
+      (1L, 10L, t("2024-01-01 10:00:05")),
+      (2L, 10L, t("2024-01-01 10:00:20")),
+      (3L, 20L, t("2024-01-01 10:00:10")),
+      (4L, 30L, t("2024-01-01 10:00:10")))
+      .toDF("trade_id", "k", "ts")
+    val quotes = Seq(
+      (10L, t("2024-01-01 10:00:00"), 1.0),
+      (10L, t("2024-01-01 10:00:05"), 2.0),   // same instant as trade 1 -> matches (<=)
+      (10L, t("2024-01-01 10:00:15"), 3.0),
+      (20L, t("2024-01-01 10:00:11"), 9.0))   // after trade 3 -> no match
+      .toDF("qk", "qts", "price")
+    val out = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      .select("trade_id", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> 2.0, 2L -> 3.0, 3L -> null, 4L -> null))
+  }
+
+  test("physical plan uses the custom AsOfJoinExec") {
+    val df = SparkEntry.queries("join_asof_native")(spark, "/root/testdata/sf0.001")
+    // the exec node prints without its "Exec" suffix
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("native operator == union+window formulation on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val native = SparkEntry.queries("join_asof_native")(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+    val window = SparkEntry.queries("join_asof")(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+    assert(native.nonEmpty && native.toSeq == window.toSeq)
+  }
+}
