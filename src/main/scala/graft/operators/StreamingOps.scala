@@ -109,7 +109,32 @@ object StreamingOps extends QueryGroup {
       FROM events LEFT JOIN customer ON user_id = c_custkey
       ORDER BY event_id ASC NULLS FIRST"""))
 
+  /** op 65 via the NATIVE session_window operator (the same call works
+    * under readStream): oracle = the lag/cumsum CTE projected to the
+    * session grain — i.e. DuckDB re-derives the sessions the long way and
+    * must land on identical (user, start, n, sum) rows. */
+  private val streamSessionNative = GraftQuery(
+    "stream_session_native",
+    (s, dir) =>
+      EventPipelines.sessionWindows(Tables.events(s, dir))
+        .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first),
+    Some(s"""
+      SELECT user_id, MIN(ts) AS session_start,
+             COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+      FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                        OR CAST(ts AS TIMESTAMP) > LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events))
+      GROUP BY user_id, session_id
+      ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
-    streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
+    streamSessionNative, streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
 }
