@@ -30,17 +30,27 @@ object TextDedup {
       .withColumn("sig", expr(s"minhash_sig(shingles, $nHashes)"))
       .select(col("id"), posexplode(TextOps.lshBands(col("sig"), nBands, rowsPerBand)))
       .toDF("id", "band_idx", "band_hash")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cand = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // ONE shuffle: group ids per band bucket and expand pairs inside the
+    // bucket (bounded by band selectivity). A banded-self-join formulation
+    // would execute the signature subtree twice AND shuffle both sides.
+    val cand = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+             transform(sequence(i + 1, size(ids) - 1), j ->
+               struct(least(ids[i], ids[j]) AS doc_a,
+                      greatest(ids[i], ids[j]) AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+    // candidate set is small by LSH construction: broadcast it (and its
+    // half-enriched successor) so the shingle table is never shuffled —
+    // it streams through two map-side hash joins instead
+    val withA = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(broadcast(cand), "doc_a")
+    sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
       .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

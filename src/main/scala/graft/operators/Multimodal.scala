@@ -99,5 +99,39 @@ object Multimodal extends QueryGroup {
     },
     None)
 
-  override def queries: Seq[GraftQuery] = Seq(mmBinaryMeta, mmDecodeFeatures)
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, checksum: Long)
+
+  /** Frame sampling: split each payload into fixed 64-byte "frames", keep
+    * every 4th (the video frame-sample shape: decode is stubbed, the
+    * multi-row-per-input batch plumbing — flatMap via mapPartitions — is
+    * real). Deterministic; no SQL oracle (codec-side logic); pinned in
+    * MultimodalSpec. */
+  private val mmFrameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("mime", mimeOf)
+        .select("doc_id", "mime", "payload")
+        .as[MediaIn]
+        .mapPartitions(_.flatMap { m =>
+          val frameSize = 64
+          val stride = 4
+          val nFrames = (m.payload.length + frameSize - 1) / frameSize
+          (0 until nFrames by stride).iterator.map { i =>
+            val off = i * frameSize
+            val end = math.min(off + frameSize, m.payload.length)
+            var sum = 0L
+            var j = off
+            while (j < end) { sum = sum * 31 + (m.payload(j) & 0xff); j += 1 }
+            Frame(m.doc_id, i, off, sum)
+          }
+        })
+        .toDF()
+        .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
+    },
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample)
 }

@@ -24,10 +24,7 @@ object Scratch {
       }
       println(f"SCRATCH $name%-30s min=${runs.min}%6.3f s")
     }
-    val ev = Tables.events(spark, dir)
-    time("approx_distinct")(ev.groupBy(col("event_type")).agg(approx_count_distinct(col("user_id"), 0.02)).collect(): Unit)
-    time("exact_distinct")(ev.groupBy(col("event_type")).agg(countDistinct(col("user_id"))).collect(): Unit)
-    time("events_plain_count")(ev.count(): Unit)
+    time("minhash_full_warm")(graft.SparkEntry.queries("llm_dedup_minhash")(spark, dir).count(): Unit)
     spark.stop()
   }
 }

@@ -15,6 +15,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.checksum == 97L * 31 + 98)
   }
 
+  test("mm_frame_sample: every 4th 64-byte frame, offsets and counts exact") {
+    val rows = SparkEntry.queries("mm_frame_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    val docLens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "octet_length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, frames) =>
+      val nFrames = (docLens(id) + 63) / 64
+      val expected = (0 until nFrames by 4)
+      assert(frames.map(_.getInt(1)).sorted.toSeq == expected)
+      frames.foreach(f => assert(f.getInt(2) == f.getInt(1) * 64))
+    }
+  }
+
   test("mm_decode_features: distributed decode matches local stub") {
     val rows = SparkEntry.queries("mm_decode_features")(spark, "/root/testdata/sf0.001")
       .collect()

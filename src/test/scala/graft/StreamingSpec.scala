@@ -99,6 +99,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(native.toSet == twin.toSet && twin.nonEmpty)
   }
 
+  test("file-source streaming: readStream over the events parquet == batch twin") {
+    // stage the parquet into a stream-source dir (a file source treats each
+    // new file as a micro-batch)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(srcDir.toString).schema  // ts as raw ns long
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val q = EventPipelines.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_stream_out").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = EventPipelines.tumblingCounts(
+        Tables.events(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-static enrich runs under readStream semantics (stream join static)") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(batchEvents)
