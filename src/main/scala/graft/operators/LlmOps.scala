@@ -227,25 +227,18 @@ object LlmOps extends QueryGroup {
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
       ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST"""))
 
-  /** IVF-style ANN: coarse-quantize to 16 "centroids" (deterministic
-    * training stub: the 16 lowest vec_ids — a real build would k-means;
-    * the PLUMBING — assignment, probe pruning, bucket-limited scan — is
-    * the scale path and is real). Query probes 4 of 16 buckets.
-    * Oracle: none (approximate); LlmOpsSpec asserts recall vs llm_cosine_topk. */
+  /** IVF ANN: k-means-trained coarse quantizer (16 centroids, 2
+    * deterministic Lloyd iterations — graft.etl.Ivf), nearest-centroid
+    * assignment, query probes 4 of 16 buckets, exact rescoring inside the
+    * probed buckets. Oracle: none (approximate); VectorSpec asserts
+    * self-recall + containment in the exact top-50. */
   private val llmAnnIvf = GraftQuery(
     "llm_ann_ivf",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val vecs = docVec(s, dir)
-      val cents = vecs.orderBy(col("vec_id").asc).limit(16)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("c", cosR("v", "cv"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"), col("v"))
+      val cents = graft.etl.Ivf.train(vecs, k = 16, iters = 2)
+      val assigned = graft.etl.Ivf.assign(vecs, cents)
       val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
         .select(col("cent_id"), cosR("cv", "qv").as("c"))

@@ -133,5 +133,33 @@ object Multimodal extends QueryGroup {
     },
     None)
 
-  override def queries: Seq[GraftQuery] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample)
+  final case class Resized(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
+      resized_checksum: Long)
+
+  /** Resize stage (stubbed codec): deterministic 4:1 byte downsample of the
+    * payload — a real resize would hand the bytes to an image library; the
+    * binary-in/binary-out plumbing, sizes and checksums are what the
+    * pipeline contracts on. */
+  private val mmResize = GraftQuery(
+    "mm_resize",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("mime", mimeOf)
+        .select("doc_id", "mime", "payload")
+        .as[MediaIn]
+        .mapPartitions(_.map { m =>
+          val resized = Array.range(0, m.payload.length, 4).map(m.payload(_))
+          var sum = 0L
+          resized.foreach(b => sum = sum * 31 + (b & 0xff))
+          Resized(m.doc_id, m.payload.length, resized.length, sum)
+        })
+        .toDF()
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    None)
+
+  override def queries: Seq[GraftQuery] =
+    Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmResize)
 }
