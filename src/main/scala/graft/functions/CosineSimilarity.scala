@@ -88,5 +88,9 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => ArrayJaccard(exprs(0), exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteCosine)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteCosine
+    }
   }
 }

@@ -389,8 +389,8 @@ object LlmOps extends QueryGroup {
     * profile per language, classify each doc by profile overlap. The
     * testdata's text is synthetic (vocabulary does not differ by lang), so
     * accuracy against the lang column is not the assertion — LlmOpsSpec
-    * validates the classifier on genuinely distinct language fixtures.
-    * Oracle: none. */
+    * validates the classifier on genuinely distinct language fixtures;
+    * the full self-training pipeline is also DuckDB-oracled. */
   private val llmLangId = GraftQuery(
     "llm_lang_id",
     (s, dir) => {
@@ -423,7 +423,25 @@ object LlmOps extends QueryGroup {
         .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+      tris AS (
+        SELECT doc_id, lang, unnest(list_distinct([substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)])) AS tri
+        FROM docs),
+      counts AS (SELECT lang, tri, COUNT(*) AS n FROM tris GROUP BY 1, 2),
+      prof AS (
+        SELECT lang AS cand_lang, tri
+        FROM (SELECT lang, tri, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tri ASC) AS rn FROM counts)
+        WHERE rn <= 50),
+      scores AS (
+        SELECT t.doc_id, t.lang, p.cand_lang, CAST(COUNT(*) AS INTEGER) AS score
+        FROM tris t JOIN prof p ON t.tri = p.tri
+        GROUP BY 1, 2, 3)
+      SELECT doc_id, lang, cand_lang AS pred_lang, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC NULLS LAST, cand_lang ASC NULLS FIRST) AS rn FROM scores)
+      WHERE rn = 1
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** Quality scoring: token/length/stopword/digit heuristics composed into
     * a [0,1] score — the standard pre-training corpus filter features. */

@@ -25,6 +25,23 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))  // exact, no epsilon
   }
 
+  test("RewriteCosine rule: declarative cosine optimizes to the native kernel") {
+    GraftFunctions.register(spark)  // installs the rule
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val df = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("c"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("cosinesimilarity"),
+      df.queryExecution.optimizedPlan.toString)
+    // rewritten result identical to the explicit native call
+    val viaRule = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_fast(v, qv)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule == native)
+  }
+
   test("word_shingles matches array_distinct(higher-order shingles)") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)
