@@ -68,6 +68,7 @@ object Scalars extends QueryGroup {
           dayofmonth(col("od")).as("dom"),
           dayofweek(col("od")).as("dow"),
           date_format(col("od"), "yyyy-MM").as("yyyymm"),
+          upper(date_format(col("od"), "ddMMMyyyy")).as("sas_date9"),
           to_date(date_format(col("od"), "yyyy-MM-dd"), "yyyy-MM-dd").as("roundtrip"),
           make_date(year(col("od")), month(col("od")), lit(1)).as("mdy_first"))
         .orderBy(col("o_orderkey").asc_nulls_first),
@@ -82,6 +83,7 @@ object Scalars extends QueryGroup {
              CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
              CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
              strftime(o_orderdate, '%Y-%m') AS yyyymm,
+             upper(strftime(o_orderdate, '%d%b%Y')) AS sas_date9,
              CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
              make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS mdy_first
       FROM orders

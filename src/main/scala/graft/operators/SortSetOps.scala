@@ -135,7 +135,30 @@ object SortSetOps extends QueryGroup {
          SELECT o_custkey FROM orders WHERE o_orderstatus='O')
       ORDER BY tag ASC NULLS FIRST, o_custkey ASC NULLS FIRST"""))
 
+  /** SET a b; BY k — BY-group interleaving: concatenate two sorted inputs
+    * and keep them interleaved by the BY key (SURVEY §2 exhaustiveness
+    * note: = unionByName + orderBy, made explicit as its own op). Origin
+    * tag breaks ties the way SAS's dataset order does. */
+  private val setInterleaveBy = GraftQuery(
+    "set_interleave_by",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderkey"), lit(1).as("ds"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"), col("o_orderkey"), lit(2).as("ds"))
+      a.unionByName(b)
+        .orderBy(col("o_custkey").asc_nulls_first, col("ds").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, ds FROM (
+        SELECT o_custkey, o_orderkey, 1 AS ds FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey, o_orderkey, 2 AS ds FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY o_custkey ASC NULLS FIRST, ds ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     sortMultikey, dedupNodupkey, topkGlobal,
-    setUnionAll, setUnionDistinct, setIntersectExcept)
+    setUnionAll, setUnionDistinct, setIntersectExcept, setInterleaveBy)
 }
