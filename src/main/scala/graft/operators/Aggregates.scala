@@ -223,8 +223,22 @@ object Aggregates extends QueryGroup {
       GROUP BY l_linestatus
       ORDER BY l_linestatus ASC NULLS FIRST"""))
 
+  /** op 35's 100 TB twin — single-pass sketch quantiles
+    * (`approx_percentile`). No oracle (sketches are engine-specific);
+    * AggregatesSpec bounds the approximation against the exact op. */
+  private val aggQuantilesApprox = GraftQuery(
+    "agg_quantiles_approx",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p95_approx"))
+        .orderBy(col("o_orderstatus").asc_nulls_first),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
-    aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles, aggCollectList,
-    aggCustomAggregator)
+    aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles,
+    aggQuantilesApprox, aggCollectList, aggCustomAggregator)
 }

@@ -31,7 +31,8 @@ object Scalars extends QueryGroup {
           length(col("text")).cast(LongType).as("len"),
           instr(col("text"), "join").cast(LongType).as("pos_join"),
           col("text").rlike("batch \\w+ stream").as("prx_match"),
-          nullif(regexp_extract(col("text"), "(\\w+) join", 1), lit("")).as("prx_group"))
+          nullif(regexp_extract(col("text"), "(\\w+) join", 1), lit("")).as("prx_group"),
+          levenshtein(element_at(split(col("text"), " "), 1), lit("data")).as("complev"))
         .orderBy(col("doc_id").asc_nulls_first),
     Some("""
       SELECT doc_id,
@@ -43,7 +44,8 @@ object Scalars extends QueryGroup {
              length(text) AS len,
              instr(text, 'join') AS pos_join,
              regexp_matches(text, 'batch \w+ stream') AS prx_match,
-             NULLIF(regexp_extract(text, '(\w+) join', 1), '') AS prx_group
+             NULLIF(regexp_extract(text, '(\w+) join', 1), '') AS prx_group,
+             CAST(levenshtein(string_split(text, ' ')[1], 'data') AS INTEGER) AS complev
       FROM documents
       ORDER BY doc_id ASC NULLS FIRST"""))
 

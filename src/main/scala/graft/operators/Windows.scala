@@ -175,7 +175,41 @@ object Windows extends QueryGroup {
       WHERE rn <= 3
       ORDER BY o_custkey ASC NULLS FIRST, rn ASC"""))
 
+  /** PROC RANK PERCENT / distribution functions: percent_rank and
+    * cume_dist (exact integer-ratio doubles, cross-engine identical) plus
+    * first/last/nth value over the full group frame. */
+  private val winPercentCume = GraftQuery(
+    "win_percent_cume",
+    (s, dir) => {
+      val byPrice = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      val full = byPrice.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("pct_rank", percent_rank().over(byPrice))
+        .withColumn("cume", cume_dist().over(byPrice))
+        .withColumn("cheapest", first(col("o_totalprice")).over(full))
+        .withColumn("dearest", last(col("o_totalprice")).over(full))
+        .withColumn("second_cheapest", nth_value(col("o_totalprice"), 2).over(full))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "pct_rank", "cume", "cheapest", "dearest", "second_cheapest")
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume,
+             FIRST_VALUE(o_totalprice) OVER wf AS cheapest,
+             LAST_VALUE(o_totalprice) OVER wf AS dearest,
+             NTH_VALUE(o_totalprice, 2) OVER wf AS second_cheapest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST),
+             wf AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     winRowNumberFirstLast, winRankDenseNtile, winLagDiff, winRunningTotal,
-    winMovingAvg, winPctOfGroup, winTopkPerGroup)
+    winMovingAvg, winPctOfGroup, winTopkPerGroup, winPercentCume)
 }

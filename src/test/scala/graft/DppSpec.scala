@@ -19,8 +19,11 @@ class DppSpec extends AnyFunSuite with SparkTestBase {
     // subquery's broadcast cost — on KB-sized local files it always says
     // no; raise the assumed filter ratio so the mechanism itself is
     // exercised (at real scale the stats make this call correctly)
+    val prevStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val prevRatio = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000")
+    try {
     // dim restricts to one status via a FILTER over a file source (the DPP
     // rule requires a selective predicate on the build side; a literal
     // local relation would be constant-folded away); which partitions
@@ -39,5 +42,9 @@ class DppSpec extends AnyFunSuite with SparkTestBase {
     // and the pruned result equals the direct filtered count
     val expected = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").count()
     assert(rows.head.getLong(1) == expected)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", prevRatio)
+    }
   }
 }
