@@ -237,8 +237,39 @@ object Aggregates extends QueryGroup {
         .orderBy(col("o_orderstatus").asc_nulls_first),
     None)
 
+  /** PROC MEANS SKEW/KURT: SAS's bias-corrected sample skewness and
+    * kurtosis, computed from EXACT integer power sums (l_quantity is
+    * integral 1..50, so Σx..Σx⁴ fit in bigint exactly on both engines) and
+    * one shared closed-form — the same SQL text runs on Spark and DuckDB,
+    * so every double operation matches. Built-in skewness/kurtosis were
+    * deliberately avoided: engines disagree on the correction terms. */
+  private val skewKurtSql = """
+      WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(q) AS DOUBLE) AS s1,
+               CAST(SUM(q*q) AS DOUBLE) AS s2,
+               CAST(SUM(q*q*q) AS DOUBLE) AS s3,
+               CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag),
+      d AS (SELECT l_returnflag, n, s1 / n AS m, s1, s2, s3, s4 FROM sums)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n_obs,
+             round((n / ((n-1) * (n-2))) * (s3 - 3*m*s2 + 2*n*m*m*m)
+                   / pow(sqrt((s2 - s1*s1/n) / (n-1)), 3), 6) AS skew,
+             round((n * (n+1) / ((n-1) * (n-2) * (n-3)))
+                     * (s4 - 4*m*s3 + 6*m*m*s2 - 3*n*m*m*m*m)
+                     / pow((s2 - s1*s1/n) / (n-1), 2)
+                   - 3 * (n-1) * (n-1) / ((n-2) * (n-3)), 6) AS kurt
+      FROM d
+      ORDER BY l_returnflag ASC NULLS FIRST"""
+
+  private val aggSkewKurt =
+    GraftQuery("agg_skew_kurt", sqlOnView("lineitem", skewKurtSql), Some(skewKurtSql))
+
   override def queries: Seq[GraftQuery] = Seq(
     aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
     aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles,
-    aggQuantilesApprox, aggCollectList, aggCustomAggregator)
+    aggQuantilesApprox, aggCollectList, aggCustomAggregator, aggSkewKurt)
 }
