@@ -1,0 +1,49 @@
+package graft.etl
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH for embedding vectors (the second ANN scale path
+  * beside IVF): each vector gets an nBits sign-bucket — sign(v·h_j) per
+  * hyperplane — and search probes only buckets within Hamming distance 1
+  * of the query's bucket. Cosine-similar vectors agree on sign bits with
+  * probability 1 − θ/π, so near-duplicates collide with high probability
+  * while the scan shrinks by ~2^nBits/(nBits+1).
+  *
+  * Hyperplanes are DERIVED, not random: component h_j[i] is a hash of
+  * (j, i) mapped to [−1, 1) — reproducible across runs, sessions, and
+  * cluster sizes with no stored model. Bit j is the sign of
+  * cosine_fast(v, h_j) (norms are positive, so sign(cos) = sign(dot)).
+  *
+  * 100 TB note: partition the vector table by bucket on disk and a probe
+  * touches nBits+1 of 2^nBits partitions; bucketing is map-side.
+  */
+object VectorLsh {
+
+  /** Deterministic pseudo-hyperplane component in [-1, 1). */
+  private def component(j: Int, i: Int): Double = {
+    var h = j * 2654435761L + i * 40503L + 0x9e3779b97f4a7c15L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    (java.lang.Math.floorMod(h, 2000000L) / 1000000.0) - 1.0
+  }
+
+  def hyperplanes(nBits: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(j => (0 until dims).map(i => component(j, i)))
+
+  /** Adds an integer `bucket` column from the sign pattern of `v`. */
+  def withBucket(vecs: DataFrame, nBits: Int, dims: Int): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val planes = hyperplanes(nBits, dims)
+    val bits: Seq[Column] = planes.zipWithIndex.map { case (h, j) =>
+      // the D suffix keeps the parser from typing literals as DECIMAL
+      when(expr(s"cosine_fast(v, array(${h.map(x => s"${x}D").mkString(",")}))") > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }
+    vecs.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** Candidates within Hamming distance `maxHamming` of the query bucket. */
+  def probe(bucketed: DataFrame, queryBucket: Int, maxHamming: Int): DataFrame =
+    bucketed.filter(bit_count(col("bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
+}

@@ -254,6 +254,32 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** LSH-bucketed ANN (the prompt's "LSH-bucketed variant as the scale
+    * path"): 8-bit random-hyperplane sign buckets, query probes Hamming≤1
+    * buckets only (9 of 256), exact cosine top-10 inside the probed set.
+    * A perturbed near-duplicate of the query vector is planted and must be
+    * found (sign bits agree w.h.p. for cosine≈0.98 pairs). Oracle: none
+    * (approximate); VectorSpec asserts planted-neighbor recall. */
+  private val llmAnnLsh = GraftQuery(
+    "llm_ann_lsh",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = docVec(s, dir)
+      val planted = base.filter(col("vec_id") === 0)
+        .select(lit(9000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+      val bucketed = graft.etl.VectorLsh.withBucket(base.unionByName(planted), 8, 64)
+      val qRow = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      bucketed
+        .crossJoin(broadcast(qRow))
+        .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+        .select(col("vec_id"), cosR("v", "qv").as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(10)
+    },
+    None)
+
   /** op 73 — text stats per language: doc/token/char totals + exact mean
     * tokens + top-3 terms (explode → count → windowed top-k → re-collect). */
   private val llmTextStats = GraftQuery(
@@ -525,7 +551,7 @@ object LlmOps extends QueryGroup {
 
   override def queries: Seq[GraftQuery] = Seq(
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
-    llmCosineTopk, llmKnnJoin, llmEmbedNeardup, llmAnnIvf,
+    llmCosineTopk, llmKnnJoin, llmEmbedNeardup, llmAnnIvf, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint)
 }

@@ -40,6 +40,14 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.collect().map(_.getLong(0)).head == 0L)
   }
 
+  test("ann_lsh: planted near-duplicate of the query is found in probed buckets") {
+    val r = SparkEntry.queries("llm_ann_lsh")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.head == ((0L, 1.0)))                      // the query itself
+    assert(r.map(_._1).contains(9000000L))             // the planted neighbor
+    assert(r.find(_._1 == 9000000L).get._2 > 0.9)
+  }
+
   test("knn_join: every query id present with k results, self-match ranked 1") {
     val r = SparkEntry.queries("llm_knn_join")(spark, sf)
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
