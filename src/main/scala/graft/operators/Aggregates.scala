@@ -182,16 +182,20 @@ object Aggregates extends QueryGroup {
       ORDER BY o_orderstatus ASC NULLS FIRST"""))
 
   /** op 36 — values→array per group (SAS transpose idiom). Sorted distinct
-    * set for determinism (bare collect_list order is partition-dependent). */
+    * set for determinism (bare collect_list order is partition-dependent).
+    * Output projected through array_join: the driver compare (pandas
+    * sort/hash) cannot handle array-typed cells; AggregatesSpec pins the
+    * array form. */
   private val aggCollectList = GraftQuery(
     "agg_collect_list",
     (s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
-        .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
         .orderBy(col("o_orderstatus").asc_nulls_first),
     Some("""
-      SELECT o_orderstatus, list(o_orderpriority ORDER BY o_orderpriority ASC) AS priorities
+      SELECT o_orderstatus,
+             array_to_string(list(o_orderpriority ORDER BY o_orderpriority ASC), ',') AS priorities
       FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus ASC NULLS FIRST"""))

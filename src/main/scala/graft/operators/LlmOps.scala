@@ -300,8 +300,9 @@ object LlmOps extends QueryGroup {
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 3)
         .groupBy(col("lang"))
-        .agg(transform(array_sort(collect_list(struct(col("rn"), col("term")))),
-          x => x.getField("term")).as("top_terms"))
+        // array_join: driver compare cannot sort/hash array cells.
+        .agg(array_join(transform(array_sort(collect_list(struct(col("rn"), col("term")))),
+          x => x.getField("term")), ",").as("top_terms"))
       stats.join(top, "lang")
         .select("lang", "n_docs", "total_tokens", "total_chars", "avg_tokens", "top_terms")
         .orderBy(col("lang").asc_nulls_first)
@@ -312,12 +313,14 @@ object LlmOps extends QueryGroup {
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
         FROM documents),
       stats AS (
-        SELECT lang, COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+        SELECT lang, COUNT(*) AS n_docs,
+               -- CASTs: DuckDB SUM(int) is HUGEINT -> pandas float64; Spark int64.
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
         FROM docs GROUP BY lang),
       top AS (
-        SELECT lang, list(term ORDER BY rn ASC) AS top_terms
+        SELECT lang, array_to_string(list(term ORDER BY rn ASC), ',') AS top_terms
         FROM (SELECT lang, term, ROW_NUMBER() OVER (PARTITION BY lang
                 ORDER BY n DESC NULLS LAST, term ASC NULLS FIRST) AS rn
               FROM (SELECT lang, term, COUNT(*) AS n
@@ -545,7 +548,9 @@ object LlmOps extends QueryGroup {
         .select(
           col("doc_id"),
           size(col("fps")).as("n_fps"),
-          slice(col("fps"), 1, 4).as("fp_head"))
+          // Stringified: the driver sorts/hashes even oracle-less outputs and
+          // chokes on array cells; LlmOpsSpec pins the array form.
+          array_join(transform(slice(col("fps"), 1, 4), _.cast("string")), ",").as("fp_head"))
         .orderBy(col("doc_id").asc_nulls_first),
     None)
 

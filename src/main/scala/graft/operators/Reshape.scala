@@ -90,11 +90,17 @@ object Reshape extends QueryGroup {
         .withColumn("n_positive",
           aggregate(col("measures"), lit(0),
             (acc, x) => acc + when(x > 0.0, 1).otherwise(0)))
+        // Driver compare cannot sort/hash array cells → project the array as a
+        // canonical string. DECIMAL(18,4) capture before formatting so both
+        // engines print the identical representation (see Det scaladoc).
+        .withColumn("scaled",
+          array_join(transform(col("scaled"), x => x.cast(graft.Det.Money).cast("string")), ","))
         .select(col("l_orderkey"), col("l_linenumber"), col("scaled"), col("n_positive"))
         .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             list_transform([l_quantity, l_extendedprice, l_discount, l_tax], x -> x * 100.0) AS scaled,
+             array_to_string(list_transform([l_quantity, l_extendedprice, l_discount, l_tax],
+                                            x -> CAST(CAST(x * 100.0 AS DECIMAL(18,4)) AS VARCHAR)), ',') AS scaled,
              CAST(list_sum(list_transform([l_quantity, l_extendedprice, l_discount, l_tax],
                                      x -> CASE WHEN x > 0.0 THEN 1 ELSE 0 END)) AS INTEGER) AS n_positive
       FROM lineitem

@@ -54,8 +54,9 @@ object StreamingOps extends QueryGroup {
              COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
       FROM (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- CAST: DuckDB SUM(int) is HUGEINT -> pandas float64; Spark emits int64.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
                  CASE WHEN LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
