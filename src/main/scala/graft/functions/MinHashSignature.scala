@@ -26,10 +26,28 @@ case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Signature width bound: a per-row allocation of this many longs. 4096
+    * is far above any practical LSH configuration (64–256) but small enough
+    * that a typo'd width fails analysis instead of OOMing executors. */
+  private val MaxHashes = 4096
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // The width is conceptually a CONSTANT (it sizes a per-row array) —
+        // reject non-foldable / null / out-of-range values at analysis time
+        // rather than throwing NegativeArraySizeException or OOM per row.
+        if (!right.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "minhash_sig: the signature width must be a foldable constant")
+        else right.eval() match {
+          case n: Int if n >= 1 && n <= MaxHashes =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case other =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"minhash_sig: signature width must be in [1, $MaxHashes], got $other")
+        }
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"minhash_sig expects (array<string>, int), got ${left.dataType} / ${right.dataType}")

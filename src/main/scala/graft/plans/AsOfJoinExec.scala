@@ -19,6 +19,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * Implementation bounds (documented contract): key and ts must be
   * long-backed types (bigint / timestamp / timestamp_ntz — Spark stores
   * timestamps as epoch-micros longs internally), non-null on the right.
+  * Left rows with a null key or ts get left-outer treatment (null right
+  * columns) rather than accidentally matching key 0 / epoch 0.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -86,8 +88,17 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lKey(l).getLong(0)
-          val t = lTs(l).getLong(0)
+          // Null left key/ts: UnsafeProjection.getLong on NULL reads 0, which
+          // would silently match right rows with key 0 (resp. ts = epoch 0).
+          // Left-outer semantics instead: emit null right columns and leave
+          // the cursor untouched (null keys sort first, so no rewind needed).
+          val kProj = lKey(l)
+          val tProj = lTs(l)
+          if (kProj.isNullAt(0) || tProj.isNullAt(0)) {
+            return out(joined(l, nullRight))
+          }
+          val k = kProj.getLong(0)
+          val t = tProj.getLong(0)
           // drop any carried match from a previous key
           if (haveMatch && matchKey != k) haveMatch = false
           // advance the right cursor through rows with (key, ts) ≤ (k, t)

@@ -33,6 +33,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 2.0, 2L -> 3.0, 3L -> null, 4L -> null))
   }
 
+  test("null left key/ts gets null right columns, not a key-0/epoch-0 match") {
+    val trades = Seq(
+      (1L, Option(10L), Option(t("2024-01-01 10:00:05"))),
+      (2L, Option(0L), Option(t("2024-01-01 10:00:05"))),   // real key 0 -> matches
+      (3L, Option.empty[Long], Option(t("2024-01-01 10:00:05"))),  // null key
+      (4L, Option(10L), Option.empty[Timestamp]))                   // null ts
+      .toDF("trade_id", "k", "ts")
+    val quotes = Seq(
+      (0L, t("2024-01-01 10:00:00"), 7.0),    // key 0: a null left key must NOT hit this
+      (10L, t("2024-01-01 10:00:00"), 1.0))
+      .toDF("qk", "qts", "price")
+    val out = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      .select("trade_id", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 7.0, 3L -> null, 4L -> null))
+  }
+
   test("physical plan uses the custom AsOfJoinExec") {
     val df = SparkEntry.queries("join_asof_native")(spark, "/root/testdata/sf0.001")
     // the exec node prints without its "Exec" suffix

@@ -42,6 +42,63 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(viaRule == native)
   }
 
+  test("RewriteCosine guards: non-canonical shapes are NOT rewritten") {
+    GraftFunctions.register(spark)
+    // parquet-backed columns: literal arrays constant-fold away before the
+    // rule could (not) fire, leaving nothing to assert on
+    val df = Tables.embeddings(spark, sf).select(
+      VectorOps.toDouble(col("embedding")).as("a"),
+      VectorOps.toDouble(reverse(col("embedding"))).as("b"))
+    def plan(c: org.apache.spark.sql.Column): String =
+      df.select(c.as("r")).queryExecution.optimizedPlan.toString.toLowerCase
+
+    // canonical shape fires
+    assert(plan(VectorOps.cosine(col("a"), col("b"))).contains("cosinesimilarity"))
+    // wrong fold zero: aggregate(..., 1.0, +) is a different value — must not fire
+    val wrongZero = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(1.0), (acc, x) => acc + x) /
+      (VectorOps.norm(col("a")) * VectorOps.norm(col("b")))
+    assert(!plan(wrongZero).contains("cosinesimilarity"))
+    // zip_with body x*x (not x*y): different value — must not fire
+    val wrongBody = aggregate(zip_with(col("a"), col("b"), (x, _) => x * x),
+      lit(0.0), (acc, x) => acc + x) /
+      (VectorOps.norm(col("a")) * VectorOps.norm(col("b")))
+    assert(!plan(wrongBody).contains("cosinesimilarity"))
+    // merge lambda acc + 2*x: different value — must not fire
+    val wrongMerge = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x * lit(2.0)) /
+      (VectorOps.norm(col("a")) * VectorOps.norm(col("b")))
+    assert(!plan(wrongMerge).contains("cosinesimilarity"))
+  }
+
+  test("cosine_fast matches declarative edges: length mismatch / null element -> null") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+    val out = rows.select(col("id"), expr("cosine_fast(a, b)").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == null)   // length mismatch (zip_with would null-pad -> null)
+    assert(out(2L) == null)   // null element poisons the declarative sum -> null
+    assert(out(3L) != null && math.abs(out(3L).asInstanceOf[Double] - 0.9838699100999074) < 1e-12)
+  }
+
+  test("minhash_sig rejects invalid signature widths at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("ab", "bc"))).toDF("sh")
+    def analyze(widthSql: String): Unit =
+      df.selectExpr(s"minhash_sig(sh, $widthSql) AS s").queryExecution.analyzed
+    intercept[org.apache.spark.sql.AnalysisException](analyze("-1"))
+    intercept[org.apache.spark.sql.AnalysisException](analyze("0"))
+    intercept[org.apache.spark.sql.AnalysisException](analyze("100000"))
+    intercept[org.apache.spark.sql.AnalysisException](analyze("size(sh)"))  // non-foldable
+    analyze("64")  // canonical width still analyzes
+  }
+
   test("word_shingles matches array_distinct(higher-order shingles)") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)

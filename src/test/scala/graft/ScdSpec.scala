@@ -40,6 +40,28 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
       (5L, 500.0, "E", d("2024-06-01"), None, 1)))                  // inserted
   }
 
+  test("scd2Load: repeated loads leave closed history untouched") {
+    val master = Seq((1L, 100.0, "A"), (2L, 200.0, "B")).toDF("bk", "bal", "seg")
+      .withColumn("valid_from", lit("2020-01-01").cast(DateType))
+      .withColumn("valid_to", lit(null).cast(DateType))
+      .withColumn("is_current", lit(1))
+
+    val load1 = Scd.scd2Load(master, Seq((2L, 250.0, "B")).toDF("bk", "bal", "seg"),
+      Seq("bal", "seg"), "2024-06-01")
+    // Second load changes key 2 again: the 2020 history row must NOT be
+    // re-closed or re-versioned (the pre-fix full-master join did both).
+    val load2 = Scd.scd2Load(load1, Seq((2L, 275.0, "B")).toDF("bk", "bal", "seg"),
+      Seq("bal", "seg"), "2024-09-01")
+      .orderBy("bk", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(3), Option(r.getDate(4)), r.getInt(5)))
+
+    assert(load2.toSeq == Seq(
+      (1L, 100.0, d("2020-01-01"), None, 1),
+      (2L, 200.0, d("2020-01-01"), Some(d("2024-06-01")), 0),  // history verbatim
+      (2L, 250.0, d("2024-06-01"), Some(d("2024-09-01")), 0),  // closed this load
+      (2L, 275.0, d("2024-09-01"), None, 1)))                  // new current
+  }
+
   test("scd2Load: null-safe attribute compare (null -> value counts as change)") {
     val master = Seq((1L, Option.empty[Double], "A")).toDF("bk", "bal", "seg")
       .withColumn("valid_from", lit("2020-01-01").cast(DateType))
