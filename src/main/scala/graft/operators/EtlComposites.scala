@@ -148,17 +148,19 @@ object EtlComposites extends QueryGroup {
       FROM customer
       ORDER BY c_custkey ASC NULLS FIRST"""))
 
-  /** op 62 — surrogate key via row_number over an explicit total order —
-    * NOT monotonically_increasing_id (partition-dependent, non-contiguous).
-    * 100 TB: a single unpartitioned window serializes; assign instead as
-    * per-partition row_number + exclusive-prefix-sum of partition counts
-    * (same contract, no single-reducer bottleneck). */
+  /** op 62 — surrogate key over an explicit total order — NOT
+    * monotonically_increasing_id (partition-dependent, non-contiguous) and
+    * NOT an unpartitioned row_number window (single-reducer scale-killer).
+    * etl.SurrogateKey assigns the same contiguous 1..N via range partition
+    * + per-partition numbering + prefix-sum of partition counts, fully
+    * parallel. Oracle stays the SQL ROW_NUMBER formulation — same contract,
+    * different (scalable) physical shape. */
   private val etlSurrogateKey = GraftQuery(
     "etl_surrogate_key",
     (s, dir) =>
-      Tables.customer(s, dir)
-        .withColumn("sk",
-          row_number().over(Window.orderBy(col("c_custkey").asc_nulls_first)))
+      graft.etl.SurrogateKey.assign(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          Seq(col("c_custkey").asc_nulls_first))
         .select("sk", "c_custkey", "c_name")
         .orderBy(col("sk").asc_nulls_first),
     Some("""
