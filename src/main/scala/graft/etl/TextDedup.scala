@@ -56,6 +56,20 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Deterministic block-size cap for blocked pair generation: keep the
+    * `cap` smallest `orderCol` rows per `blockCol` value. Blocked all-pairs
+    * comparison is quadratic WITHIN a block — a hot block (one dominant
+    * `source` at 100 TB) explodes without this bound, which caps the pair
+    * count per block at cap·(cap−1)/2 regardless of skew. For unbounded
+    * corpora prefer `minhashPairs`: banded LSH replaces the quadratic block
+    * expansion entirely. */
+  def cappedBlocks(df: DataFrame, blockCol: String, orderCol: String, cap: Int): DataFrame =
+    df.withColumn("graft_block_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(blockCol)).orderBy(col(orderCol).asc_nulls_first)))
+      .filter(col("graft_block_rn") <= cap)
+      .drop("graft_block_rn")
+
   /** 64-bit SimHash per document over an (id, text) DataFrame. */
   def simhashes(docs: DataFrame): DataFrame =
     docs

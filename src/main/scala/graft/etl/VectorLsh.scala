@@ -46,4 +46,32 @@ object VectorLsh {
   /** Candidates within Hamming distance `maxHamming` of the query bucket. */
   def probe(bucketed: DataFrame, queryBucket: Int, maxHamming: Int): DataFrame =
     bucketed.filter(bit_count(col("bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
+
+  /** Banded sign-buckets for NEAR-DUP search (OR-amplification, the vector
+    * analogue of MinHash LSH bands): nBands independent buckets of
+    * bitsPerBand sign bits each, exploded to one (band, bucket) row per
+    * band. Two vectors are candidates iff they share a bucket in ANY band:
+    * with per-bit collision p = 1 − θ/π, a pair at cosine ≥ 0.97 (p ≈ 0.92)
+    * is missed with probability (1 − p^4)^8 ≈ 4e-5 at the 8×4 default —
+    * and the derived hyperplanes make hit/miss deterministic, so a planted
+    * pair that passes the spec passes forever.
+    *
+    * 100 TB note: the ONLY shuffle downstream is the equi-join on
+    * (band, bucket); bucket occupancy is data-uniform for random
+    * hyperplanes, so no block explodes the way attribute blocking can. */
+  def withBandBuckets(vecs: DataFrame, nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val planes = hyperplanes(nBands * bitsPerBand, dims)
+    val buckets: Seq[Column] = (0 until nBands).map { k =>
+      (0 until bitsPerBand).map { r =>
+        val h = planes(k * bitsPerBand + r)
+        when(expr(s"cosine_fast(v, array(${h.map(x => s"${x}D").mkString(",")}))") > 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    vecs.withColumn("band_buckets", array(buckets: _*))
+      .select(col("*"), posexplode(col("band_buckets")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .drop("band_buckets")
+  }
 }

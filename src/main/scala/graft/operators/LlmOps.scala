@@ -36,6 +36,9 @@ object LlmOps extends QueryGroup {
   private val SIG_HASHES = 64
   private val LSH_BANDS = 16
   private val LSH_ROWS = 4
+  private val EMB_BANDS = 8   // vector-LSH bands for embedding near-dup
+  private val EMB_BITS = 4    // sign bits per band
+  private val BLOCK_CAP = 1000 // max docs per block in blocked pair generation
 
   private def docVec(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -100,14 +103,19 @@ object LlmOps extends QueryGroup {
 
   /** n-gram Jaccard near-dup with BLOCKED candidate generation: pairs are
     * compared only within a (lang, source) block — at sf0.1 that is ~100k
-    * pairs instead of 2M all-pairs, and at 100 TB blocking (or LSH, op 70)
-    * is the only viable shape. Top-50 most similar English pairs. */
+    * pairs instead of 2M all-pairs. Blocks are capped at BLOCK_CAP docs
+    * (deterministically, smallest doc_ids — mirrored in the oracle SQL), so
+    * a hot source bounds at cap·(cap−1)/2 pairs instead of exploding
+    * quadratically; for unbounded corpora use op 70's banded LSH, which
+    * replaces the quadratic block expansion entirely. Top-50 most similar
+    * English pairs. */
   private val llmJaccardPairs = GraftQuery(
     "llm_jaccard_pairs",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sh = Tables.documents(s, dir)
-        .filter(col("lang") === "en")
+      val sh = graft.etl.TextDedup.cappedBlocks(
+          Tables.documents(s, dir).filter(col("lang") === "en"),
+          blockCol = "source", orderCol = "doc_id", cap = BLOCK_CAP)
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
         .select("doc_id", "source", "sh")
@@ -121,12 +129,19 @@ object LlmOps extends QueryGroup {
         .limit(50)
     },
     Some("""
-      WITH sh AS (
+      WITH capped AS (
+        SELECT doc_id, source, text
+        FROM (SELECT doc_id, source, text,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY doc_id ASC NULLS FIRST) AS rn
+              FROM documents WHERE lang = 'en')
+        WHERE rn <= 1000),
+      sh AS (
         SELECT doc_id, source,
                list_distinct([array_to_string(words[i:i+2], ' ')
                  FOR i IN range(1, greatest(len(words) - 1, 2))]) AS sh
         FROM (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
-              FROM documents WHERE lang = 'en'))
+              FROM capped))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -195,7 +210,12 @@ object LlmOps extends QueryGroup {
 
   /** Embedding-cosine near-dup: plant slightly-perturbed copies of every
     * 100th vector (affine 0.9x+0.02 keeps cosine ≈ 0.97–0.99 vs ≤ 0.52 for
-    * unrelated pairs), then find all pairs ≥ 0.9. */
+    * unrelated pairs), then find all pairs ≥ 0.9 — via LSH band buckets
+    * (VectorLsh.withBandBuckets), NOT an all-pairs join: candidates share a
+    * sign-bucket in ≥1 of 8 bands, exact cosine verifies only candidates.
+    * The oracle stays the exact all-pairs SQL — the banded recall must (and
+    * deterministically does) reproduce it; the all-pairs BNLJ shape this
+    * replaces dies at 100 TB. */
   private val llmEmbedNeardup = GraftQuery(
     "llm_embed_neardup",
     (s, dir) => {
@@ -205,11 +225,18 @@ object LlmOps extends QueryGroup {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * 0.9 + 0.02).as("v"))
       val all = base.unionByName(planted)
-      val a = all.as("a")
-      val b = all.as("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
+      val bucketed = graft.etl.VectorLsh.withBandBuckets(
+        all, nBands = EMB_BANDS, bitsPerBand = EMB_BITS, dims = 64)
+      val a = bucketed.as("a")
+      val b = bucketed.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosR("a.v", "b.v").as("cos_sim"))
+          col("a.v").as("va"), col("b.v").as("vb"))
+        // a pair colliding in several bands appears once per band; duplicate
+        // rows are identical so keyed dedup is deterministic
+        .dropDuplicates(Seq("vec_a", "vec_b"))
+        .select(col("vec_a"), col("vec_b"), cosR("va", "vb").as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
         .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
     },

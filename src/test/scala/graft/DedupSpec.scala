@@ -18,6 +18,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   private lazy val neardup4 =
     Seq((1L, textA), (2L, textA2), (3L, textB), (4L, textC)).toDF("id", "text")
 
+  test("cappedBlocks bounds a hot block's candidate pairs deterministically") {
+    import org.apache.spark.sql.functions._
+    // one hot block of 500 docs + a small one; cap 100
+    val docs = spark.range(500).select(col("id"), lit("hot").as("source"))
+      .unionByName(spark.range(1000, 1010).select(col("id"), lit("cold").as("source")))
+    val capped = TextDedup.cappedBlocks(docs, "source", "id", cap = 100)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("hot" -> 100L, "cold" -> 10L))
+    // deterministic: the cap keeps the smallest ids
+    assert(capped.filter(col("source") === "hot").agg(max("id")).head().getLong(0) == 99L)
+    // pair bound: a within-block self-join cannot exceed cap*(cap-1)/2
+    val pairs = capped.as("a").join(capped.as("b"),
+      col("a.source") === col("b.source") && col("a.id") < col("b.id")).count()
+    assert(pairs <= 100L * 99 / 2 + 10L * 9 / 2)
+  }
+
   test("neardup4: minhash+LSH finds exactly the planted pair at J >= 0.7") {
     val pairs = TextDedup.minhashPairs(neardup4,
         shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4, threshold = 0.7)

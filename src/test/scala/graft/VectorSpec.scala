@@ -48,6 +48,27 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(r.find(_._1 == 9000000L).get._2 > 0.9)
   }
 
+  test("embed_neardup: banded LSH reproduces the exact all-pairs result, no BNLJ") {
+    val df = SparkEntry.queries("llm_embed_neardup")(spark, sf)
+    // candidate generation is an equi-join on (band, bucket) — the all-pairs
+    // BroadcastNestedLoopJoin shape this replaced must not reappear
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: brute-force all-pairs >= 0.9 over the same planted set
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+    val all = base.unionByName(planted)
+    val exact = all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact && got.nonEmpty, s"LSH=${got.size} exact=${exact.size}")
+  }
+
   test("knn_join: every query id present with k results, self-match ranked 1") {
     val r = SparkEntry.queries("llm_knn_join")(spark, sf)
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
