@@ -71,13 +71,44 @@ object EventPipelines {
   /** op 66 batch twin — watermark semantics replayed over arrival order
     * (event_id = arrival sequence): an event is LATE iff its ts is older
     * than (max event-time seen so far − 10 min); late events are dropped
-    * before aggregation, exactly what `withWatermark` does to state. */
-  def watermarkDropLate(events: DataFrame): DataFrame = {
+    * before aggregation, exactly what `withWatermark` does to state.
+    *
+    * The running max over the TOTAL arrival order is computed scalably:
+    * a naive `Window.orderBy(event_id)` is a single-partition sort of the
+    * whole table. Instead (1) chunk arrival order by `event_id DIV
+    * chunkSize` and run the max within each chunk in parallel; (2) take
+    * one max per chunk — bounded driver state, like zipWithIndex's
+    * per-partition counts — prefix-scan them exclusively, broadcast back;
+    * (3) running max = greatest(within-chunk running max, prefix max of
+    * earlier chunks). Identical values to the naive form. Pick chunkSize ≈
+    * √N to keep both the per-chunk work and the chunk-max table bounded;
+    * at extreme N, add levels (chunk the chunk-maxes) instead of growing
+    * either side. */
+  def watermarkDropLate(events: DataFrame, chunkSize: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val arrival = Window.orderBy(col("event_id").asc)
+    val s = events.sparkSession
+    val chunked = events.withColumn("chunk", expr(s"event_id DIV ${chunkSize}L"))
+    val inChunk = Window.partitionBy(col("chunk")).orderBy(col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("wm", max(col("ts")).over(arrival) - expr("INTERVAL 10 MINUTES"))
+    // type-agnostic over TIMESTAMP vs TIMESTAMP_NTZ (Timestamp/LocalDateTime)
+    val chunkMaxes = chunked.groupBy(col("chunk")).agg(max(col("ts")).as("m"))
+      .collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1)
+    var run: Any = null
+    val prefix = chunkMaxes.map { case (c, m) =>
+      val p = run
+      if (run == null || m.asInstanceOf[Comparable[Any]].compareTo(run) > 0) run = m
+      org.apache.spark.sql.Row(c, p)
+    }.toSeq
+    val prefixDf = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(prefix).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chunk", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("prev_max", events.schema("ts").dataType, nullable = true))))
+    chunked
+      .withColumn("local_max", max(col("ts")).over(inChunk))
+      .join(broadcast(prefixDf), "chunk")
+      // greatest() skips nulls: first chunk has no predecessor
+      .withColumn("wm", greatest(col("local_max"), col("prev_max")) - expr("INTERVAL 10 MINUTES"))
       .filter(col("ts") >= col("wm"))
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))

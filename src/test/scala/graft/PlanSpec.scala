@@ -14,6 +14,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("no registry query plans an unpartitioned Window (single-reducer scale-killer)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => name
+      }.headOption
+    }
+    assert(offenders.isEmpty,
+      s"queries with a global (unpartitioned) window: ${offenders.mkString(", ")}")
+  }
+
   test("filter_where: predicate pushed to parquet + column pruning") {
     val p = plan("filter_where")
     assert(p.contains("PushedFilters: ["), p)
