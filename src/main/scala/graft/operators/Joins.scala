@@ -270,8 +270,43 @@ object Joins extends QueryGroup {
         ON p.user_id = c.user_id AND c.ts <= p.ts
       ORDER BY p.event_id ASC NULLS FIRST"""))
 
+  /** Co-located fact⋈fact join over BUCKETED tables: both facts are laid
+    * out bucketBy(8, key) + sortBy(key), so the sort-merge join reads
+    * matching buckets directly — NO shuffle exchange and no per-task sort
+    * on either side. This is the storage-layout answer to repeated
+    * fact⋈fact joins at 100 TB (SCALE.md §C): pay one bucketed write, then
+    * every subsequent join on that key is exchange-free. The layout is
+    * (re)built once per (session, sfDir) under /tmp and reused; the oracle
+    * is the plain SQL join on the raw tables — identical result, the
+    * bucketing changes only the physical plan. The merge hint pins SMJ so
+    * the co-location (not a broadcast) is what's exercised. */
+  private val joinBucketedColocated = GraftQuery(
+    "join_bucketed_colocated",
+    (s, dir) => {
+      val tag = math.abs(dir.hashCode).toString
+      val db = s"graftbuckets_$tag"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_bucket_wh_$tag'")
+      if (!s.catalog.tableExists(s"$db.orders_b"))
+        Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(s"$db.orders_b")
+      if (!s.catalog.tableExists(s"$db.lineitem_b"))
+        Tables.lineitem(s, dir).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(s"$db.lineitem_b")
+      s.table(s"$db.lineitem_b").hint("merge")
+        .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
-    joinAsof, joinAsofNative, joinInterval)
+    joinAsof, joinAsofNative, joinInterval, joinBucketedColocated)
 }

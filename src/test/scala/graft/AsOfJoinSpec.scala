@@ -56,6 +56,51 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("AQE coalescing stress: correct when shuffle partitions coalesce around the node") {
+    // force aggressive partition coalescing: many small shuffle partitions
+    // (prime count, skewed sides) + a large advisory target, AQE on
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+      "spark.sql.shuffle.partitions" -> "37")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skewed: 10k trades over 53 keys, sparse quotes — sides coalesce differently
+      val trades = spark.range(10000).selectExpr(
+        "id AS trade_id", "id % 53 AS k",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT)) AS ts")
+      val quotes = spark.range(2000).selectExpr(
+        "id % 53 AS qk",
+        "timestamp_micros(CAST(1700000000000000 + id * 4700000 AS BIGINT)) AS qts",
+        "CAST(id AS DOUBLE) AS price")
+      val native = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+        .select("trade_id", "price").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1)
+      assert(native.length == 10000)
+      // reference: window formulation (union + last carry-forward)
+      // quote-before-trade at equal ts mirrors the native <= match
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("ts").asc, col("is_quote").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val unioned = trades.select(col("trade_id"), col("k"), col("ts"),
+          lit(0).as("is_quote"), lit(null).cast("double").as("price"))
+        .unionByName(quotes.select(lit(null).cast("long").as("trade_id"),
+          col("qk").as("k"), col("qts").as("ts"), lit(1).as("is_quote"), col("price")))
+      val ref = unioned
+        .withColumn("p", last(when(col("is_quote") === 1, col("price")), ignoreNulls = true).over(w))
+        .filter(col("is_quote") === 0)
+        .select("trade_id", "p").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1)
+      assert(native.toSeq == ref.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native operator == union+window formulation on real events") {
     val dir = "/root/testdata/sf0.001"
     val native = SparkEntry.queries("join_asof_native")(spark, dir).collect()

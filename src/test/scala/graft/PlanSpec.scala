@@ -26,6 +26,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"queries with a global (unpartitioned) window: ${offenders.mkString(", ")}")
   }
 
+  test("join_bucketed_colocated: sort-merge join with no exchange on the join keys") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed fact join still shuffles its inputs:\n" + p)
+  }
+
   test("filter_where: predicate pushed to parquet + column pruning") {
     val p = plan("filter_where")
     assert(p.contains("PushedFilters: ["), p)
