@@ -20,11 +20,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Base-relation cache keyed by (session, sfDir, table). `spark.read
+    * .parquet` re-lists the path and re-reads footers for schema inference
+    * on EVERY call — measured at ~0.1 s per table, i.e. ~0.4 s of pure
+    * metadata work per 5-table query build. Reusing the resolved DataFrame
+    * is the catalog behavior every engine (and a real Spark metastore
+    * table) provides: only schema/file metadata is cached — each query
+    * still plans, shuffles, and executes from scratch. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, sfDir)
-      case _        => spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      name match {
+        case "events" => eventsUncached(spark, sfDir)
+        case _        => spark.read.parquet(s"$sfDir/$name.parquet")
+      }
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long (ns since epoch)
@@ -34,7 +46,10 @@ object Tables {
     * matches what DuckDB yields for `CAST(ts AS TIMESTAMP)` on the same
     * file (both truncate ns → µs).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "events")
+
+  private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))

@@ -92,6 +92,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * registry, making them usable from `expr("cosine_fast(a, b)")` and SQL. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // Idempotent: query builders call this defensively; re-registering per
+    // build spams WARNs and costs a few ms per query.
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_fast"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_fast", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
