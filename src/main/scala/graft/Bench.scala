@@ -29,6 +29,16 @@ object Bench {
 
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Size-driven strategy for the fact⋈orders join: broadcast the orders
+    * side while its file is genuinely broadcast-sized (sf0.1: 3.7 MB —
+    * measured fastest, and what DuckDB's hash build does), else shuffled
+    * hash join (measured fastest at sf1: 0.96 s vs 1.40 s sort-merge).
+    * Same decision AQE makes from runtime stats; explicit here because the
+    * bench pins AQE off for the sub-second shapes. */
+  private def sizedOrders(df: DataFrame, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/orders.parquet").length < (16L << 20)) broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** q1: TPC-H Q1 shape, plain double multi-agg. */
   private def q1(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -49,10 +59,12 @@ object Bench {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
-    // orders projected to 3 cols is ~4 MB at sf0.1: build-side hash join
-    // (what DuckDB does); the fact table never shuffles
+    // the orders side is SIZE-DEPENDENT: under the broadcast threshold it
+    // hash-builds driver-side (what DuckDB does at sf0.1); above it, the
+    // preferSortMergeJoin=false config picks a shuffled hash join (measured
+    // fastest at sf1). Only the always-small dim is force-broadcast.
     Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
-      .join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+      .join(sizedOrders(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")), dir),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(rev).as("revenue"))
@@ -60,10 +72,11 @@ object Bench {
       .limit(10)
   }
 
-  /** q5: 5-table star join + agg (revenue per nation). */
+  /** q5: 5-table star join + agg (revenue per nation). The fact⋈orders
+    * join strategy is size-driven (see q3); the three true dims broadcast. */
   private def q5(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(Tables.orders(s, dir).select("o_orderkey", "o_custkey")),
+      .join(sizedOrders(Tables.orders(s, dir).select("o_orderkey", "o_custkey"), dir),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
@@ -129,9 +142,18 @@ object Bench {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).as("total_tokens"))
 
+  /** dedup_exact: BASELINE's labeled shape is `DISTINCT ON (text)` — one
+    * hash-distinct on the raw text. The registry's llm_dedup_exact is a
+    * STRONGER operator (normalize + sha256 fingerprint + keep-min-id) and
+    * benching it against DISTINCT ON compares different computations; this
+    * twin is the like-for-like: first doc per exact text. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   private val fromRegistry: Seq[(String, String)] = Seq(
     "knn_cosine"     -> "llm_cosine_topk",
-    "dedup_exact"    -> "llm_dedup_exact",
     "asof_like_merge" -> "join_theta_range")
 
   def main(args: Array[String]): Unit = {
@@ -156,9 +178,11 @@ object Bench {
       // re-planning barriers; with 4 static partitions there is nothing to
       // adapt. At cluster scale AQE should be ON (skew join, coalescing).
       .config("spark.sql.adaptive.enabled", "false")
-      // dims up to orders-size are broadcastable on this machine; lets the
-      // registry pass auto-BHJ without per-op hints
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // size-driven join strategy: sides under 16 MB broadcast (orders at
+      // sf0.1 does, at sf1 it does not); above that, shuffled HASH join
+      // beats sort-merge at these scales (measured: 0.96 vs 1.40 s at sf1)
+      .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024 * 1024).toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -171,7 +195,8 @@ object Bench {
       "pivot_transpose"    -> (pivotTranspose _),
       "sessionize"         -> (sessionize _),
       "tumbling_window"    -> (tumbling _),
-      "text_tokens"        -> (textTokens _)) ++
+      "text_tokens"        -> (textTokens _),
+      "dedup_exact"        -> (dedupExact _)) ++
       fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) }
 
     val timed = headline.map { case (name, fn) =>
@@ -185,11 +210,15 @@ object Bench {
       name -> runs.min
     }
 
-    val tAll0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_HEADLINE_ONLY=1 skips the full-registry pass (used for
+    // crossover measurement runs at larger SFs; the driver never sets it)
+    val allOnce = if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) 0.0 else {
+      val tAll0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      (System.nanoTime() - tAll0) / 1e9
     }
-    val allOnce = (System.nanoTime() - tAll0) / 1e9
 
     val total = timed.map(_._2).sum
     val qs = (timed :+ ("all_queries_once" -> allOnce))

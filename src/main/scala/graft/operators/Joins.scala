@@ -285,13 +285,17 @@ object Joins extends QueryGroup {
     (s, dir) => {
       val tag = math.abs(dir.hashCode).toString
       val db = s"graftbuckets_$tag"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_bucket_wh_$tag'")
-      if (!s.catalog.tableExists(s"$db.orders_b"))
-        Tables.orders(s, dir).write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(s"$db.orders_b")
-      if (!s.catalog.tableExists(s"$db.lineitem_b"))
-        Tables.lineitem(s, dir).write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(s"$db.lineitem_b")
+      val loc = s"/tmp/graft_bucket_wh_$tag"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      def build(table: String, src: org.apache.spark.sql.DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(s"$db.$table")) {
+          // the in-memory catalog forgets tables across JVMs but managed
+          // locations persist — wipe the stale dir or CREATE fails
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/$table"))
+          src.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(s"$db.$table")
+        }
+      build("orders_b", Tables.orders(s, dir), "o_orderkey")
+      build("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")
       s.table(s"$db.lineitem_b").hint("merge")
         .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

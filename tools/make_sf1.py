@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Scale sf0.1 testdata 10x into /tmp/graft_sf1 for the bench crossover run.
+
+Replicates each fact table 10 times with per-replica key offsets so join
+keys stay consistent (lineitem replica i joins orders replica i); dimension
+tables (region/nation/customer/supplier/part) are kept as-is, so star-join
+selectivities match the original. Written by DuckDB with its default row
+group size (~122k rows), so BOTH engines can parallelize the scans — the
+single-row-group layout of the driver testdata cannot be split by either.
+
+This dataset is for PERFORMANCE measurement only (the crossover demo asked
+for in round-1 feedback); correctness remains gated on the driver testdata.
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+REPL = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute("SET threads=32")
+
+KEY_OFF = 1_000_000_000
+
+
+def gen(table, select):
+    parts = " UNION ALL ".join(
+        select.replace("{off}", str(i * KEY_OFF)) for i in range(REPL))
+    con.execute(
+        f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+for dim in ["region", "nation", "customer", "supplier", "part"]:
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') TO '{DST}/{dim}.parquet' (FORMAT PARQUET)")
+    print(dim, "copied")
+
+gen("orders",
+    f"SELECT o_orderkey + {{off}} AS o_orderkey, o_custkey, o_orderstatus, "
+    f"o_totalprice, o_orderdate, o_orderpriority "
+    f"FROM '{SRC}/orders.parquet'")
+gen("lineitem",
+    f"SELECT l_orderkey + {{off}} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+    f"l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    f"l_shipdate FROM '{SRC}/lineitem.parquet'")
+# keep the TIMESTAMP(NANOS) physical type (DuckDB's COPY downcasts to us):
+# Tables.events reads it via the nanosAsLong flag and divides to micros —
+# a us-typed file would bypass that. pyarrow preserves ns.
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ev = pq.read_table(f"{SRC}/events.parquet")
+chunks = []
+for i in range(REPL):
+    t = ev
+    t = t.set_column(t.schema.get_field_index("event_id"), "event_id",
+                     pc.add(t.column("event_id"), i * KEY_OFF))
+    t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                     pc.add(t.column("user_id"), i * KEY_OFF))
+    chunks.append(t)
+pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet",
+               row_group_size=122880)
+print("events:", sum(c.num_rows for c in chunks), "rows (ns preserved)")
+gen("documents",
+    f"SELECT doc_id + {{off}} AS doc_id, text, lang, source, n_chars "
+    f"FROM '{SRC}/documents.parquet'")
+gen("embeddings",
+    f"SELECT vec_id + {{off}} AS vec_id, embedding, label "
+    f"FROM '{SRC}/embeddings.parquet'")
+print("done ->", DST)
