@@ -16,6 +16,17 @@ import java.sql.Timestamp
   * and emits the closed one. Event-time timeout emits the final session
   * when the watermark passes lastTs + gap.
   *
+  * Late events (cross-batch, within the watermark): events are sorted
+  * within each batch, but a later BATCH can deliver an event whose ts is
+  * older than the open session's lastTs. Such an event MERGES into the
+  * open session — start/lastTs extend monotonically (min/max), so state
+  * never regresses and the event-time timeout stays correct. An event
+  * older than the watermark never reaches the function (Spark drops it);
+  * an in-watermark event older than even the session start widens the
+  * session backward rather than resurrecting a closed one — the
+  * single-state-per-key trade-off, documented here and pinned in
+  * StatefulSessionsSpec.
+  *
   * 100 TB/stream note: state is one small record per active key; the
   * shuffle is on user_id. This is the pattern for arbitrary per-key
   * streaming state machines (fraud windows, funnels, CDC collapse).
@@ -48,11 +59,14 @@ object StatefulSessions {
               s.n, s.sum, "gap")
             cur = Some(SessionState(t, t, 1, e.value))
           case Some(s) if s.n + 1 >= MaxEvents =>
-            out ::= ClosedSession(userId, new Timestamp(s.start), new Timestamp(t),
-              s.n + 1, s.sum + e.value, "cap")
+            out ::= ClosedSession(userId, new Timestamp(math.min(s.start, t)),
+              new Timestamp(math.max(s.lastTs, t)), s.n + 1, s.sum + e.value, "cap")
             cur = None
           case Some(s) =>
-            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+            // monotonic merge: a cross-batch late event (t <= lastTs, still
+            // inside the watermark) must not regress lastTs or the timeout
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+              s.n + 1, s.sum + e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }
