@@ -272,8 +272,30 @@ object Aggregates extends QueryGroup {
   private val aggSkewKurt =
     GraftQuery("agg_skew_kurt", sqlOnView("lineitem", skewKurtSql), Some(skewKurtSql))
 
+  /** Hot-key aggregation via two-phase salting (etl.Salting): partials per
+    * (key, salt-of-event_id), then merge — the 100 TB answer to a key that
+    * owns a large fraction of the rows serializing its shuffle partition.
+    * Decimal capture keeps the reassociated partial sums bit-exact, so the
+    * oracle is the PLAIN single-phase GROUP BY: salting must be invisible
+    * in the result. */
+  private val aggSaltedSkew = GraftQuery(
+    "agg_salted_skew",
+    (s, dir) =>
+      graft.etl.Salting.saltedSumCount(
+          Tables.events(s, dir), col("event_type"), col("event_id"),
+          saltFactor = 16, aggs = Map("sum_value" -> col("value").cast(Det.Money)))
+        .select(col("_key").as("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first),
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
     aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles,
-    aggQuantilesApprox, aggCollectList, aggCustomAggregator, aggSkewKurt)
+    aggQuantilesApprox, aggCollectList, aggCustomAggregator, aggSkewKurt,
+    aggSaltedSkew)
 }
