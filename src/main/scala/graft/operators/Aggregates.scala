@@ -272,6 +272,42 @@ object Aggregates extends QueryGroup {
   private val aggSkewKurt =
     GraftQuery("agg_skew_kurt", sqlOnView("lineitem", skewKurtSql), Some(skewKurtSql))
 
+  /** PROC CORR: by-group Pearson correlation from EXACT cross-moment sums
+    * in one shared closed form — the same SQL text runs on both engines,
+    * so every double op matches bit-for-bit. Exactness strategy: Pearson
+    * is scale-invariant, so price moves to integral cents (e2 = 100·price,
+    * an exact double ≤ 1e7); every per-row product then stays under 2^53
+    * (exact in double), and only the order-dependent SUMs are captured in
+    * DECIMAL(38,4) — wide enough that Σe2² ≈ 1e20 cannot overflow (the
+    * 18-digit capture used for plain money sums overflows on squared
+    * terms). One aggregation pass computes all five sums (map-side
+    * partial, single shuffle): the 100 TB shape for moment statistics. */
+  private val corrSql = """
+      WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DOUBLE) AS q,
+               round(l_extendedprice * 100.0) AS e2
+        FROM lineitem),
+      sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(e2 AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(q * q AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(e2 * e2 AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(q * e2 AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        FROM t
+        GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n_obs,
+             round((n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+      FROM sums
+      ORDER BY l_returnflag ASC NULLS FIRST"""
+
+  private val aggCorr =
+    GraftQuery("agg_corr", sqlOnView("lineitem", corrSql), Some(corrSql))
+
   /** Hot-key aggregation via two-phase salting (etl.Salting): partials per
     * (key, salt-of-event_id), then merge — the 100 TB answer to a key that
     * owns a large fraction of the rows serializing its shuffle partition.
@@ -293,9 +329,35 @@ object Aggregates extends QueryGroup {
       GROUP BY event_type
       ORDER BY event_type ASC NULLS FIRST"""))
 
+  /** PROC STANDARD (STDIZE): per-group z-scores. Group stats via the
+    * decimal-exact mean/stddev (Det), broadcast back onto the rows, one
+    * identical closed form on both engines. Two passes over the fact but
+    * only ONE shuffle (the stats agg) — the stats table is group-sized and
+    * broadcast. */
+  private val fnStandardize = GraftQuery(
+    "fn_standardize",
+    (s, dir) => {
+      val stats = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(Det.davg(col("l_quantity")).as("m"), Det.dstd(col("l_quantity")).as("sd"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity") - col("m")) / col("sd"), 6).as("z_qty"))
+        .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+    },
+    Some(s"""
+      WITH stats AS (
+        SELECT l_returnflag, ${Det.sqlAvg("l_quantity")} AS m, ${Det.sqlStd("l_quantity")} AS sd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             round((l_quantity - m) / sd, 6) AS z_qty
+      FROM lineitem JOIN stats USING (l_returnflag)
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     aggMultiStat, aggCountDistinct, aggApproxDistinct, aggGroupingSets,
     aggRollup, aggCube, aggHaving, aggFreqCrosstab, aggQuantiles,
     aggQuantilesApprox, aggCollectList, aggCustomAggregator, aggSkewKurt,
-    aggSaltedSkew)
+    aggSaltedSkew, aggCorr, fnStandardize)
 }
