@@ -169,6 +169,99 @@ object EtlComposites extends QueryGroup {
       FROM customer
       ORDER BY sk ASC NULLS FIRST"""))
 
+  /** SAS UPDATE statement (distinct from MERGE/SCD2): apply a transaction
+    * set to a master BY key, where a MISSING transaction value does NOT
+    * overwrite the master value — the SAS rule that makes UPDATE usable for
+    * sparse corrections. One left join + per-column coalesce; the
+    * transaction side is derived deterministically (every 10th key raises
+    * acctbal by 100 with segment missing; every 7th renames the segment
+    * with acctbal missing) so the oracle states the same join in SQL. */
+  private val etlUpdateMaster = GraftQuery(
+    "etl_update_master",
+    (s, dir) => {
+      val master = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val txn = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0).as("t_acctbal"),
+          when(col("c_custkey") % 7 === 0, concat(lit("seg-"), col("c_mktsegment"))).as("t_segment"))
+      master.join(txn, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("t_acctbal"), col("c_acctbal")).as("acctbal"),
+          coalesce(col("t_segment"), col("c_mktsegment")).as("segment"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    },
+    Some("""
+      WITH txn AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 END AS t_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'seg-' || c_mktsegment END AS t_segment
+        FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 0)
+      SELECT m.c_custkey, m.c_name,
+             COALESCE(t.t_acctbal, m.c_acctbal) AS acctbal,
+             COALESCE(t.t_segment, m.c_mktsegment) AS segment
+      FROM customer m LEFT JOIN txn t ON m.c_custkey = t.c_custkey
+      ORDER BY m.c_custkey ASC NULLS FIRST"""))
+
+  /** PROC COMPARE: cell-level diff of two datasets BY key — one row per
+    * (key, column) whose values differ, with both sides stringified
+    * (doubles through DECIMAL(18,4) so both engines format identically).
+    * The "B" side is the master with deterministic planted mutations. The
+    * Spark side is the general mechanism (array of per-column structs →
+    * explode → filter on null-safe inequality): adding a compared column
+    * is one list entry, and the explode is map-side — at 100 TB the only
+    * shuffle is the join BY key. */
+  private val etlCompareDatasets = GraftQuery(
+    "etl_compare_datasets",
+    (s, dir) => {
+      val a = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority").as("a")
+      val b = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 101 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.5).otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority")).as("b")
+      def str(c: org.apache.spark.sql.Column, isMoney: Boolean) =
+        if (isMoney) c.cast(graft.Det.Money).cast(StringType) else c.cast(StringType)
+      val compared = Seq(("o_orderstatus", false), ("o_totalprice", true), ("o_orderpriority", false))
+      a.join(b, col("a.o_orderkey") === col("b.o_orderkey"))
+        .select(col("a.o_orderkey").as("o_orderkey"),
+          explode(array(compared.map { case (c, m) =>
+            struct(lit(c).as("col_name"),
+              str(col(s"a.$c"), m).as("val_a"), str(col(s"b.$c"), m).as("val_b"))
+          }: _*)).as("d"))
+        .filter(!(col("d.val_a") <=> col("d.val_b")))
+        .select(col("o_orderkey"), col("d.col_name").as("col_name"),
+          col("d.val_a").as("val_a"), col("d.val_b").as("val_b"))
+        .orderBy(col("o_orderkey").asc_nulls_first, col("col_name").asc_nulls_first)
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders),
+      diffs AS (
+        SELECT a.o_orderkey, 'o_orderstatus' AS col_name,
+               a.o_orderstatus AS val_a, b.o_orderstatus AS val_b
+        FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        UNION ALL
+        SELECT a.o_orderkey, 'o_totalprice',
+               CAST(CAST(a.o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+               CAST(CAST(b.o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+        FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        UNION ALL
+        SELECT a.o_orderkey, 'o_orderpriority', a.o_orderpriority, b.o_orderpriority
+        FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+      SELECT o_orderkey, col_name, val_a, val_b FROM diffs
+      ORDER BY o_orderkey ASC NULLS FIRST, col_name ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
-    etlScd2Load, etlIncrementalDedup, etlValidateSplit, etlRowHash, etlSurrogateKey)
+    etlScd2Load, etlIncrementalDedup, etlValidateSplit, etlRowHash, etlSurrogateKey,
+    etlUpdateMaster, etlCompareDatasets)
 }
