@@ -135,7 +135,26 @@ object StreamingOps extends QueryGroup {
       GROUP BY user_id, session_id
       ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""))
 
+  /** Stream⋈stream interval join, batch twin (EventPipelines
+    * .clickAttribution — identical code runs under readStream with
+    * watermarks in StreamStreamJoinSpec). */
+  private val streamStreamJoin = GraftQuery(
+    "stream_stream_join",
+    (s, dir) =>
+      EventPipelines.clickAttribution(Tables.events(s, dir))
+        .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first),
+    Some("""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts, CAST(c.ts AS TIMESTAMP) AS click_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+       AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      ORDER BY purchase_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
+    streamStreamJoin,
     streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
     streamSessionNative, streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
 }

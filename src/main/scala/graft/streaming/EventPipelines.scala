@@ -128,6 +128,26 @@ object EventPipelines {
       .select("event_id", "user_id", "event_type", "ts")
   }
 
+  /** Stream⋈stream interval join (click attribution): purchases matched to
+    * the same user's clicks within the preceding hour. The SAME join runs
+    * under readStream with two-sided watermarks (StreamStreamJoinSpec) —
+    * the time-bounded condition is what makes the streaming join state
+    * evictable, and in batch it is the equi-conjunct + band filter shape
+    * (never a pure theta join). */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** op 68 — stream⋈static enrichment: events joined to a broadcast user
     * dimension (works unmodified under readStream). */
   def staticEnrich(events: DataFrame, userDim: DataFrame): DataFrame =

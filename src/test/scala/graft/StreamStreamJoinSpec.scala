@@ -54,4 +54,30 @@ class StreamStreamJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.exists(_._1 == 11L))
     assert(rows.count(_._1 == 12L) == 1)
   }
+
+  test("clickAttribution (the registry batch twin) runs as a streaming self-join") {
+    val events = MemoryStream[Ev](spark)
+    val out = graft.streaming.EventPipelines.clickAttribution(
+      events.toDF().withWatermark("ts", "30 minutes"))
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0),
+        Ev(2, t("2024-01-01 10:30:00"), 1, "click", 0),
+        Ev(3, t("2024-01-01 08:00:00"), 2, "click", 0),
+        Ev(10, t("2024-01-01 10:45:00"), 1, "purchase", 9.99),
+        Ev(11, t("2024-01-01 10:50:00"), 2, "purchase", 5.00))
+      q.processAllAvailable()
+      events.addData(
+        Ev(4, t("2024-01-01 13:00:00"), 9, "click", 0),
+        Ev(12, t("2024-01-01 13:00:05"), 9, "purchase", 1.0),
+        Ev(99, t("2024-01-01 16:00:00"), 8, "click", 0))  // watermark push
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (12L, 4L)))
+  }
 }
