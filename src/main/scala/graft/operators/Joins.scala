@@ -283,7 +283,12 @@ object Joins extends QueryGroup {
   private val joinBucketedColocated = GraftQuery(
     "join_bucketed_colocated",
     (s, dir) => {
-      val tag = math.abs(dir.hashCode).toString
+      // tag includes source size+mtime: if the testdata is regenerated, a
+      // stale bucketed copy must not silently serve old rows
+      val sig = Seq("orders", "lineitem").map { t =>
+        val f = new java.io.File(s"$dir/$t.parquet"); s"${f.length}_${f.lastModified}"
+      }.mkString("_")
+      val tag = math.abs((dir + sig).hashCode).toString
       val db = s"graftbuckets_$tag"
       val loc = s"/tmp/graft_bucket_wh_$tag"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
