@@ -106,6 +106,8 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => ArrayJaccard(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_rows", exprs => ShingleRows(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteCosine)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteCosine

@@ -581,7 +581,38 @@ object LlmOps extends QueryGroup {
         .orderBy(col("doc_id").asc_nulls_first),
     None)
 
+  /** Custom Generator surface (the UDTF escape hatch): shingle_rows emits
+    * one row per complete n-word window, streaming — no intermediate array
+    * materialization (see ShingleRows scaladoc). Aggregated per (doc,
+    * shingle) so the output is deterministic and oracle-friendly; the
+    * DuckDB side re-derives the same multiset via a comprehension that
+    * emits ONLY complete windows. */
+  private val llmShingleGenerate = GraftQuery(
+    "llm_shingle_generate",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .select(col("doc_id"), expr("shingle_rows(norm, 3)").as("shingle"))
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id").asc_nulls_first, col("shingle").asc_nulls_first)
+    },
+    Some("""
+      SELECT doc_id, shingle, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(words) - 1, 1))]) AS shingle
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM documents WHERE lang = 'en'))
+      GROUP BY doc_id, shingle
+      ORDER BY doc_id ASC NULLS FIRST, shingle ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
+    llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
     llmCosineTopk, llmKnnJoin, llmEmbedNeardup, llmAnnIvf, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,

@@ -86,6 +86,26 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) != null && math.abs(out(3L).asInstanceOf[Double] - 0.9838699100999074) < 1e-12)
   }
 
+  test("shingle_rows generator: complete windows, in order, duplicates kept") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),     // 2 complete 3-windows
+      (2L, "a b"),         // shorter than n -> nothing
+      (3L, "x y x y x"))   // overlapping duplicates preserved
+      .toDF("id", "t")
+    val got = df.selectExpr("id", "shingle_rows(t, 3) AS s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "a b c"), (1L, "b c d"),
+      (3L, "x y x"), (3L, "y x y"), (3L, "x y x")))
+    // analysis-time validation mirrors minhash_sig
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.selectExpr("shingle_rows(t, 0) AS s").queryExecution.analyzed)
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.selectExpr("shingle_rows(t, id) AS s").queryExecution.analyzed)
+  }
+
   test("minhash_sig rejects invalid signature widths at analysis time") {
     GraftFunctions.register(spark)
     import spark.implicits._
