@@ -95,6 +95,41 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SCD2 is idempotent: re-applying the same delta is a no-op") {
+    val deltaGen = for {
+      changed <- Gen.someOf(1L to 6L)
+      added <- Gen.someOf(101L to 104L)
+    } yield (changed.toList, added.toList)
+    forAll(deltaGen, n = 5) { case (changed, added) =>
+      val master = (1L to 6L).map(bk => (bk, bk * 10.0, "s")).toDF("bk", "bal", "seg")
+        .withColumn("valid_from", lit("2020-01-01").cast(DateType))
+        .withColumn("valid_to", lit(null).cast(DateType))
+        .withColumn("is_current", lit(1))
+      val delta = (changed.map(bk => (bk, -1.0, "s")) ++ added.map(bk => (bk, 1.0, "s")))
+        .toDF("bk", "bal", "seg")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getDate(3), Option(r.getDate(4)).map(_.toString), r.getInt(5))).sortBy(x => (x._1, x._4.toString))
+      val once = Scd.scd2Load(master, delta, Seq("bal", "seg"), "2024-06-01")
+      val twice = Scd.scd2Load(once, delta, Seq("bal", "seg"), "2024-09-01")
+      assert(canon(once).toSeq == canon(twice).toSeq)  // all values already current
+    }
+  }
+
+  test("surrogate keys are invariant to input row order and partitioning") {
+    val data = (1L to 200L).map(k => (k * 7 % 211, s"n$k"))  // shuffled unique keys
+    val base = data.toDF("k", "name")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.etl.SurrogateKey.assign(df, Seq(col("k").asc_nulls_first))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = assign(base)
+    val b = assign(base.orderBy(rand(42)))        // different input order
+    val c = assign(base.repartition(17, col("name")))  // different partitioning
+    assert(a == b && a == c)
+    assert(a.map(_._1) == (1L to 200L))
+    assert(a.map(_._2) == a.map(_._2).sorted)     // sk follows key order
+  }
+
   test("jaccard_sim is symmetric and 1.0 on self") {
     graft.functions.GraftFunctions.register(spark)
     val words: Gen[List[String]] = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
