@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.DateType
   * the engine's operators into one nightly-load-shaped job:
   *
   *   1. validate/split the incoming fact rows (single pass, rule tags)
-  *   2. SCD2-load the customer dimension from a derived delta
+  *   2. SCD2-load the customer dimension from a derived delta and assign
+  *      contiguous surrogate keys (scale-safe prefix-sum numbering)
   *   3. incremental-dedup the orders feed (latest version per key)
   *   4. produce the reporting aggregate off the clean slice
   *
@@ -49,7 +50,9 @@ object EtlJob {
     val delta = Tables.customer(spark, dir).filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey").as("bk"), (col("c_acctbal") + 50.0).as("acctbal"),
         col("c_mktsegment").as("segment"))
-    val customerDim = Scd.scd2Load(master, delta, Seq("acctbal", "segment"), "2024-07-01")
+    val customerDim = graft.etl.SurrogateKey.assign(
+      Scd.scd2Load(master, delta, Seq("acctbal", "segment"), "2024-07-01"),
+      Seq(col("bk").asc_nulls_first, col("valid_from").asc_nulls_first))
 
     // 3. incremental orders dedup (latest per key; delta wins ties)
     val ordersAll = Tables.orders(spark, dir)

@@ -21,6 +21,9 @@ class EtlJobSpec extends AnyFunSuite with SparkTestBase {
     assert(perKey == 0)
     val changed = Tables.customer(spark, dir).filter(col("c_custkey") % 10 === 0).count()
     assert(out.customerDim.count() == Tables.customer(spark, dir).count() + changed)
+    // surrogate keys: contiguous 1..N over the whole dimension
+    val sks = out.customerDim.select("sk").collect().map(_.getLong(0)).sorted
+    assert(sks.toSeq == (1L to sks.length).toSeq)
 
     // dedup keeps exactly one row per order key, delta version where present
     assert(out.dedupedOrders.count() == Tables.orders(spark, dir).count())
