@@ -209,7 +209,36 @@ object Windows extends QueryGroup {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderkey ASC NULLS FIRST"""))
 
+  /** SAS RETAIN + `IF missing(x) THEN x = held;` — LOCF imputation (last
+    * observation carried forward) per BY group: the DATA-step held-variable
+    * pattern as an ignoreNulls carry-forward window. Missing values are
+    * planted deterministically (every 7th event) so the oracle recomputes
+    * the identical fill; rows before the group's first non-missing stay
+    * null (SAS semantics — RETAIN has nothing to hold yet). */
+  private val winLocfImpute = GraftQuery(
+    "win_locf_impute",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("v_miss",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("v_filled", last(col("v_miss"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "v_miss", "v_filled")
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT event_id, user_id, v_miss,
+             last_value(v_miss IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_miss
+            FROM events)
+      ORDER BY event_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     winRowNumberFirstLast, winRankDenseNtile, winLagDiff, winRunningTotal,
-    winMovingAvg, winPctOfGroup, winTopkPerGroup, winPercentCume)
+    winMovingAvg, winPctOfGroup, winTopkPerGroup, winPercentCume, winLocfImpute)
 }
