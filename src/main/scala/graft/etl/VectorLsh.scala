@@ -31,15 +31,21 @@ object VectorLsh {
   def hyperplanes(nBits: Int, dims: Int): Seq[Seq[Double]] =
     (0 until nBits).map(j => (0 until dims).map(i => component(j, i)))
 
+  /** One hyperplane as a SINGLE array literal: `array(x1 D, x2 D, …)`
+    * expands to 64 scalar literal nodes PER PLANE in generated code —
+    * 32 planes of those blew the whole-stage codegen unit past 8 s of
+    * compile time; a typedlit collapses each plane to one reference. */
+  private def planeLit(h: Seq[Double]): Column = typedlit(h)
+
+  private def signBit(v: Column, h: Seq[Double], weight: Int): Column =
+    when(call_function("cosine_fast", v, planeLit(h)) > 0, lit(weight)).otherwise(lit(0))
+
   /** Adds an integer `bucket` column from the sign pattern of `v`. */
   def withBucket(vecs: DataFrame, nBits: Int, dims: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val planes = hyperplanes(nBits, dims)
-    val bits: Seq[Column] = planes.zipWithIndex.map { case (h, j) =>
-      // the D suffix keeps the parser from typing literals as DECIMAL
-      when(expr(s"cosine_fast(v, array(${h.map(x => s"${x}D").mkString(",")}))") > 0,
-        lit(1 << j)).otherwise(lit(0))
-    }
+    val bits: Seq[Column] =
+      planes.zipWithIndex.map { case (h, j) => signBit(col("v"), h, 1 << j) }
     vecs.withColumn("bucket", bits.reduce(_ + _))
   }
 
@@ -64,9 +70,7 @@ object VectorLsh {
     val planes = hyperplanes(nBands * bitsPerBand, dims)
     val buckets: Seq[Column] = (0 until nBands).map { k =>
       (0 until bitsPerBand).map { r =>
-        val h = planes(k * bitsPerBand + r)
-        when(expr(s"cosine_fast(v, array(${h.map(x => s"${x}D").mkString(",")}))") > 0,
-          lit(1 << r)).otherwise(lit(0))
+        signBit(col("v"), planes(k * bitsPerBand + r), 1 << r)
       }.reduce(_ + _)
     }
     vecs.withColumn("band_buckets", array(buckets: _*))
