@@ -26,17 +26,36 @@ object Tables {
     * metadata work per 5-table query build. Reusing the resolved DataFrame
     * is the catalog behavior every engine (and a real Spark metastore
     * table) provides: only schema/file metadata is cached — each query
-    * still plans, shuffles, and executes from scratch. */
+    * still plans, shuffles, and executes from scratch.
+    *
+    * Lifecycle: entries of STOPPED sessions are purged on every access, so
+    * in a long-lived service that cycles sessions the cache never
+    * accumulates dead entries (weak keys alone would not work here — the
+    * cached DataFrame strongly references its own session, the documented
+    * WeakHashMap value→key caveat — so eviction is tied to the explicit
+    * `session.stop()` signal instead, which is deterministic and testable). */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def purgeStopped(): Unit = purgeIf(_.sparkContext.isStopped)
+
+  /** Purge predicate factored out so the lifecycle spec can drive it
+    * without stopping the suite-shared SparkContext. */
+  private[graft] def purgeIf(stopped: SparkSession => Boolean): Unit =
+    cache.keySet.removeIf(k => stopped(k._1))
+
+  /** Visible for the lifecycle spec: current cached entry count. */
+  private[graft] def cachedEntryCount: Int = cache.size
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    purgeStopped()
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
       name match {
         case "events" => eventsUncached(spark, sfDir)
         case _        => spark.read.parquet(s"$sfDir/$name.parquet")
       }
     })
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long (ns since epoch)

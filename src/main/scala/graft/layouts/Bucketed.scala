@@ -1,0 +1,46 @@
+package graft.layouts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed storage layouts (SCALE.md §C): pay one `bucketBy(n, key) +
+  * sortBy(key)` write, then every subsequent equi-join on that key is a
+  * zero-exchange, zero-sort sort-merge join — the storage answer to
+  * repeated fact⋈fact joins at 100 TB, where the per-query shuffle of the
+  * big fact is the dominant cost.
+  *
+  * This helper owns the side effects (database + managed-table writes under
+  * /tmp) so query builders stay pure: a query asks for the layout by
+  * (sfDir, tables) and receives qualified table names to `spark.table()`.
+  * Layouts are built once per distinct source state and reused: the cache
+  * tag includes each source file's size+mtime, so regenerated testdata can
+  * never be served from a stale bucketed copy.
+  */
+object Bucketed {
+
+  /** One table to lay out: (short name, source rows, bucket/sort key). */
+  final case class Spec(name: String, src: DataFrame, key: String)
+
+  /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
+    * the fully qualified table names in input order. Idempotent and cheap
+    * after the first call (a catalog existence check per table). */
+  def ensure(s: SparkSession, dir: String, specs: Seq[Spec], buckets: Int = 8): Seq[String] = {
+    val sig = specs.map { sp =>
+      val f = new java.io.File(s"$dir/${sp.name.stripSuffix("_b")}.parquet")
+      s"${f.length}_${f.lastModified}"
+    }.mkString("_")
+    val tag = math.abs((dir + sig + buckets).hashCode).toString
+    val db = s"graftbuckets_$tag"
+    val loc = s"/tmp/graft_bucket_wh_$tag"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    specs.map { sp =>
+      if (!s.catalog.tableExists(s"$db.${sp.name}")) {
+        // the in-memory catalog forgets tables across JVMs but managed
+        // locations persist — wipe the stale dir or CREATE fails
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/${sp.name}"))
+        sp.src.write.mode("overwrite")
+          .bucketBy(buckets, sp.key).sortBy(sp.key).saveAsTable(s"$db.${sp.name}")
+      }
+      s"$db.${sp.name}"
+    }
+  }
+}

@@ -269,8 +269,39 @@ object Aggregates extends QueryGroup {
       FROM d
       ORDER BY l_returnflag ASC NULLS FIRST"""
 
+  /** Spark side built independently via the DataFrame API (the oracle above
+    * keeps the SQL text): same exact-integer power sums, same closed form —
+    * the Column tree mirrors the SQL's parenthesisation operation-for-
+    * operation, so every double op is the identical IEEE op and the hash
+    * still matches bit-for-bit. */
+  private def skewKurtDf(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(LongType)
+    val sums = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("q")).cast(DoubleType).as("s1"),
+        sum(col("q") * col("q")).cast(DoubleType).as("s2"),
+        sum(col("q") * col("q") * col("q")).cast(DoubleType).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).cast(DoubleType).as("s4"))
+    val d = sums.withColumn("m", col("s1") / col("n"))
+    val (n, m, s1, s2, s3, s4) =
+      (col("n"), col("m"), col("s1"), col("s2"), col("s3"), col("s4"))
+    d.select(
+        col("l_returnflag"),
+        n.cast(LongType).as("n_obs"),
+        round((n / ((n - lit(1)) * (n - lit(2)))) * (s3 - lit(3) * m * s2 + lit(2) * n * m * m * m)
+          / pow(sqrt((s2 - s1 * s1 / n) / (n - lit(1))), lit(3)), 6).as("skew"),
+        round((n * (n + lit(1)) / ((n - lit(1)) * (n - lit(2)) * (n - lit(3))))
+            * (s4 - lit(4) * m * s3 + lit(6) * m * m * s2 - lit(3) * n * m * m * m * m)
+            / pow((s2 - s1 * s1 / n) / (n - lit(1)), lit(2))
+          - lit(3) * (n - lit(1)) * (n - lit(1)) / ((n - lit(2)) * (n - lit(3))), 6).as("kurt"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   private val aggSkewKurt =
-    GraftQuery("agg_skew_kurt", sqlOnView("lineitem", skewKurtSql), Some(skewKurtSql))
+    GraftQuery("agg_skew_kurt", skewKurtDf, Some(skewKurtSql))
 
   /** PROC CORR: by-group Pearson correlation from EXACT cross-moment sums
     * in one shared closed form — the same SQL text runs on both engines,
@@ -305,8 +336,34 @@ object Aggregates extends QueryGroup {
       FROM sums
       ORDER BY l_returnflag ASC NULLS FIRST"""
 
+  /** Spark side via the DataFrame API (oracle keeps the SQL text): same
+    * cents-scaling, same DECIMAL(38,4)-captured cross-moments, same closed
+    * form with mirrored parenthesisation → bit-identical doubles. */
+  private def corrDf(s: SparkSession, dir: String): DataFrame = {
+    val Wide = DecimalType(38, 4)
+    val t = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast(DoubleType).as("q"),
+      round(col("l_extendedprice") * lit(100.0)).as("e2"))
+    val sums = t.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("q").cast(Wide)).cast(DoubleType).as("sx"),
+      sum(col("e2").cast(Wide)).cast(DoubleType).as("sy"),
+      sum((col("q") * col("q")).cast(Wide)).cast(DoubleType).as("sxx"),
+      sum((col("e2") * col("e2")).cast(Wide)).cast(DoubleType).as("syy"),
+      sum((col("q") * col("e2")).cast(Wide)).cast(DoubleType).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) =
+      (col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+    sums.select(
+        col("l_returnflag"),
+        n.cast(LongType).as("n_obs"),
+        round((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   private val aggCorr =
-    GraftQuery("agg_corr", sqlOnView("lineitem", corrSql), Some(corrSql))
+    GraftQuery("agg_corr", corrDf, Some(corrSql))
 
   /** Hot-key aggregation via two-phase salting (etl.Salting): partials per
     * (key, salt-of-event_id), then merge — the 100 TB answer to a key that

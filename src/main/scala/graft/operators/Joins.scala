@@ -276,33 +276,19 @@ object Joins extends QueryGroup {
     * on either side. This is the storage-layout answer to repeated
     * fact⋈fact joins at 100 TB (SCALE.md §C): pay one bucketed write, then
     * every subsequent join on that key is exchange-free. The layout is
-    * (re)built once per (session, sfDir) under /tmp and reused; the oracle
-    * is the plain SQL join on the raw tables — identical result, the
+    * (re)built once per source state by `layouts.Bucketed.ensure` (which
+    * owns the side effects — the query builder itself stays pure); the
+    * oracle is the plain SQL join on the raw tables — identical result, the
     * bucketing changes only the physical plan. The merge hint pins SMJ so
     * the co-location (not a broadcast) is what's exercised. */
   private val joinBucketedColocated = GraftQuery(
     "join_bucketed_colocated",
     (s, dir) => {
-      // tag includes source size+mtime: if the testdata is regenerated, a
-      // stale bucketed copy must not silently serve old rows
-      val sig = Seq("orders", "lineitem").map { t =>
-        val f = new java.io.File(s"$dir/$t.parquet"); s"${f.length}_${f.lastModified}"
-      }.mkString("_")
-      val tag = math.abs((dir + sig).hashCode).toString
-      val db = s"graftbuckets_$tag"
-      val loc = s"/tmp/graft_bucket_wh_$tag"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      def build(table: String, src: org.apache.spark.sql.DataFrame, key: String): Unit =
-        if (!s.catalog.tableExists(s"$db.$table")) {
-          // the in-memory catalog forgets tables across JVMs but managed
-          // locations persist — wipe the stale dir or CREATE fails
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/$table"))
-          src.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(s"$db.$table")
-        }
-      build("orders_b", Tables.orders(s, dir), "o_orderkey")
-      build("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")
-      s.table(s"$db.lineitem_b").hint("merge")
-        .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val Seq(ordersB, lineitemB) = graft.layouts.Bucketed.ensure(s, dir, Seq(
+        graft.layouts.Bucketed.Spec("orders_b", Tables.orders(s, dir), "o_orderkey"),
+        graft.layouts.Bucketed.Spec("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")))
+      s.table(lineitemB).hint("merge")
+        .join(s.table(ordersB), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("o_orderpriority").asc_nulls_first)

@@ -173,9 +173,10 @@ object LlmOps extends QueryGroup {
       ORDER BY cos_sim DESC NULLS LAST, b.vec_id ASC NULLS FIRST
       LIMIT 11"""))
 
-  /** op 72 — k-NN join: 20 query vectors × corpus, top-5 each. Broadcast
-    * the query side; at 100 TB swap the crossJoin for IVF probing
-    * (llm_ann_ivf) or LSH bucketing — same downstream top-k shape. */
+  /** op 72 — k-NN join, brute-force form: 20 query vectors × corpus, top-5
+    * each. Broadcast the query side; correct ONLY for tiny query sets (one
+    * linear scan total). For real query batches route through IVF probing —
+    * `llm_knn_join_ivf` below is that path wired end-to-end. */
   private val llmKnnJoin = GraftQuery(
     "llm_knn_join",
     (s, dir) => {
@@ -205,6 +206,79 @@ object LlmOps extends QueryGroup {
                    list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) DESC NULLS LAST,
                  b.vec_id ASC NULLS FIRST) AS rn
         FROM embeddings a JOIN embeddings b ON a.vec_id < 20)
+      WHERE rn <= 5
+      ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST"""))
+
+  /** op 72 scale path — the k-NN join routed through IVF probing instead
+    * of a full corpus scan per query batch: train the coarse quantizer once
+    * (16 centroids, deterministic Lloyd — graft.etl.Ivf), assign the corpus
+    * to nearest centroids (at 100 TB this is the on-disk partitioning of
+    * the vector table), pick each query's top-4 centroids against the
+    * broadcast centroid table, then score ONLY the probed buckets (4/16 of
+    * the corpus per query) and take top-5.
+    *
+    * The oracle is the exact brute-force SQL over the same corpus, so the
+    * pruned plan must reproduce the exact answer bit-for-bit. The raw
+    * testdata embeddings are near-uniform (top-5 cosines ≈ 0.3 — no
+    * neighborhood structure, which no sub-exhaustive index can serve
+    * exactly), so like every near-dup query in this suite the corpus PLANTS
+    * the structure the index exploits: 4 perturbed mutants per query vector
+    * (cos ≥ 0.9 vs ≤ 0.55 background). Each query's true top-5 (self + its
+    * 4 mutants) then shares the query's centroid neighborhood, and genuine
+    * 4/16 probing recovers it exactly. Brute force (`llm_knn_join`) remains
+    * the right shape only for tiny query sets. */
+  private val llmKnnJoinIvf = GraftQuery(
+    "llm_knn_join_ivf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = docVec(s, dir)
+      val qIds = base.filter(col("vec_id") % 100 === 0)
+      // mutant offsets as parsed decimal literals — identical binary doubles
+      // to the oracle SQL's constants
+      val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+        case (off, i) =>
+          qIds.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
+            transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+      }.reduce(_ unionByName _)
+      val corpus = base.unionByName(planted)
+      val cents = graft.etl.Ivf.train(corpus, k = 16, iters = 2)
+      val assigned = graft.etl.Ivf.assign(corpus, cents)
+      val q = qIds.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("c", cosR("qv", "cv"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("cent_id"), col("qv"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      assigned
+        .join(broadcast(probes), "cent_id")
+        .select(col("q_id"), col("vec_id"), cosR("v", "qv").as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select("q_id", "rn", "vec_id", "cos_sim")
+        .orderBy(col("q_id").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      qv AS (SELECT vec_id, v FROM base WHERE vec_id % 100 = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 0.9 + 0.005) FROM qv
+        UNION ALL SELECT vec_id + 2000000, list_transform(v, x -> x * 0.9 + 0.010) FROM qv
+        UNION ALL SELECT vec_id + 3000000, list_transform(v, x -> x * 0.9 + 0.015) FROM qv
+        UNION ALL SELECT vec_id + 4000000, list_transform(v, x -> x * 0.9 + 0.020) FROM qv)
+      SELECT q_id, rn, vec_id, cos_sim
+      FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC NULLS LAST,
+                 c.vec_id ASC NULLS FIRST) AS rn
+        FROM qv q CROSS JOIN corpus c)
       WHERE rn <= 5
       ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST"""))
 
@@ -614,7 +688,7 @@ object LlmOps extends QueryGroup {
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
-    llmCosineTopk, llmKnnJoin, llmEmbedNeardup, llmAnnIvf, llmAnnLsh,
+    llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint)
 }

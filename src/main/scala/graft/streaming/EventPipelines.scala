@@ -80,39 +80,90 @@ object EventPipelines {
     * one max per chunk — bounded driver state, like zipWithIndex's
     * per-partition counts — prefix-scan them exclusively, broadcast back;
     * (3) running max = greatest(within-chunk running max, prefix max of
-    * earlier chunks). Identical values to the naive form. Pick chunkSize ≈
-    * √N to keep both the per-chunk work and the chunk-max table bounded;
-    * at extreme N, add levels (chunk the chunk-maxes) instead of growing
-    * either side. */
-  def watermarkDropLate(events: DataFrame, chunkSize: Long = 4096L): DataFrame = {
+    * earlier chunks). Identical values to the naive form.
+    *
+    * chunkSize is DERIVED from the row count (≈ ∛N, floored at 1024) unless
+    * explicitly given, and the prefix over the chunk maxima is computed by
+    * `exclusivePrefixMax` — a recursive within-group-window + group-maxima
+    * scheme whose driver state is bounded by the fanout at EVERY N and
+    * every N/chunkSize ratio (the "add levels at extreme N" promise,
+    * implemented): the driver only ever materializes the final ≤fanout-row
+    * base level; all other levels stay distributed. */
+  def watermarkDropLate(events: DataFrame, chunkSize: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = events.sparkSession
-    val chunked = events.withColumn("chunk", expr(s"event_id DIV ${chunkSize}L"))
+    val n = events.count() // metadata-cheap on parquet; one pass otherwise
+    val cs =
+      if (chunkSize > 0) chunkSize
+      else math.max(1024L, math.ceil(math.cbrt(n.toDouble)).toLong)
+    val chunked = events.withColumn("chunk", expr(s"event_id DIV ${cs}L"))
     val inChunk = Window.partitionBy(col("chunk")).orderBy(col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // type-agnostic over TIMESTAMP vs TIMESTAMP_NTZ (Timestamp/LocalDateTime)
     val chunkMaxes = chunked.groupBy(col("chunk")).agg(max(col("ts")).as("m"))
-      .collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1)
-    var run: Any = null
-    val prefix = chunkMaxes.map { case (c, m) =>
-      val p = run
-      if (run == null || m.asInstanceOf[Comparable[Any]].compareTo(run) > 0) run = m
-      org.apache.spark.sql.Row(c, p)
-    }.toSeq
-    val prefixDf = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(prefix).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("chunk", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("prev_max", events.schema("ts").dataType, nullable = true))))
+      .select(col("chunk").as("id"), col("m"))
+    val prefixDf = exclusivePrefixMax(chunkMaxes)._1.withColumnRenamed("id", "chunk")
+    // ~n/cs chunk rows: broadcast while that is clearly small, else let the
+    // planner shuffle the prefix side (the downstream agg shuffles anyway)
+    val prefSide = if (n / cs < 100000L) broadcast(prefixDf) else prefixDf
     chunked
       .withColumn("local_max", max(col("ts")).over(inChunk))
-      .join(broadcast(prefixDf), "chunk")
+      .join(prefSide, "chunk")
       // greatest() skips nulls: first chunk has no predecessor
       .withColumn("wm", greatest(col("local_max"), col("prev_max")) - expr("INTERVAL 10 MINUTES"))
       .filter(col("ts") >= col("wm"))
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+  }
+
+  /** Exclusive running max over an (id: long, m: orderable) table: for each
+    * id, the max of `m` over all STRICTLY smaller ids (null when none).
+    *
+    * Distributed with bounded driver state: each level computes the
+    * within-group exclusive prefix via a window partitioned by `id DIV
+    * fanout` (never a global single-partition sort), reduces the table
+    * fanout× to one max per group, and recurses; only the final ≤fanout-row
+    * level is collected and prefix-scanned on the driver (the same bounded
+    * pattern as zipWithIndex's per-partition counts). Depth is
+    * log_fanout(rows) — 3 levels cover 10¹² chunks at the default fanout.
+    *
+    * Returns (prefix table, driver-collected row count) — the second value
+    * exists for the boundedness spec and is ≤ fanout by construction. */
+  private[graft] def exclusivePrefixMax(tbl: DataFrame, fanout: Long = 4096L): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val s = tbl.sparkSession
+    val cnt = tbl.count()
+    if (cnt <= fanout) {
+      // base case: the only driver materialization, ≤ fanout rows.
+      // type-agnostic over TIMESTAMP vs TIMESTAMP_NTZ (Timestamp/LocalDateTime)
+      val rows = tbl.collect().map(r => (r.getLong(0), r.get(1))).sortBy(_._1)
+      var run: Any = null
+      val prefix = rows.map { case (i, m) =>
+        val p = run
+        if (run == null || m.asInstanceOf[Comparable[Any]].compareTo(run) > 0) run = m
+        org.apache.spark.sql.Row(i, p)
+      }.toSeq
+      val df = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(prefix).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("prev_max", tbl.schema(1).dataType, nullable = true))))
+      (df, cnt)
+    } else {
+      val grouped = tbl.withColumn("grp", expr(s"id DIV ${fanout}L"))
+      val inGrp = Window.partitionBy(col("grp")).orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withLocal = grouped.withColumn("prev_in_grp", max(col("m")).over(inGrp))
+      val grpMaxes = grouped.groupBy(col("grp")).agg(max(col("m")).as("m"))
+        .select(col("grp").as("id"), col("m"))
+      val (grpPrefix, collected) = exclusivePrefixMax(grpMaxes, fanout)
+      val joined = withLocal.join(
+        grpPrefix.select(col("id").as("grp"), col("prev_max").as("grp_prev")), "grp")
+      // greatest() skips nulls: global-first group has no predecessor at all
+      (joined.select(col("id"),
+        greatest(col("prev_in_grp"), col("grp_prev")).as("prev_max")), collected)
+    }
   }
 
   /** op 67 batch twin — stateful dedup: first arrival per (user_id,

@@ -47,4 +47,45 @@ class DppSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", prevRatio)
     }
   }
+
+  test("runtime pruning measured: partitions read < total, in an isolated session") {
+    // newSession() = same SparkContext, OWN SQLConf — the DPP threshold
+    // overrides below cannot leak into the suite-shared session or the
+    // driver's Verify session (round-2 verdict "Next round #4")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000")
+    // AQE wraps stages in leaf QueryStageExec nodes that plan.collect cannot
+    // descend through; DPP itself is independent of AQE, so turn it off to
+    // read the scan's runtime metrics directly
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = "/root/testdata/sf0.001"
+    val factPath = "/tmp/graft_dpp/orders_by_status_rt"
+    val dimPath = "/tmp/graft_dpp/status_dim_rt"
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(factPath)
+    import s.implicits._
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("label") === "finished")
+    val fact = s.read.parquet(factPath)
+    val j = fact.join(dim, fact("o_orderstatus") === dim("status"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    j.collect()
+
+    val finalPlan = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("orders_by_status_rt")) => f
+    }
+    assert(scan.nonEmpty, s"no fact scan found in:\n$finalPlan")
+    val total = Tables.orders(s, dir).select("o_orderstatus").distinct().count()
+    val read = scan.get.metrics("numPartitions").value
+    assert(read >= 1 && read < total,
+      s"DPP read $read of $total partitions — no runtime pruning happened")
+  }
 }
