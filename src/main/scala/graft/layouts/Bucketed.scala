@@ -37,7 +37,11 @@ object Bucketed {
         // the in-memory catalog forgets tables across JVMs but managed
         // locations persist — wipe the stale dir or CREATE fails
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/${sp.name}"))
-        sp.src.write.mode("overwrite")
+        // repartition on the bucket key first → exactly ONE file per bucket,
+        // so the scan can also report per-bucket sortedness and the merge
+        // join skips its local sort (multi-file buckets forfeit that)
+        sp.src.repartition(buckets, org.apache.spark.sql.functions.col(sp.key))
+          .write.mode("overwrite")
           .bucketBy(buckets, sp.key).sortBy(sp.key).saveAsTable(s"$db.${sp.name}")
       }
       s"$db.${sp.name}"
