@@ -44,13 +44,18 @@ object TextDedup {
                       greatest(ids[i], ids[j]) AS doc_b))))""")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // candidate set is small by LSH construction: broadcast it (and its
-    // half-enriched successor) so the shingle table is never shuffled —
-    // it streams through two map-side hash joins instead
+    // The candidate set is small when LSH's precondition holds (exact dups
+    // removed first — run op 69 before this). But a corpus that violates it
+    // (k exact copies per text → k²/2 candidates per group) must degrade to
+    // a shuffle join, not a forced broadcast of candidate×shingle rows that
+    // OOMs the driver — measured at sf3, whose 30× replicas are exactly
+    // that pathology. So: no broadcast hints; size estimation (and AQE at
+    // cluster scale) picks map-side hash joins whenever cand is actually
+    // small, and a bounded shuffle otherwise.
     val withA = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
-      .join(broadcast(cand), "doc_a")
+      .join(cand, "doc_a")
     sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
-      .join(broadcast(withA), "doc_b")
+      .join(withA, "doc_b")
       .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

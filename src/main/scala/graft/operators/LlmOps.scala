@@ -299,11 +299,24 @@ object LlmOps extends QueryGroup {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * 0.9 + 0.02).as("v"))
       val all = base.unionByName(planted)
+      // EXACT-DEDUP FIRST (the same precondition op 69 documents for text):
+      // identical vectors collapse to one representative before LSH. A
+      // corpus with k exact copies per vector otherwise multiplies every
+      // LSH bucket by k and the candidate join by k² — measured at sf3
+      // (30× replicas): the bucket join spilled past local disk. Identity
+      // groups are re-expanded after the banded pass, which is linear in
+      // the TRUE output size (all-pairs within an identical group is the
+      // specified answer, not overhead).
+      val grouped = all.groupBy(col("v"))
+        .agg(min(col("vec_id")).as("rep_id"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       val bucketed = graft.etl.VectorLsh.withBandBuckets(
-        all, nBands = EMB_BANDS, bitsPerBand = EMB_BITS, dims = 64)
+        reps, nBands = EMB_BANDS, bitsPerBand = EMB_BITS, dims = 64)
       val a = bucketed.as("a")
       val b = bucketed.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+      val repPairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.v").as("va"), col("b.v").as("vb"))
@@ -312,6 +325,24 @@ object LlmOps extends QueryGroup {
         .dropDuplicates(Seq("vec_a", "vec_b"))
         .select(col("vec_a"), col("vec_b"), cosR("va", "vb").as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
+      // cross-group expansion: every member pair inherits the rep cosine
+      // (identical vectors); least/greatest restores the vec_a < vec_b form
+      val cross = repPairs
+        .join(grouped.select(col("rep_id").as("vec_a"), col("members").as("ma")), "vec_a")
+        .join(grouped.select(col("rep_id").as("vec_b"), col("members").as("mb")), "vec_b")
+        .select(explode(col("ma")).as("x"), col("mb"), col("cos_sim"))
+        .select(col("x"), explode(col("mb")).as("y"), col("cos_sim"))
+        .select(least(col("x"), col("y")).as("vec_a"),
+          greatest(col("x"), col("y")).as("vec_b"), col("cos_sim"))
+      // intra-group pairs: exact copies are near-dups of each other by
+      // definition (cosine computed through the same kernel for parity)
+      val intra = grouped.filter(size(col("members")) > 1)
+        .select(col("v"), explode(expr(
+          """flatten(transform(sequence(0, size(members) - 2), i ->
+               transform(sequence(i + 1, size(members) - 1), j ->
+                 struct(members[i] AS vec_a, members[j] AS vec_b))))""")).as("p"))
+        .select(col("p.vec_a"), col("p.vec_b"), cosR("v", "v").as("cos_sim"))
+      cross.unionByName(intra)
         .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
     },
     Some("""
