@@ -19,16 +19,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Ivf {
 
-  /** Nearest-centroid assignment (ties broken by cent_id). */
+  /** Nearest-centroid assignment (ties broken by cent_id) — MAP-SIDE ONLY.
+    * Centroids are k×dims model parameters, so they ride into the row
+    * expression as array literals (one `typedlit` per centroid — the
+    * VectorLsh codegen lesson) and the argmax is an `array_max` over
+    * struct(cos, −cent_id): max cosine first, then smallest cent_id, the
+    * same total order the previous window formulation used. Zero shuffle,
+    * zero broadcast-join: at 100 TB assignment is a pure scan, and the
+    * earlier crossJoin+window shape (k·N rows through a per-vector window)
+    * disappears from every Lloyd iteration and every index build. */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("c", round(expr("cosine_fast(v, cv)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("v"))
+    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scored = cl.map { case (cid, cv) =>
+      struct(
+        round(call_function("cosine_fast", col("v"), typedlit(cv)), 6).as("c"),
+        lit(-cid).as("negid"))
+    }
+    vecs.withColumn("best", array_max(array(scored.toSeq: _*)))
+      .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
   }
 
   /** k-means training over a (vec_id, v: array<double>) DataFrame.

@@ -471,8 +471,10 @@ object LlmOps extends QueryGroup {
       val terms = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(TextOps.normalize(col("text")), " ")).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df = docs-per-term = one count over tf's (doc,term) rows: reusing
+      // the grouped result instead of re-exploding + distinct saves a
+      // second full normalize/explode subtree AND a 1-row-per-token shuffle
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc_nulls_last, col("term").asc_nulls_first)

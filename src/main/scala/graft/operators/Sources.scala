@@ -89,10 +89,14 @@ object Sources extends QueryGroup {
     "source_jsonl",
     (s, dir) => {
       val path = io("source_jsonl")
-      Tables.events(s, dir)
+      val src = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("overwrite").json(path)
-      s.read.json(path)
+      // parallel multi-part write (a coalesce(1) here serializes the whole
+      // write through one task), and an EXPLICIT schema on the way back:
+      // inference is a second full pass over the file at scale, and the
+      // writer's schema is the round-trip contract anyway
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
         .select("event_id", "event_type", "value", "props")
         .orderBy(col("event_id").asc_nulls_first)
     },
