@@ -15,15 +15,27 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Candidate near-dup pairs with exact Jaccard ≥ `threshold`.
-    * Input df must have columns (`id` bigint, `text` string). */
+    * Input df must have columns (`id` bigint, `text` string).
+    *
+    * EXACT-DEDUP FIRST: identical normalized texts collapse to one
+    * representative (min id) before any signature work — k exact copies
+    * would otherwise multiply every LSH bucket by k and the candidate
+    * expansion by k² (measured at sf3's 30× replica corpus: 43.6 s and a
+    * 2.69 M-pair explosion, mostly copy pairs). Identity groups re-expand
+    * after the banded pass: copies pair with each other at Jaccard 1.0 and
+    * inherit their representative's near-dup partners — exactly the
+    * all-pairs answer, produced output-linearly. */
   def minhashPairs(docs: DataFrame, shingleWords: Int, nHashes: Int,
       nBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     require(nBands * rowsPerBand == nHashes, "bands*rows must equal signature length")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    val grouped = docs
       .withColumn("norm", TextOps.normalize(col("text")))
+      .groupBy(col("norm"))
+      .agg(min(col("id")).as("rep_id"), sort_array(collect_list(col("id"))).as("members"))
+    val sh = grouped
       .withColumn("shingles", expr(s"word_shingles(norm, $shingleWords)"))
-      .select("id", "shingles")
+      .select(col("rep_id").as("id"), col("shingles"))
     val banded = sh
       // single-pass native signature (see MinHashSignature scaladoc: the
       // higher-order TextOps.minhashSignature re-hashes per seed, 64x cost)
@@ -54,11 +66,27 @@ object TextDedup {
     // small, and a bounded shuffle otherwise.
     val withA = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
       .join(cand, "doc_a")
-    sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
+    val repPairs = sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
       .join(withA, "doc_b")
       .withColumn("jaccard", expr("jaccard_sim(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    // identity-group re-expansion (see scaladoc): cross pairs inherit the
+    // representative Jaccard; within-group pairs are exact dups at 1.0
+    val cross = repPairs
+      .join(grouped.select(col("rep_id").as("doc_a"), col("members").as("ma")), "doc_a")
+      .join(grouped.select(col("rep_id").as("doc_b"), col("members").as("mb")), "doc_b")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+    val intra = grouped.filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2), i ->
+             transform(sequence(i + 1, size(members) - 1), j ->
+               struct(members[i] AS doc_a, members[j] AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Deterministic block-size cap for blocked pair generation: keep the

@@ -413,28 +413,35 @@ object LlmOps extends QueryGroup {
     None)
 
   /** op 73 — text stats per language: doc/token/char totals + exact mean
-    * tokens + top-3 terms (explode → count → windowed top-k → re-collect). */
+    * tokens + top-3 terms. ONE tokenize/explode pass: the (lang, term)
+    * count table feeds both the windowed top-3 AND the per-lang token
+    * totals (Σ counts ≡ Σ size(toks) — same occurrences, grouped), so the
+    * normalize+split subtree and its per-token rows exist exactly once.
+    * n_docs/total_chars come from the raw rows without tokenizing. */
   private val llmTextStats = GraftQuery(
     "llm_text_stats",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", split(TextOps.normalize(col("text")), " "))
-      val stats = docs.groupBy(col("lang")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast(LongType)).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"),
-        (sum(size(col("toks")).cast(LongType)).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("avg_tokens"))
+      val termCounts = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
-      val top = docs.select(col("lang"), explode(col("toks")).as("term"))
-        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      val top = termCounts
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 3)
         .groupBy(col("lang"))
         // array_join: driver compare cannot sort/hash array cells.
         .agg(array_join(transform(array_sort(collect_list(struct(col("rn"), col("term")))),
           x => x.getField("term")), ",").as("top_terms"))
+      val tokTotals = termCounts.groupBy(col("lang"))
+        .agg(sum(col("n")).as("total_tokens"))
+      val stats = Tables.documents(s, dir).groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .join(tokTotals, "lang")
+        .withColumn("avg_tokens",
+          col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
       stats.join(top, "lang")
         .select("lang", "n_docs", "total_tokens", "total_chars", "avg_tokens", "top_terms")
         .orderBy(col("lang").asc_nulls_first)
