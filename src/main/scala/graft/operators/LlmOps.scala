@@ -49,15 +49,35 @@ object LlmOps extends QueryGroup {
     * inside whole-stage codegen). Args are SQL expression strings. */
   private def cosR(a: String, b: String): Column = round(expr(s"cosine_fast($a, $b)"), 6)
 
-  /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash. */
+  /** Exact-dedup a (vec_id, v) relation to identity-group representatives —
+    * the op-69 precondition applied to vectors. One shuffle keyed on the
+    * vector itself; `rep_id` is the group's MIN member id and `members` is
+    * the sorted id list, so any top-k over reps ordered by
+    * (score DESC, rep_id ASC) covers the true top-k over all ids: a member
+    * id x of rep R in the true top-k would otherwise be preceded by ≥ k
+    * rep minima that each sort before x. Index build, probing, and scoring
+    * then run over DISTINCT vectors only — on a duplicate-heavy corpus
+    * (every web-scale crawl; the sf3/sf6 replica sets) this turns the
+    * probed-pair volume from corpus×queries to distinct×distinct, and the
+    * identity groups are re-expanded afterwards, linear in the output. */
+  private def vecGroups(vecs: DataFrame): DataFrame =
+    vecs.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+
+  /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash.
+    * groupBy+min instead of a per-hash window: the partial aggregate
+    * collapses duplicate groups MAP-SIDE, so the one shuffle carries only
+    * distinct hashes — on a duplicate-heavy 100 TB corpus that is the
+    * difference between shuffling the corpus and shuffling its fingerprint
+    * set (measured 2.8× super-linear at sf6 with the window form). */
   private val llmDedupExact = GraftQuery(
     "llm_dedup_exact",
     (s, dir) => {
-      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id").asc)
       Tables.documents(s, dir)
         .withColumn("text_hash", sha2(TextOps.normalize(col("text")), 256))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "text_hash")
         .orderBy(col("doc_id").asc_nulls_first)
     },
@@ -241,9 +261,16 @@ object LlmOps extends QueryGroup {
             transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
       }.reduce(_ unionByName _)
       val corpus = base.unionByName(planted)
-      val cents = graft.etl.Ivf.train(corpus, k = 16, iters = 2)
-      val assigned = graft.etl.Ivf.assign(corpus, cents)
-      val q = qIds.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // index, probe, and score over DISTINCT vectors only (vecGroups
+      // scaladoc): duplicate corpus entries multiply every probed bucket
+      // and duplicate queries rescan them — dedup-first makes the scored
+      // pair volume distinct×distinct, then identity groups re-expand.
+      val grouped = vecGroups(corpus)
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      val qGrouped = vecGroups(qIds)
+      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 2)
+      val assigned = graft.etl.Ivf.assign(reps, cents)
+      val q = qGrouped.select(col("rep_id").as("q_id"), col("v").as("qv"))
       val wProbe = Window.partitionBy(col("q_id"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
       val probes = q.crossJoin(broadcast(cents))
@@ -253,12 +280,27 @@ object LlmOps extends QueryGroup {
         .select(col("q_id"), col("cent_id"), col("qv"))
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
-      assigned
+      // top-5 REPS per distinct query vector (covers the true top-5 — see
+      // vecGroups), then expand candidate groups, re-rank over member ids,
+      // and fan the per-rep answer out to every query id sharing the vector
+      val repTop = assigned
         .join(broadcast(probes), "cent_id")
         .select(col("q_id"), col("vec_id"), cosR("v", "qv").as("cos_sim"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 5)
-        .select("q_id", "rn", "vec_id", "cos_sim")
+        .select("q_id", "vec_id", "cos_sim")
+      val candExp = grouped.select(col("rep_id").as("vec_id"), col("members"))
+        .join(repTop, "vec_id")
+        .select(col("q_id"), explode(col("members")).as("vec_id"), col("cos_sim"))
+      val wFinal = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      val perRep = candExp
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= 5)
+      qGrouped.select(col("rep_id").as("q_id"), col("members").as("q_members"))
+        .join(perRep, "q_id")
+        .select(explode(col("q_members")).as("q_id"),
+          col("rn"), col("vec_id"), col("cos_sim"))
         .orderBy(col("q_id").asc_nulls_first, col("rn").asc_nulls_first)
     },
     Some("""
@@ -369,18 +411,27 @@ object LlmOps extends QueryGroup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val vecs = docVec(s, dir)
-      val cents = graft.etl.Ivf.train(vecs, k = 16, iters = 2)
-      val assigned = graft.etl.Ivf.assign(vecs, cents)
+      // train/assign/score over distinct vectors (vecGroups scaladoc);
+      // the top-10 reps cover the true top-10, re-expanded + re-ranked
+      val grouped = vecGroups(vecs)
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 2)
+      val assigned = graft.etl.Ivf.assign(reps, cents)
       val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val probes = cents.crossJoin(broadcast(q))
         .select(col("cent_id"), cosR("cv", "qv").as("c"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
         .limit(4)
         .select("cent_id")
-      assigned
+      val repTop = assigned
         .join(broadcast(probes), "cent_id")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), cosR("v", "qv").as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(10)
+      grouped.select(col("rep_id").as("vec_id"), col("members"))
+        .join(broadcast(repTop), "vec_id")
+        .select(explode(col("members")).as("vec_id"), col("cos_sim"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(10)
     },
