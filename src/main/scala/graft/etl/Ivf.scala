@@ -54,18 +54,25 @@ object Ivf {
       cents.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toSeq.toDF("cent_id", "cv")
-    var cents = vecs.orderBy(col("vec_id").asc).limit(k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    for (_ <- 1 to iters) {
-      cents = materialize(assign(vecs, cents)
-        .select(col("cent_id"), posexplode(col("v")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cv")))
-    }
-    cents
+    // Training is EAGER (each iteration collects the k×dims model), so the
+    // input can be cached for its duration and released before returning:
+    // without this, every iteration's job re-runs the caller's upstream
+    // plan (e.g. the dedup-to-representatives shuffle) from the scan.
+    val input = vecs.persist()
+    try {
+      var cents = input.orderBy(col("vec_id").asc).limit(k)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      for (_ <- 1 to iters) {
+        cents = materialize(assign(input, cents)
+          .select(col("cent_id"), posexplode(col("v")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("m"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv")))
+      }
+      cents
+    } finally input.unpersist(blocking = false)
   }
 }

@@ -133,17 +133,53 @@ object LlmOps extends QueryGroup {
     "llm_jaccard_pairs",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sh = graft.etl.TextDedup.cappedBlocks(
+      // dedup-first INSIDE the capped blocks: identical texts share their
+      // shingle set, so the all-pairs kernel runs over distinct texts only
+      // (cap²/2 → distinct²/2 jaccard_sim calls per block). The top-50
+      // REP-pairs ordered by (jaccard DESC, rep_a, rep_b) cover the true
+      // top-50: a rep-pair's minimal expanded pair is exactly
+      // (least(rep_a, rep_b), greatest(rep_a, rep_b)) — rep ids are group
+      // minima — so 50 rep-pairs ranked above a pair contribute 50 pairs
+      // sorting before it. Identity groups (jaccard computed through the
+      // same kernel on the pair of identical sets) rank alongside.
+      val groups = graft.etl.TextDedup.cappedBlocks(
           Tables.documents(s, dir).filter(col("lang") === "en"),
           blockCol = "source", orderCol = "doc_id", cap = BLOCK_CAP)
+        .groupBy(col("source"), col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
-        .select("doc_id", "source", "sh")
-      val a = sh.as("a")
-      val b = sh.as("b")
-      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("jaccard_sim(a.sh, b.sh)").as("jaccard"))
+        .withColumn("rep", col("members")(0))
+        .select(col("source"), col("rep"), col("members"), col("sh"))
+      val a = groups.as("a")
+      val b = groups.as("b")
+      val cross = a.join(b,
+          col("a.source") === col("b.source") && col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("m_a"), col("b.rep").as("m_b"),
+          expr("jaccard_sim(a.sh, b.sh)").as("jaccard"),
+          col("a.members").as("ma"), col("b.members").as("mb"),
+          lit("x").as("kind"))
+      val intra = groups.filter(size(col("members")) > 1)
+        .select(col("members")(0).as("m_a"), col("members")(1).as("m_b"),
+          expr("jaccard_sim(sh, sh)").as("jaccard"),
+          col("members").as("ma"), col("members").as("mb"),
+          lit("i").as("kind"))
+      val cand = cross.unionByName(intra)
+        .orderBy(col("jaccard").desc_nulls_last,
+          col("m_a").asc_nulls_first, col("m_b").asc_nulls_first)
+        .limit(50)
+      val crossExp = cand.filter(col("kind") === "x")
+        .select(col("jaccard"), explode(col("ma")).as("x"), col("mb"))
+        .select(col("jaccard"), col("x"), explode(col("mb")).as("y"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+      val intraExp = cand.filter(col("kind") === "i")
+        .select(col("jaccard"), explode(expr(
+          """flatten(transform(sequence(0, size(ma) - 2), i ->
+               transform(sequence(i + 1, size(ma) - 1), j ->
+                 struct(ma[i] AS doc_a, ma[j] AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("jaccard"))
+      crossExp.unionByName(intraExp)
         .orderBy(col("jaccard").desc_nulls_last,
           col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
         .limit(50)
@@ -205,9 +241,19 @@ object LlmOps extends QueryGroup {
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
-      docVec(s, dir)
+      // scan DISTINCT vectors only (vecGroups scaladoc): the scored volume
+      // is queries × distinct, and the per-query top-5 REPS cover the true
+      // top-5, re-expanded over identity groups and re-ranked
+      val grouped = vecGroups(docVec(s, dir))
+      val repTop = grouped.select(col("rep_id").as("vec_id"), col("v"))
         .crossJoin(broadcast(q))
         .select(col("q_id"), col("vec_id"), cosR("v", "qv").as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+      grouped.select(col("rep_id").as("vec_id"), col("members"))
+        .join(repTop, "vec_id")
+        .select(col("q_id"), explode(col("members")).as("vec_id"), col("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("q_id", "rn", "vec_id", "cos_sim")
@@ -472,10 +518,18 @@ object LlmOps extends QueryGroup {
   private val llmTextStats = GraftQuery(
     "llm_text_stats",
     (s, dir) => {
+      // dedup-first for the tokenize/explode pass only: term counts per
+      // (lang, term) are the group-size-weighted counts over DISTINCT
+      // normalized texts (identical texts tokenize identically). The
+      // doc-level stats below stay on the raw table — n_chars is a stored
+      // column, not derivable from the normalized text, and that agg is
+      // map-side cheap with no explode.
       val termCounts = Tables.documents(s, dir)
-        .select(col("lang"),
+        .groupBy(col("lang"), col("text"))
+        .agg(count(lit(1)).as("g_size"))
+        .select(col("lang"), col("g_size"),
           explode(split(TextOps.normalize(col("text")), " ")).as("term"))
-        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"), col("term")).agg(sum(col("g_size")).as("n"))
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
       val top = termCounts
@@ -526,23 +580,41 @@ object LlmOps extends QueryGroup {
   private val llmTfidf = GraftQuery(
     "llm_tfidf",
     (s, dir) => {
-      val terms = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(TextOps.normalize(col("text")), " ")).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df = docs-per-term = one count over tf's (doc,term) rows: reusing
-      // the grouped result instead of re-exploding + distinct saves a
-      // second full normalize/explode subtree AND a 1-row-per-token shuffle
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // dedup-first (the op-69 precondition, text side): tf and the top-5
+      // term ranking depend only on the NORMALIZED text, so identical texts
+      // share one tokenize/explode/aggregate pass. df still counts every
+      // doc — it is the group-size-weighted sum over distinct texts — and
+      // the per-rep top-5 fans out to every member doc_id at the end,
+      // linear in the output. On a duplicate-free corpus this adds one
+      // doc-sized shuffle; on a duplicate-heavy one it divides the token
+      // volume AND the (doc, term) shuffle by the duplication factor.
+      // grouping key = the RAW text: no hash or normalize pass over the
+      // corpus (normalize runs only on the distinct reps below). Raw-text
+      // groups refine normalized-text groups, and every per-doc quantity
+      // here is a function of the text, so split groups just sum.
+      val groups = Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("g_size"))
+      val terms = groups
+        .select(col("rep_id"), col("g_size"),
+          explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+      val tf = terms.groupBy("rep_id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("g_size")).as("g_size"))
+      val df = tf.groupBy("term").agg(sum(col("g_size")).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
+      val w = Window.partitionBy(col("rep_id"))
         .orderBy(col("score").desc_nulls_last, col("term").asc_nulls_first)
-      tf.join(df, "term").crossJoin(broadcast(n))
+      val topPerRep = tf.join(df, "term").crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf").cast(DoubleType) *
             log((col("n_docs").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select("doc_id", "rn", "term", "score")
+        .select("rep_id", "rn", "term", "score")
+      topPerRep.join(groups.select(col("rep_id"), col("members")), "rep_id")
+        .select(explode(col("members")).as("doc_id"), col("rn"), col("term"), col("score"))
         .orderBy(col("doc_id").asc_nulls_first, col("rn").asc_nulls_first)
     },
     Some("""
@@ -616,13 +688,24 @@ object LlmOps extends QueryGroup {
     "llm_lang_id",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
+      // dedup-first: trigram extraction (the dominant cost — hundreds of
+      // distinct trigrams exploded per doc, twice) runs over DISTINCT
+      // (lang, text) groups only. Profile counts are docs-per-trigram, so
+      // the weighted sum over groups reproduces them exactly; the per-rep
+      // prediction is a function of the text and fans out to members.
+      val groups = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("g_size"))
+        .withColumn("rep_id", col("members")(0))
+      val repTris = groups
         .withColumn("norm", TextOps.normalize(col("text")))
-        .withColumn("tris", TextOps.charTrigrams("norm"))
+        .select(col("rep_id"), col("lang"), col("g_size"),
+          explode(TextOps.charTrigrams("norm")).as("tri"))
       val wProf = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("tri").asc_nulls_first)
-      val profiles = docs.select(col("lang"), explode(col("tris")).as("tri"))
-        .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      val profiles = repTris
+        .groupBy("lang", "tri").agg(sum(col("g_size")).as("n"))
         .withColumn("rn", row_number().over(wProf))
         .filter(col("rn") <= 50)
         .groupBy(col("lang").as("cand_lang"))
@@ -633,15 +716,19 @@ object LlmOps extends QueryGroup {
       // so the argmax row always exists.
       val profTris = profiles
         .select(col("cand_lang"), explode(col("profile")).as("tri"))
-      val wBest = Window.partitionBy(col("doc_id"))
+      val wBest = Window.partitionBy(col("rep_id"))
         .orderBy(col("score").desc_nulls_last, col("cand_lang").asc_nulls_first)
-      docs.select(col("doc_id"), col("lang"), explode(col("tris")).as("tri"))
+      val repPred = repTris
         .join(broadcast(profTris), "tri")
-        .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+        .groupBy(col("rep_id"), col("lang"), col("cand_lang"))
         .agg(count(lit(1)).cast(IntegerType).as("score"))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
+        .select(col("rep_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
+      groups.select(col("rep_id"), col("members"))
+        .join(repPred, "rep_id")
+        .select(explode(col("members")).as("doc_id"),
+          col("lang"), col("pred_lang"), col("score"))
         .orderBy(col("doc_id").asc_nulls_first)
     },
     Some("""
