@@ -59,7 +59,14 @@ object LlmOps extends QueryGroup {
     * then run over DISTINCT vectors only — on a duplicate-heavy corpus
     * (every web-scale crawl; the sf3/sf6 replica sets) this turns the
     * probed-pair volume from corpus×queries to distinct×distinct, and the
-    * identity groups are re-expanded afterwards, linear in the output. */
+    * identity groups are re-expanded afterwards, linear in the output.
+    *
+    * Skew note for extreme duplication: `members` is one array row per
+    * group. The rows it explodes into are the operator's own output
+    * contract (one result row per member), so the volume is irreducible;
+    * only the single-row width could pinch at, say, 10⁸ copies of one
+    * item — at which point collect per (content, member-id mod C) chunk
+    * and expand in two levels to bound the row. */
   private def vecGroups(vecs: DataFrame): DataFrame =
     vecs.groupBy(col("v"))
       .agg(min(col("vec_id")).as("rep_id"),

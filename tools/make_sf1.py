@@ -19,6 +19,12 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 REPL = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# mode "replica" (default): exact copies with offset keys — the
+# duplicate-heavy profile of a web crawl, exercises dedup-first paths.
+# mode "distinct": additionally perturbs text (per-replica suffix token)
+# and embeddings (tiny per-replica offset) so every item is UNIQUE —
+# exercises distinct-item scaling of the text/vector passes.
+MODE = sys.argv[4] if len(sys.argv) > 4 else "replica"
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -29,7 +35,8 @@ KEY_OFF = 1_000_000_000
 
 def gen(table, select):
     parts = " UNION ALL ".join(
-        select.replace("{off}", str(i * KEY_OFF)) for i in range(REPL))
+        select.replace("{off}", str(i * KEY_OFF)).replace("{rep}", str(i))
+        for i in range(REPL))
     con.execute(
         f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
@@ -68,10 +75,24 @@ for i in range(REPL):
 pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet",
                row_group_size=122880)
 print("events:", sum(c.num_rows for c in chunks), "rows (ns preserved)")
-gen("documents",
-    f"SELECT doc_id + {{off}} AS doc_id, text, lang, source, n_chars "
-    f"FROM '{SRC}/documents.parquet'")
-gen("embeddings",
-    f"SELECT vec_id + {{off}} AS vec_id, embedding, label "
-    f"FROM '{SRC}/embeddings.parquet'")
+if MODE == "distinct":
+    # {rep} is the replica index: a unique trailing token per replica makes
+    # every text distinct (shingle/trigram sets shift by a few grams); a
+    # per-replica epsilon on every embedding dimension makes vectors
+    # distinct while preserving the near-uniform cosine structure.
+    gen("documents",
+        f"SELECT doc_id + {{off}} AS doc_id, text || ' rep{{rep}}tok' AS text, "
+        f"lang, source, n_chars "
+        f"FROM '{SRC}/documents.parquet'")
+    gen("embeddings",
+        f"SELECT vec_id + {{off}} AS vec_id, "
+        f"list_transform(embedding, x -> CAST(x + {{rep}} * 1e-4 AS FLOAT)) AS embedding, "
+        f"label FROM '{SRC}/embeddings.parquet'")
+else:
+    gen("documents",
+        f"SELECT doc_id + {{off}} AS doc_id, text, lang, source, n_chars "
+        f"FROM '{SRC}/documents.parquet'")
+    gen("embeddings",
+        f"SELECT vec_id + {{off}} AS vec_id, embedding, label "
+        f"FROM '{SRC}/embeddings.parquet'")
 print("done ->", DST)
