@@ -53,6 +53,36 @@ object VectorLsh {
   def probe(bucketed: DataFrame, queryBucket: Int, maxHamming: Int): DataFrame =
     bucketed.filter(bit_count(col("bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
 
+  /** Band/bit sizing for [[withBandBuckets]] as a function of corpus size —
+    * the lever that keeps the candidate join LINEAR as the distinct corpus
+    * grows. The band join generates ~nBands · N²/2^bits candidate pairs
+    * (uniform occupancy), so bits must grow like log2(N/targetBucket) or
+    * bucket joins go quadratic: measured on a 4.65 M-distinct-vector corpus
+    * (sf3d), the fixed 8×4 default put ~290 k vectors in each of 16 buckets
+    * per band and the join spilled past local disk. More bits lower the
+    * per-band collision probability p^bits (p = 1 − θ/π per bit), so bands
+    * must rise to hold the miss probability: bands =
+    * ⌈ln(missProb)/ln(1 − p^bits)⌉. Derived-hyperplane determinism is
+    * preserved — for a FIXED corpus size the layout is reproducible, and
+    * the sizing itself is a pure function of (n, threshold, targets).
+    *
+    * Total candidate volume scales as N·bucket·p^−bits ≈ N^(1+ρ) with
+    * ρ ≈ 0.22 at threshold 0.9 — the standard LSH exponent, mildly
+    * super-linear and embarrassingly parallel, vs the N² all-pairs join.
+    * At the gate scale (n ≲ 512) this returns (12, 4): same 4 bits as the
+    * historical 8×4 default, a few more bands — extra bands only ADD
+    * candidate pairs, and exact verification filters them, so recall can
+    * only improve. */
+  def adaptiveBandParams(n: Long, simThreshold: Double, targetBucket: Int = 32,
+      missProb: Double = 1e-4): (Int, Int) = {
+    val bits = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    val bandMiss = 1.0 - math.pow(p, bits)
+    val bands = math.max(8, math.ceil(math.log(missProb) / math.log(bandMiss)).toInt)
+    (bands, bits)
+  }
+
   /** Banded sign-buckets for NEAR-DUP search (OR-amplification, the vector
     * analogue of MinHash LSH bands): nBands independent buckets of
     * bitsPerBand sign bits each, exploded to one (band, bucket) row per
@@ -60,11 +90,15 @@ object VectorLsh {
     * with per-bit collision p = 1 − θ/π, a pair at cosine ≥ 0.97 (p ≈ 0.92)
     * is missed with probability (1 − p^4)^8 ≈ 4e-5 at the 8×4 default —
     * and the derived hyperplanes make hit/miss deterministic, so a planted
-    * pair that passes the spec passes forever.
+    * pair that passes the spec passes forever. Size (nBands, bitsPerBand)
+    * with [[adaptiveBandParams]] — fixed small bucket counts go quadratic
+    * on large distinct corpora (see its scaladoc).
     *
     * 100 TB note: the ONLY shuffle downstream is the equi-join on
     * (band, bucket); bucket occupancy is data-uniform for random
-    * hyperplanes, so no block explodes the way attribute blocking can. */
+    * hyperplanes, so no single block explodes the way attribute blocking
+    * can — but the UNIFORM size N/2^bits must itself be kept small, which
+    * is adaptiveBandParams's job. */
   def withBandBuckets(vecs: DataFrame, nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val planes = hyperplanes(nBands * bitsPerBand, dims)

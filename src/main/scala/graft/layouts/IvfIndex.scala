@@ -1,0 +1,52 @@
+package graft.layouts
+
+import graft.etl.Ivf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index layout — the partition-pruning analogue of
+  * [[Bucketed]] for ANN search (SCALE.md §C): pay one k-means train +
+  * assign + partitioned write, then every probe query reads ONLY its
+  * probed `cent_id=` directories. At 100 TB this is the resident format
+  * of the vector table: a 4/16-probe search touches 1/4 of the files on
+  * disk before a single row is scanned, exactly like dynamic partition
+  * pruning for star joins — but driven by the quantizer instead of a dim
+  * filter. `IvfIndexSpec` pins the pruning (selected partitions < total)
+  * and the exactness of a probed search against brute force.
+  *
+  * The index stores identity-group REPRESENTATIVES (dedup-first, the
+  * round-3 precondition): rows are (vec_id = group-min rep, members =
+  * sorted ids, v), so index size is distinct-item-sized on duplicate-heavy
+  * corpora and a top-k over reps covers the true top-k (vecGroups proof,
+  * LlmOps). Build is cached per (tag, k, iters): callers derive `tag` from
+  * the source files' size+mtime so regenerated data can never be served
+  * from a stale index.
+  */
+object IvfIndex {
+
+  /** Index + centroid parquet paths for `corpus` (vec_id, v) under cache
+    * key `tag`. Builds on first call, else returns the cached layout. */
+  def ensure(s: SparkSession, tag: String, corpus: => DataFrame,
+      k: Int = 16, iters: Int = 2): (String, String) = {
+    val id = math.abs((tag + "_" + k + "_" + iters).hashCode).toString
+    val idxPath = s"/tmp/graft_ivf_idx_$id"
+    val centsPath = s"/tmp/graft_ivf_cents_$id"
+    val done = new java.io.File(s"$idxPath/_SUCCESS")
+    if (!done.exists() || !new java.io.File(s"$centsPath/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(centsPath))
+      val grouped = corpus.groupBy(col("v"))
+        .agg(min(col("vec_id")).as("vec_id"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+      val reps = grouped.select(col("vec_id"), col("v"))
+      val cents = Ivf.train(reps, k, iters)
+      // one write task per centroid bucket → one file per partition dir
+      Ivf.assign(reps, cents)
+        .join(grouped.select(col("vec_id"), col("members")), "vec_id")
+        .repartition(k, col("cent_id"))
+        .write.partitionBy("cent_id").mode("overwrite").parquet(idxPath)
+      cents.write.mode("overwrite").parquet(centsPath)
+    }
+    (idxPath, centsPath)
+  }
+}

@@ -36,8 +36,6 @@ object LlmOps extends QueryGroup {
   private val SIG_HASHES = 64
   private val LSH_BANDS = 16
   private val LSH_ROWS = 4
-  private val EMB_BANDS = 8   // vector-LSH bands for embedding near-dup
-  private val EMB_BITS = 4    // sign bits per band
   private val BLOCK_CAP = 1000 // max docs per block in blocked pair generation
 
   private def docVec(s: SparkSession, dir: String): DataFrame =
@@ -406,18 +404,35 @@ object LlmOps extends QueryGroup {
         .agg(min(col("vec_id")).as("rep_id"),
           sort_array(collect_list(col("vec_id"))).as("members"))
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      // LSH geometry sized from the corpus count (a parquet metadata-only
+      // job): fixed small bucket counts go quadratic on large DISTINCT
+      // corpora — at sf3d (150 k unique vectors) the historical 8×4 put
+      // ~9 k vectors per bucket and the band join spilled past local disk.
+      // adaptiveBandParams grows bits like log2(N) and bands to hold the
+      // miss probability (VectorLsh scaladoc); at the gate scale it returns
+      // the same 4 bits with a few more bands, which only adds candidates.
+      val nUpper = base.count()
+      val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
+        nUpper + nUpper / 100 + 1, simThreshold = 0.9)
       val bucketed = graft.etl.VectorLsh.withBandBuckets(
-        reps, nBands = EMB_BANDS, bitsPerBand = EMB_BITS, dims = 64)
+          reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
+        .select(col("vec_id"), col("band"), col("bucket"))
       val a = bucketed.as("a")
       val b = bucketed.as("b")
-      val repPairs = a.join(b,
+      // candidates carry IDS ONLY through the band join (24 B/row, not two
+      // 64-dim vectors); vectors are fetched AFTER pair-dedup by two
+      // id-keyed joins, so the shuffled candidate volume is pairs, not
+      // pairs × vector width
+      val candIds = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         // a pair colliding in several bands appears once per band; duplicate
         // rows are identical so keyed dedup is deterministic
         .dropDuplicates(Seq("vec_a", "vec_b"))
+      val repPairs = candIds
+        .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
         .select(col("vec_a"), col("vec_b"), cosR("va", "vb").as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
       // cross-group expansion: every member pair inherits the rep cosine
@@ -489,6 +504,72 @@ object LlmOps extends QueryGroup {
         .limit(10)
     },
     None)
+
+  /** IVF ANN over the PERSISTED index layout (layouts.IvfIndex): the
+    * vector table is written partitioned by cent_id ONCE (its resident
+    * on-disk format at 100 TB), then a probe query filters
+    * `cent_id IN (top-4 probes)` so the file-source scan reads ONLY the
+    * probed partition directories — partition pruning as the ANN analogue
+    * of DPP (IvfIndexSpec pins selected-partitions < total and file-level
+    * pruning). Contrast `llm_ann_ivf`, which rebuilds the index per run:
+    * here train/assign/write amortize across every query against the
+    * table, which is how an ANN index is actually served.
+    *
+    * The corpus plants 4 perturbed mutants of the query vector (the
+    * knn_ivf scheme: cos ≥ 0.9 vs ≤ 0.55 background), so the exact top-5
+    * is self + mutants, all inside the query's centroid neighborhood —
+    * the probed search must reproduce the brute-force oracle bit-for-bit.
+    * Index rows are identity-group reps; the top-5 over reps covers the
+    * true top-5 (vecGroups proof), re-expanded then re-ranked. */
+  private val llmAnnIvfPersisted = GraftQuery(
+    "llm_ann_ivf_persisted",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def corpus = {
+        val base = docVec(s, dir)
+        val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+          case (off, i) =>
+            base.filter(col("vec_id") === 0)
+              .select(lit((i + 1) * 1000000L).as("vec_id"),
+                transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+        }.reduce(_ unionByName _)
+        base.unionByName(planted)
+      }
+      val f = new java.io.File(s"$dir/embeddings.parquet")
+      val (idxPath, centsPath) = graft.layouts.IvfIndex.ensure(
+        s, s"annp_${dir}_${f.length}_${f.lastModified}", corpus, k = 16, iters = 2)
+      val q = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // probe selection: centroids are k×dims model params (the Ivf.assign
+      // pattern) — a 16-row job picks the top-4 probe ids, which enter the
+      // scan as LITERALS so Catalyst prunes partitions statically
+      val probeIds = s.read.parquet(centsPath).crossJoin(broadcast(q))
+        .select(col("cent_id"), cosR("cv", "qv").as("c"))
+        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
+        .limit(4).collect().map(_.getLong(0)).toSeq
+      val pruned = s.read.parquet(idxPath)
+        .filter(col("cent_id").isin(probeIds: _*))
+      pruned.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("members"), cosR("v", "qv").as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(5)
+        .select(explode(col("members")).as("vec_id"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(5)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      qv AS (SELECT v FROM base WHERE vec_id = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL SELECT 1000000, list_transform(v, x -> x * 0.9 + 0.005) FROM qv
+        UNION ALL SELECT 2000000, list_transform(v, x -> x * 0.9 + 0.010) FROM qv
+        UNION ALL SELECT 3000000, list_transform(v, x -> x * 0.9 + 0.015) FROM qv
+        UNION ALL SELECT 4000000, list_transform(v, x -> x * 0.9 + 0.020) FROM qv)
+      SELECT c.vec_id, round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+      FROM corpus c CROSS JOIN qv q
+      ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
+      LIMIT 5"""))
 
   /** LSH-bucketed ANN (the prompt's "LSH-bucketed variant as the scale
     * path"): 8-bit random-hyperplane sign buckets, query probes Hamming≤1
@@ -873,7 +954,8 @@ object LlmOps extends QueryGroup {
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
-    llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf, llmAnnLsh,
+    llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
+    llmAnnIvfPersisted, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint)
 }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * graft.Bench; one warmup then min of 2 (the registry is 95 queries — a
   * third run would double-digit-minutes the sweep for ~noise gain).
   *
-  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.RegistryBench
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.RegistryBench [prefix...]
+  * Optional args are query-name prefixes (e.g. `llm_` for the text/vector
+  * family) — a filtered sweep for targeted scaling comparisons.
   * Output: one JSON line {"metric":"registry_sweep","queries":{name:sec}}
   * (a failed query reports -1 — must be investigated, never ignored).
   */
@@ -33,7 +35,10 @@ object RegistryBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => args.exists(n.startsWith) }
+    val timed = selected.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           fn(spark, sfDir).count() // warmup: plan + codegen (+ any layout build)

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF layout (layouts.IvfIndex): the probe query must (a) read
+  * ONLY the probed cent_id partition directories — partition pruning as
+  * the ANN analogue of DPP — and (b) still reproduce the exact brute-force
+  * top-5 on the planted corpus. */
+class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def brute(s: org.apache.spark.sql.SparkSession) = {
+    val base = Tables.embeddings(s, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+      case (off, i) =>
+        base.filter(col("vec_id") === 0)
+          .select(lit((i + 1) * 1000000L).as("vec_id"),
+            transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+    }.reduce(_ unionByName _)
+    val corpus = base.unionByName(planted)
+    val q = base.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    corpus.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("probed search reads < total partitions and matches brute force exactly") {
+    // isolated session: AQE off so the file scan's runtime metrics are
+    // readable from the executed plan (the DppSpec pattern)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("llm_ann_ivf_persisted")(s, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact top-5 = self + the 4 planted mutants, bit-for-bit vs brute force
+    assert(rows == brute(s), s"probed=$rows brute=${brute(s)}")
+    assert(rows.head == ((0L, 1.0)))
+    assert(rows.map(_._1).toSet ==
+      Set(0L, 1000000L, 2000000L, 3000000L, 4000000L))
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("graft_ivf_idx")) => f
+    }
+    assert(scan.nonEmpty, s"no index scan in:\n${df.queryExecution.executedPlan}")
+    val idxPath = new java.io.File(scan.get.relation.location.rootPaths.head.toUri)
+    val totalParts = Option(idxPath.listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cent_id="))).getOrElse(0)
+    val readParts = scan.get.metrics("numPartitions").value
+    assert(totalParts > 4, s"index has only $totalParts partitions")
+    assert(readParts == 4,
+      s"probe read $readParts of $totalParts partitions — expected exactly the 4 probed")
+  }
+
+  test("layout build is cached: second run reuses the persisted index") {
+    val s = spark.newSession()
+    // locate the index dir via a first run's scan metadata
+    val df = SparkEntry.queries("llm_ann_ivf_persisted")(s, sf)
+    df.collect()
+    val idxDirs = Option(new java.io.File("/tmp").listFiles())
+      .map(_.filter(_.getName.startsWith("graft_ivf_idx_")).toSeq).getOrElse(Seq.empty)
+    assert(idxDirs.nonEmpty)
+    val marks = idxDirs.map(d => d -> new java.io.File(d, "_SUCCESS").lastModified()).toMap
+    SparkEntry.queries("llm_ann_ivf_persisted")(s, sf).collect()
+    idxDirs.foreach { d =>
+      assert(new java.io.File(d, "_SUCCESS").lastModified() == marks(d),
+        s"index $d was rebuilt on the second run")
+    }
+  }
+}
