@@ -153,8 +153,29 @@ object StreamingOps extends QueryGroup {
        AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
       ORDER BY purchase_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""))
 
+  /** Streaming near-dup with LSH-bucket state (StreamingNearDup scaladoc):
+    * MinHash sign map-side, flatMapGroupsWithState keyed on (band, bucket),
+    * bounded bucket state, ESTIMATED-Jaccard emission. Registered through
+    * its batch form (state starts empty; one batch = the corpus); the
+    * actual streaming execution — multi-batch delivery, cross-batch pair
+    * discovery, state bound — is asserted in StreamingNearDupSpec. Oracle:
+    * none (the signature estimator is not SQL-expressible); the spec pins
+    * planted-mutant recovery and batch/stream agreement. */
+  private val streamNeardupLsh = GraftQuery(
+    "stream_neardup_lsh",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      graft.streaming.StreamingNearDup
+        .nearDupPairs(docs.unionByName(mutants), threshold = 0.5)
+        .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
-    streamStreamJoin,
+    streamStreamJoin, streamNeardupLsh,
     streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
     streamSessionNative, streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
 }
