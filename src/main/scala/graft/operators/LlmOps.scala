@@ -333,9 +333,17 @@ object LlmOps extends QueryGroup {
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
       // top-5 REPS per distinct query vector (covers the true top-5 — see
       // vecGroups), then expand candidate groups, re-rank over member ids,
-      // and fan the per-rep answer out to every query id sharing the vector
+      // and fan the per-rep answer out to every query id sharing the vector.
+      // The probe⋈bucket join is SIZE-DRIVEN, not hint-forced: a small query
+      // batch broadcasts (zero extra shuffle), a large one shuffles BOTH
+      // sides on cent_id — each probed bucket is then scanned once per
+      // co-partitioned query group, the batched form a big query set needs
+      // (a forced broadcast of probes is the shape that dies there). Join
+      // parallelism on this key is bounded by nlist; at corpus scale
+      // nlist ≈ √N (16 here for 16 probed buckets of testdata) so the key
+      // space exceeds any cluster's cores long before the corpus is big.
       val repTop = assigned
-        .join(broadcast(probes), "cent_id")
+        .join(probes, "cent_id")
         .select(col("q_id"), col("vec_id"), cosR("v", "qv").as("cos_sim"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 5)
