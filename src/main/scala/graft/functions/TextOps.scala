@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Quality-filter features over a raw `text` column — the standard
+    * pre-training corpus heuristics (stopword ratio, length, digit noise)
+    * composed into a [0,1] score. ONE definition shared by the oracled
+    * registry row (`llm_quality_score`) and the composed corpus-prep job
+    * (`examples.TrainingDataPrep`), so the filter a pipeline applies is
+    * bit-identical to the one the driver verifies. Returns a struct
+    * (n_tokens, stop_ratio, digit_ratio, quality); map-side only. */
+  def qualityFeatures(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val words = split(normalize(text), " ")
+    val nTok = size(words).cast("double")
+    val stopRatio =
+      size(filter(words, w => w.isin(stop.map(x => x: Any): _*))).cast("double") / nTok
+    val digitRatio =
+      regexp_count(text, lit("[0-9]")).cast("double") / length(text).cast("double")
+    struct(
+      size(words).as("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(
+        lit(0.4) * stopRatio + lit(0.3) * least(nTok / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - digitRatio), 6).as("quality"))
+  }
+
   /** lower + collapse whitespace + trim: the canonical dedup normalization. */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -848,29 +848,19 @@ object LlmOps extends QueryGroup {
       ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** Quality scoring: token/length/stopword/digit heuristics composed into
-    * a [0,1] score — the standard pre-training corpus filter features. */
+    * a [0,1] score — the standard pre-training corpus filter features.
+    * The feature definition lives in TextOps.qualityFeatures, shared with
+    * the composed corpus-prep job (examples.TrainingDataPrep) so the
+    * pipeline filter is exactly the oracled formula. */
   private val llmQualityScore = GraftQuery(
     "llm_quality_score",
-    (s, dir) => {
-      val stop = Seq("the", "a", "of", "and", "in", "to", "is")
-      val words = split(TextOps.normalize(col("text")), " ")
-      val nTok = size(words).cast(DoubleType)
-      val stopRatio =
-        size(filter(words, w => w.isin(stop.map(x => x: Any): _*))).cast(DoubleType) / nTok
-      val digitRatio =
-        regexp_count(col("text"), lit("[0-9]")).cast(DoubleType) /
-          length(col("text")).cast(DoubleType)
+    (s, dir) =>
       Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          size(words).as("n_tokens"),
-          round(stopRatio, 6).as("stop_ratio"),
-          round(digitRatio, 6).as("digit_ratio"),
-          round(
-            lit(0.4) * stopRatio + lit(0.3) * least(nTok / 100.0, lit(1.0)) +
-              lit(0.3) * (lit(1.0) - digitRatio), 6).as("quality"))
-        .orderBy(col("doc_id").asc_nulls_first)
-    },
+        .withColumn("q", TextOps.qualityFeatures(col("text")))
+        .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+          col("q.stop_ratio").as("stop_ratio"),
+          col("q.digit_ratio").as("digit_ratio"), col("q.quality").as("quality"))
+        .orderBy(col("doc_id").asc_nulls_first),
     Some("""
       WITH f AS (
         SELECT doc_id,
@@ -889,6 +879,31 @@ object LlmOps extends QueryGroup {
                    + 0.3 * (1.0 - digit_ratio), 6) AS quality
       FROM f
       ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** The composed corpus-preparation job (examples.TrainingDataPrep):
+    * exact dedup → quality filter → LSH near-dup removal → token
+    * accounting, over a corpus planted with BOTH exact copies (every 50th
+    * doc) and one-word mutants (every 25th) so every stage has work to do.
+    * Registered as its per-stage attrition report — the deterministic
+    * corpus-curation summary (docs in/out + surviving token volume per
+    * stage). Oracle: none (the near-dup stage rests on minhash_sig);
+    * TrainingDataPrepSpec pins stage-by-stage counts, that each planted
+    * copy/mutant dies in its intended stage, and output determinism. */
+  private val llmCorpusPrep = GraftQuery(
+    "llm_corpus_prep",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val copies = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+      val mutants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      graft.examples.TrainingDataPrep
+        .prepare(docs.unionByName(copies).unionByName(mutants))
+        .attrition
+        .orderBy(col("stage_ord").asc_nulls_first)
+    },
+    None)
 
   /** Token counting: whitespace, regex word-ish tokens, and the chars/4
     * BPE-budget estimate. */
@@ -965,5 +980,5 @@ object LlmOps extends QueryGroup {
     llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
     llmAnnIvfPersisted, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
-    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint)
+    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep)
 }

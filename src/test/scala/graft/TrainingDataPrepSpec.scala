@@ -1,0 +1,66 @@
+package graft
+
+import graft.examples.TrainingDataPrep
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composed corpus prep (examples.TrainingDataPrep): every planted exact
+  * copy dies in stage 1, every planted near-dup mutant in stage 3, stage
+  * counts reconcile, and kept docs all clear the quality bar. */
+class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
+    val copies = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+    val mutants = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+    (docs, docs.unionByName(copies).unionByName(mutants))
+  }
+
+  test("planted copies and mutants die in their intended stages") {
+    val (docs, planted) = corpus
+    val out = TrainingDataPrep.prepare(planted)
+    val dropped = out.dropped.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+
+    val copyIds = docs.filter(col("doc_id") % 50 === 0)
+      .collect().map(_.getLong(0) + 2000000L)
+    assert(copyIds.nonEmpty)
+    copyIds.foreach { id =>
+      assert(dropped.get(id).contains("exact_dup"), s"copy $id: ${dropped.get(id)}")
+    }
+    // a mutant is a near-dup of its original; whichever survives quality
+    // must see the pair caught in stage 3 — the mutant has the LARGER id,
+    // so keep-first drops the mutant (unless quality already killed it)
+    val mutantIds = docs.filter(col("doc_id") % 25 === 0)
+      .collect().map(_.getLong(0) + 1000000L)
+    val keptIds = out.kept.collect().map(_.getLong(0)).toSet
+    mutantIds.foreach { id =>
+      assert(!keptIds.contains(id), s"mutant $id survived")
+    }
+    val nearDupMutants = mutantIds.count(id => dropped.get(id).contains("near_dup"))
+    assert(nearDupMutants * 2 >= mutantIds.length,
+      s"only $nearDupMutants/${mutantIds.length} mutants died in near_dup")
+  }
+
+  test("attrition reconciles: docs_out chains, kept size matches, quality holds") {
+    val (_, planted) = corpus
+    val out = TrainingDataPrep.prepare(planted)
+    val rows = out.attrition.orderBy(col("stage_ord")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("exact_dedup", "quality_filter", "neardup_removal"))
+    // docs_in of stage n+1 == docs_out of stage n; monotone non-increasing
+    rows.sliding(2).foreach { case Array((_, _, o1), (s2, i2, _)) =>
+      assert(i2 == o1, s"stage $s2 in=$i2 != prev out=$o1")
+    }
+    assert(rows.head._2 == planted.count())
+    assert(rows.last._3 == out.kept.count())
+    // every kept doc clears the bar and total drops reconcile
+    assert(out.kept.filter(col("quality") < 0.45).count() == 0)
+    assert(out.dropped.count() == planted.count() - out.kept.count())
+  }
+}
