@@ -3,6 +3,7 @@ package graft.layouts
 import graft.etl.Ivf
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Persisted IVF index layout — the partition-pruning analogue of
   * [[Bucketed]] for ANN search (SCALE.md §C): pay one k-means train +
@@ -49,4 +50,32 @@ object IvfIndex {
     }
     (idxPath, centsPath)
   }
+
+  /** STREAMING index maintenance: append a vector stream to the persisted
+    * layout. `Ivf.assign` is map-side (centroids ride in as literals), so
+    * it applies to a streaming DataFrame unchanged — one quantizer model,
+    * two execution modes, the EventPipelines design point for ANN. The
+    * parquet sink lands every micro-batch inside the cent_id= partition
+    * directories, so the growing index stays probe-prunable: a reader's
+    * `cent_id IN (...)` filter skips unprobed directories no matter how
+    * many batches have been appended. At 100 TB this is how the vector
+    * table ingests: assignment never reshuffles the stream, and compaction
+    * of small batch files is a per-partition background job.
+    *
+    * Centroids are the FROZEN model here (retraining is a batch concern —
+    * rebuild via [[ensure]] with a new tag and swap paths); vecs must have
+    * (vec_id, v) and the written rows are (vec_id, v) partitioned by
+    * cent_id — the same partitioning scheme as [[ensure]], minus the
+    * identity-group members column (streams append raw vectors; collapsing
+    * to representatives is the batch compaction's job). Keep streamed and
+    * batch-built indexes in separate roots. */
+  def appendStream(vecs: DataFrame, cents: DataFrame,
+      idxPath: String, checkpoint: String): StreamingQuery =
+    Ivf.assign(vecs, cents)
+      .writeStream.format("parquet")
+      .option("path", idxPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cent_id")
+      .outputMode("append")
+      .start()
 }
