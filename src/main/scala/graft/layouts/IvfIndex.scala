@@ -78,4 +78,24 @@ object IvfIndex {
       .partitionBy("cent_id")
       .outputMode("append")
       .start()
+
+  /** Small-file compaction for a stream-appended index: every micro-batch
+    * leaves one file per touched partition, so a long-running ingest
+    * accumulates thousands of KB-sized files per cent_id dir — the classic
+    * streaming-sink pathology (scan cost becomes per-file overhead, not
+    * bytes). Rewrite via read → repartition on cent_id (all rows of a
+    * centroid land in ONE task → exactly one file per partition dir;
+    * `parallelism` only caps concurrent tasks) → partitioned overwrite
+    * into a NEW root (side-by-side, then swap — compacting in place would
+    * race concurrent readers; the stream must be stopped or re-pointed,
+    * which is the standard maintenance-window contract). Row content and
+    * partition dirs are preserved bit-for-bit, so probe pruning is
+    * unaffected — IvfIndexSpec pins files-shrink + rows-identical. */
+  def compact(s: SparkSession, idxPath: String, compactedPath: String,
+      parallelism: Int = 32): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(compactedPath))
+    s.read.parquet(idxPath)
+      .repartition(parallelism, col("cent_id"))
+      .write.partitionBy("cent_id").mode("overwrite").parquet(compactedPath)
+  }
 }

@@ -64,5 +64,22 @@ class StreamingIvfIngestSpec extends AnyFunSuite with SparkTestBase {
     probe.collect()
     val readParts = scan.get.metrics("numPartitions").value
     assert(readParts == 1, s"probe read $readParts partitions, expected 1")
+
+    // compaction: two micro-batches left >1 file in dirs touched twice;
+    // the compacted root has exactly one file per partition, same rows
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = files(idx)
+    assert(before.values.exists(_ > 1), s"no multi-file partition to compact: $before")
+    val compacted = "/tmp/graft_ivf_stream_idx_c"
+    graft.layouts.IvfIndex.compact(spark, idx, compacted)
+    val after = files(compacted)
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_ == 1), s"compaction left multi-file dirs: $after")
+    val rowsAfter = spark.read.parquet(compacted)
+      .select(col("vec_id"), col("cent_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rowsAfter == batchAssigned)
   }
 }
