@@ -103,6 +103,52 @@ object TextDedup {
       .filter(col("graft_block_rn") <= cap)
       .drop("graft_block_rn")
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * `cluster_id` = the MINIMUM id reachable through edges — the transitive
+    * closure of pairwise near-duplication, which is what corpus dedup
+    * actually needs (a~b and b~c must collapse to ONE keep decision even
+    * when a≁c directly; the pairwise keep-first rule cannot see the chain).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds, checked by an exact changed-count
+    * and capped at `maxIters` (near-dup components are shallow — chains of
+    * revisions — so the diameter is small in practice; for adversarial
+    * web-scale graphs the alternating large-star/small-star formulation
+    * bounds rounds at O(log n) with the same per-round join shape).
+    * Each round is one shuffle join + one aggregation; `localCheckpoint`
+    * truncates the lineage so the plan does not nest per iteration (the
+    * Ivf.train lesson, applied to data too big to collect).
+    *
+    * Deterministic: labels are ids, min is order-free, and the iteration
+    * count depends only on the graph. `nodes` must have column `id`;
+    * `edges` columns (`a`, `b`). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document over an (id, text) DataFrame. */
   def simhashes(docs: DataFrame): DataFrame =
     docs

@@ -117,6 +117,100 @@ object LlmOps extends QueryGroup {
   /** SimHash dedup signature: 64-bit per doc from token hashes; near-dups
     * differ in few bits (Hamming). Oracle: none — LlmOpsSpec asserts mutant
     * Hamming distance ≪ unrelated-pair distance. */
+  /** Transitive near-dup CLUSTERING: pairwise near-dup edges (capped
+    * source blocks, exact 3-word-shingle Jaccard ≥ 0.5 — the
+    * llm_jaccard_pairs machinery) closed into connected components
+    * (TextDedup.connectedComponents, min-label propagation), so a chain
+    * a~b~c collapses to ONE keep decision even where a≁c directly — the
+    * cluster-level rule pairwise keep-first cannot express. The corpus
+    * plants exactly such chains: for every 50th (≥30-word) doc, mutant A
+    * perturbs words 10–14 and mutant B perturbs 10–14 AND 20–24, so
+    * B shares A's neighborhood but (on shorter docs) not the original's.
+    *
+    * Oracle: full SQL twin INCLUDING the closure — a recursive CTE walks
+    * the symmetric edge set and takes min(label) per node, so the
+    * distributed label-propagation loop is verified against DuckDB's
+    * transitive closure, not just the edge list. */
+  private val llmDedupClusters = GraftQuery(
+    "llm_dedup_clusters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val words = split(TextOps.normalize(col("text")), " ")
+      val eligible = base.filter(col("doc_id") % 50 === 0 && size(words) >= 30)
+      val mutA = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat_ws(" ", transform(words, (w, i) =>
+          when(i.between(9, 13), lit("graftmuta")).otherwise(w))).as("text"))
+      val mutB = eligible.select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        concat_ws(" ", transform(words, (w, i) =>
+          when(i.between(9, 13), lit("graftmuta"))
+            .when(i.between(19, 23), lit("graftmutb")).otherwise(w))).as("text"))
+      val docs = base.unionByName(mutA).unionByName(mutB)
+      val capped = graft.etl.TextDedup.cappedBlocks(docs, "source", "doc_id", BLOCK_CAP)
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .withColumn("sh", expr("word_shingles(norm, 3)"))
+        .select(col("doc_id"), col("source"), col("sh"))
+      val a = capped.as("a")
+      val b = capped.as("b")
+      val edges = a.join(b,
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("jaccard_sim(a.sh, b.sh)") >= 0.5)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      graft.etl.TextDedup.connectedComponents(
+          capped.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, source, text FROM documents),
+      w AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM base),
+      eligible AS (SELECT * FROM w WHERE doc_id % 50 = 0 AND len(w) >= 30),
+      muta AS (
+        SELECT doc_id + 1000000 AS doc_id, source,
+               array_to_string([CASE WHEN i BETWEEN 10 AND 14 THEN 'graftmuta'
+                                     ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' ') AS text
+        FROM eligible),
+      mutb AS (
+        SELECT doc_id + 2000000 AS doc_id, source,
+               array_to_string([CASE WHEN i BETWEEN 10 AND 14 THEN 'graftmuta'
+                                     WHEN i BETWEEN 20 AND 24 THEN 'graftmutb'
+                                     ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' ') AS text
+        FROM eligible),
+      docs AS (
+        SELECT * FROM base UNION ALL SELECT * FROM muta UNION ALL SELECT * FROM mutb),
+      capped AS (
+        SELECT doc_id, source, text
+        FROM (SELECT doc_id, source, text,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY doc_id ASC NULLS FIRST) AS rn
+              FROM docs)
+        WHERE rn <= 1000),
+      sh AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(words) - 1, 2))]) AS sh
+        FROM (SELECT doc_id, source,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM capped)),
+      edges AS (
+        SELECT a.doc_id AS ea, b.doc_id AS eb
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END >= 0.5),
+      sym AS (SELECT ea, eb FROM edges UNION ALL SELECT eb AS ea, ea AS eb FROM edges),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM capped
+        UNION
+        SELECT s.eb AS id, r.lbl FROM reach r JOIN sym s ON s.ea = r.id)
+      SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
   private val llmDedupSimhash = GraftQuery(
     "llm_dedup_simhash",
     (s, dir) =>
@@ -976,7 +1070,7 @@ object LlmOps extends QueryGroup {
 
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
-    llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmJaccardPairs,
+    llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
     llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
     llmAnnIvfPersisted, llmAnnLsh,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,

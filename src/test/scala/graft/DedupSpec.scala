@@ -58,4 +58,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(sh(1L), sh(3L)) >= 20)
     assert(hamming(sh(1L), sh(4L)) >= 20)
   }
+
+  test("connectedComponents: chains, cycles, isolates get min-id labels") {
+    import org.apache.spark.sql.functions._
+    // chain 1-2-3, isolated 4, pair 5-6, cycle 7-8-9-7
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("a", "b")
+    val got = TextDedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("llm_dedup_clusters: planted chains collapse transitively") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val clusters = SparkEntry.queries("llm_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val origs = clusters.keys.filter(id => id < 1000000L && clusters.contains(id + 1000000L)).toSeq.sorted
+    assert(origs.nonEmpty)
+    // every planted A and B lands in its original's cluster
+    origs.foreach { o =>
+      assert(clusters(o + 1000000L) == clusters(o), s"A of $o split off")
+      assert(clusters(o + 2000000L) == clusters(o), s"B of $o split off")
+    }
+    // and at least one chain is GENUINELY transitive: J(orig, B) < 0.5
+    // while both hops are >= 0.5 — the pairwise rule alone cannot join it
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val words = split(graft.functions.TextOps.normalize(col("text")), " ")
+    val eligible = base.filter(col("doc_id") % 50 === 0 && size(words) >= 30)
+    val mutB = eligible.select(col("doc_id"),
+      concat_ws(" ", transform(words, (w, i) =>
+        when(i.between(9, 13), lit("graftmuta"))
+          .when(i.between(19, 23), lit("graftmutb")).otherwise(w))).as("text_b"))
+    val direct = base.join(mutB, "doc_id")
+      .select(col("doc_id"),
+        expr("jaccard_sim(word_shingles(trim(regexp_replace(lower(text), '\\s+', ' ')), 3), " +
+          "word_shingles(text_b, 3))").as("j"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val transitiveOnly = origs.filter(o => direct(o) < 0.5)
+    assert(transitiveOnly.nonEmpty,
+      s"no chain needed transitivity (direct J: $direct)")
+  }
 }
