@@ -141,6 +141,9 @@ object TextDedup {
       val changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()
+      // `next` is eagerly materialized and `changed` consumed the old
+      // labels — release the superseded round's blocks before looping
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1
