@@ -146,19 +146,30 @@ object LlmOps extends QueryGroup {
           when(i.between(9, 13), lit("graftmuta"))
             .when(i.between(19, 23), lit("graftmutb")).otherwise(w))).as("text"))
       val docs = base.unionByName(mutA).unionByName(mutB)
-      val capped = graft.etl.TextDedup.cappedBlocks(docs, "source", "doc_id", BLOCK_CAP)
+      // dedup-first INSIDE the capped blocks (the house precondition —
+      // measured 101 s at sf3's 30× replicas without it): identical texts
+      // share one shingle set and one graph node. Components over rep
+      // edges expanded to members EQUAL components over the per-doc graph:
+      // a group's docs are pairwise J=1 (connected through their rep), and
+      // the component min over reps IS the overall min because every rep
+      // is its group's min member. The oracle stays the per-doc closure.
+      val groups = graft.etl.TextDedup.cappedBlocks(docs, "source", "doc_id", BLOCK_CAP)
+        .groupBy(col("source"), col("text"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
-        .select(col("doc_id"), col("source"), col("sh"))
-      val a = capped.as("a")
-      val b = capped.as("b")
+        .select(col("source"), col("rep"), col("members"), col("sh"))
+      val a = groups.as("a")
+      val b = groups.as("b")
       val edges = a.join(b,
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") && col("a.rep") < col("b.rep"))
         .filter(expr("jaccard_sim(a.sh, b.sh)") >= 0.5)
-        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .select(col("a.rep").as("a"), col("b.rep").as("b"))
       graft.etl.TextDedup.connectedComponents(
-          capped.select(col("doc_id").as("id")), edges)
-        .select(col("id").as("doc_id"), col("cluster_id"))
+          groups.select(col("rep").as("id")), edges)
+        .join(groups.select(col("rep").as("id"), col("members")), "id")
+        .select(explode(col("members")).as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id").asc_nulls_first)
     },
     Some("""
@@ -506,16 +517,20 @@ object LlmOps extends QueryGroup {
         .agg(min(col("vec_id")).as("rep_id"),
           sort_array(collect_list(col("vec_id"))).as("members"))
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
-      // LSH geometry sized from the corpus count (a parquet metadata-only
-      // job): fixed small bucket counts go quadratic on large DISTINCT
-      // corpora — at sf3d (150 k unique vectors) the historical 8×4 put
-      // ~9 k vectors per bucket and the band join spilled past local disk.
-      // adaptiveBandParams grows bits like log2(N) and bands to hold the
-      // miss probability (VectorLsh scaladoc); at the gate scale it returns
-      // the same 4 bits with a few more bands, which only adds candidates.
-      val nUpper = base.count()
+      // LSH geometry sized from the DISTINCT vector count — the set that
+      // is actually bucketed: fixed small bucket counts go quadratic on
+      // large distinct corpora (at sf3d's 150 k unique vectors the
+      // historical 8×4 put ~9 k vectors per bucket and the band join
+      // spilled past local disk), while sizing from the RAW count
+      // over-grows bands×bits on duplicate-heavy corpora whose reps are
+      // few (measured 2.6→11 s at sf3's 30× replicas: 845 projections per
+      // vector where 216 suffice). One extra job runs the dedup shuffle
+      // for the count; adaptiveBandParams grows bits like log2(N) and
+      // bands to hold the miss probability (VectorLsh scaladoc); at the
+      // gate scale it returns the same 4 bits with a few more bands,
+      // which only adds candidates.
       val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
-        nUpper + nUpper / 100 + 1, simThreshold = 0.9)
+        reps.count(), simThreshold = 0.9)
       val bucketed = graft.etl.VectorLsh.withBandBuckets(
           reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
         .select(col("vec_id"), col("band"), col("bucket"))

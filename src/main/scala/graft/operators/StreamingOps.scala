@@ -164,12 +164,19 @@ object StreamingOps extends QueryGroup {
   private val streamNeardupLsh = GraftQuery(
     "stream_neardup_lsh",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutants = docs.filter(col("doc_id") % 25 === 0)
+      val raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutants = raw.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      // op-69 precondition applied UPSTREAM, exactly as the operator's
+      // contract states (StreamingNearDup scaladoc: exact dups removed by
+      // stream_dedup_stateful before the bucket state sees them). Without
+      // it a 30×-replica corpus re-emits every identical pair from every
+      // band — measured 31 s at sf3, output 16× the true pair set.
+      val docs = raw.unionByName(mutants)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       graft.streaming.StreamingNearDup
-        .nearDupPairs(docs.unionByName(mutants), threshold = 0.5)
+        .nearDupPairs(docs.select(col("doc_id"), col("text")), threshold = 0.5)
         .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
     },
     None)
