@@ -58,6 +58,37 @@ object VectorLsh {
   def probe(bucketed: DataFrame, queryBucket: Int, maxHamming: Int): DataFrame =
     bucketed.filter(bit_count(col("bucket").bitwiseXOR(lit(queryBucket))) <= maxHamming)
 
+  /** XOR masks enumerating every bucket within Hamming distance `maxHamming`
+    * of any bucket: 0, all single bits, all bit pairs, … — Σ C(nBits, h) for
+    * h ≤ maxHamming masks (e.g. 79 at 12 bits / distance 2). Static per
+    * geometry, so they enter the plan as literals. */
+  def hammingMasks(nBits: Int, maxHamming: Int): Seq[Int] = {
+    def combos(start: Int, h: Int): Seq[Int] =
+      if (h == 0) Seq(0)
+      else (start until nBits).flatMap(b => combos(b + 1, h - 1).map(_ | (1 << b)))
+    (0 to maxHamming).flatMap(h => combos(0, h))
+  }
+
+  /** Multi-probe candidate generation (Lv et al., VLDB'07 shape): the QUERY
+    * side fans out to its Hamming-adjacent buckets (query-bucket XOR each
+    * static mask) and candidates come from a broadcast EQUI-join on
+    * `bucket` — no corpus-side band explosion (1 row per corpus vector,
+    * vs ×nBands in [[withBandBuckets]]) and no full-corpus Hamming filter
+    * scan (the [[probe]] form). `query` must carry (qv, qbucket); all query
+    * columns are preserved on the candidates.
+    *
+    * 100 TB note: persist the corpus partitioned by `bucket` (the IvfIndex
+    * pattern) and the probed buckets become partition filters — the scan
+    * touches Σ C(nBits, ≤maxHamming) of 2^nBits partitions. */
+  def multiProbe(bucketed: DataFrame, query: DataFrame, nBits: Int,
+      maxHamming: Int): DataFrame = {
+    val masks = hammingMasks(nBits, maxHamming)
+    val probes = query.select(col("*"),
+      explode(transform(typedlit(masks), m => col("qbucket").bitwiseXOR(m)))
+        .as("bucket"))
+    bucketed.join(broadcast(probes.drop("qbucket")), "bucket")
+  }
+
   /** Band/bit sizing for [[withBandBuckets]] as a function of corpus size —
     * the lever that keeps the candidate join LINEAR as the distinct corpus
     * grows. The band join generates ~nBands · N²/2^bits candidate pairs

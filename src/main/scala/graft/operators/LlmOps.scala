@@ -1083,11 +1083,297 @@ object LlmOps extends QueryGroup {
       GROUP BY doc_id, shingle
       ORDER BY doc_id ASC NULLS FIRST, shingle ASC NULLS FIRST"""))
 
+  /** Benchmark DECONTAMINATION — the training-corpus hygiene step every
+    * published pipeline runs before pre-training: flag corpus documents
+    * sharing any word 5-gram with an evaluation benchmark. The "benchmark"
+    * is derived deterministically (a 10-word snippet, words 3..12, of every
+    * 97th doc — a stand-in for an external eval file), and the corpus
+    * PLANTS one contaminated doc per benchmark entry (id + 3 000 000,
+    * unrelated filler + the snippet — the house plant-and-rediscover
+    * scheme), so the flagged set provably contains the snippet sources AND
+    * the plants whose ONLY overlap is the leaked snippet, and the oracle
+    * re-derives it exactly.
+    *
+    * 100 TB shape: eval-benchmark shingle sets are small and FIXED
+    * (thousands of questions, not corpus-sized) → broadcast them; the
+    * corpus side is one map-side shingle pass + a broadcast hash semi-join
+    * — zero corpus shuffles before the per-doc count aggregation, and that
+    * aggregation only carries docs that HIT (a sliver of the corpus).
+    * Dedup-first (op-69 precondition): shingling and the broadcast probe
+    * run once per distinct text; identity groups fan back out after the
+    * count, exact because identical texts share their shingle set. */
+  private val llmDecontaminate = GraftQuery(
+    "llm_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(TextOps.normalize(col("text")), " ")
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), concat_ws(" ", slice(words, 3, 10)).as("snip"))
+      val contaminated = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("alpha beta gamma delta "), col("snip")).as("text"))
+      val evalShingles = evalDocs
+        .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+        .distinct()
+      val groups = docs.unionByName(contaminated)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .withColumn("norm", TextOps.normalize(col("text")))
+      groups
+        .select(col("rep"), col("members"),
+          explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
+        .join(broadcast(evalShingles), "sh")
+        .groupBy(col("rep"), col("members"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(explode(col("members")).as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents),
+      evalq AS (
+        SELECT doc_id, words[3:12] AS snip FROM w WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT doc_id, words FROM w
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               string_split('alpha beta gamma delta ' || array_to_string(snip, ' '), ' ') AS words
+        FROM evalq),
+      evalsh AS (
+        SELECT DISTINCT unnest([array_to_string(snip[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(snip) - 3, 2))]) AS sh
+        FROM evalq),
+      docsh AS (
+        SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))])) AS sh
+        FROM corpus)
+      SELECT d.doc_id, COUNT(*) AS n_hits
+      FROM docsh d JOIN evalsh e ON d.sh = e.sh
+      GROUP BY d.doc_id
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** Repetition-based quality signals (the Gopher/MassiveText family of
+    * repetition filters, Rae et al. 2021 §A1.1, re-expressed relationally):
+    * per document, the duplicate-word fraction (1 − distinct/total) and the
+    * fraction of tokens covered by the single most-repeated bigram, plus
+    * the keep/drop decision at thresholds that split this corpus
+    * (dup ≤ 0.6 ∧ top-bigram ≤ 0.1). The flag is computed on UNROUNDED
+    * doubles with the identical IEEE op tree on both engines; the reported
+    * ratios are rounded for display only.
+    *
+    * 100 TB shape: pure map work — both signals come from higher-order
+    * array functions over the in-row token list (the top-bigram count is an
+    * O(d²) in-row fold over ≤ a-few-hundred-word docs, i.e. constant), so
+    * the operator has NO shuffle at all and scales embarrassingly; the
+    * output sort is the driver contract, not the operator. */
+  private val llmRepetitionStats = GraftQuery(
+    "llm_repetition_stats",
+    (s, dir) => {
+      val norm = TextOps.normalize(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(norm, " ").as("w"),
+          TextOps.wordShingles(norm, 2).as("bg"))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("dup_raw",
+          lit(1.0) - size(array_distinct(col("w"))).cast(DoubleType)
+            / size(col("w")).cast(DoubleType))
+        .withColumn("top_bigram_cnt",
+          array_max(transform(array_distinct(col("bg")),
+            g => size(filter(col("bg"), x => x === g)))))
+        .withColumn("top2_raw",
+          col("top_bigram_cnt").cast(DoubleType) * 2.0 / col("n_words").cast(DoubleType))
+        .select(
+          col("doc_id"), col("n_words"),
+          round(col("dup_raw"), 6).as("dup_word_frac"),
+          col("top_bigram_cnt"),
+          round(col("top2_raw"), 6).as("top_bigram_frac"),
+          (col("dup_raw") <= 0.6 && col("top2_raw") <= 0.1).cast(IntegerType).as("keep"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents),
+      bg AS (
+        SELECT doc_id, words, len(words) AS n_words,
+               [array_to_string(words[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(words), 2))] AS bigrams
+        FROM w),
+      sig AS (
+        SELECT doc_id, n_words,
+               1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS dup_raw,
+               list_max([len(list_filter(bigrams, x -> x = g))
+                 FOR g IN list_distinct(bigrams)]) AS top_bigram_cnt
+        FROM bg)
+      SELECT doc_id, n_words,
+             round(dup_raw, 6) AS dup_word_frac,
+             top_bigram_cnt,
+             round(CAST(top_bigram_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE), 6) AS top_bigram_frac,
+             CASE WHEN dup_raw <= 0.6
+                   AND CAST(top_bigram_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE) <= 0.1
+                  THEN 1 ELSE 0 END AS keep
+      FROM sig
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** PII scrubbing — redact emails, dotted-quad IPs and phone extensions
+    * with typed placeholders and report per-doc redaction counts. The raw
+    * corpus is PII-free, so deterministic PII is PLANTED first (every 7th
+    * doc gets an email + IP tail, every 11th a 555-line phone) — the same
+    * plant-and-rediscover scheme as the near-dup rows, making hit counts
+    * provable on both engines. Patterns stay inside the regex subset with
+    * identical Java-regex / RE2 semantics (char classes, bounded repeats,
+    * \b) — leftmost-greedy on these inputs in both.
+    *
+    * 100 TB shape: regexp_count/regexp_replace are per-row codegen'd
+    * string work — no shuffle, no UDF; the output sort is the contract. */
+  private val llmPiiScrub = GraftQuery(
+    "llm_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      val phoneRe = "\\b555-\\d{4}\\b"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast(StringType),
+                lit("@example.com from 10.0."),
+                (col("doc_id") % 256).cast(StringType), lit("."),
+                (col("doc_id") % 100).cast(StringType))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" call 555-0"),
+                lpad((col("doc_id") % 1000).cast(StringType), 3, "0")))
+              .otherwise(lit(""))).as("t"))
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"), ipRe, "<IP>"),
+            phoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(ipRe)).as("n_ip"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+          expr("substr(scrubbed, greatest(length(scrubbed) - 79, 1))").as("tail"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               concat(text,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                  '@example.com from 10.0.',
+                                  CAST(doc_id % 256 AS VARCHAR), '.',
+                                  CAST(doc_id % 100 AS VARCHAR))
+                      ELSE '' END,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN concat(' call 555-0', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'))
+                      ELSE '' END) AS t
+        FROM documents),
+      scrub AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                   '\b555-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        FROM planted)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+             len(regexp_extract_all(t, '\b555-\d{4}\b')) AS n_phone,
+             substr(scrubbed, greatest(length(scrubbed) - 79, 1)) AS tail
+      FROM scrub
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** Domain-mix sampling — the data-mixture step of corpus assembly: keep
+    * each source at its own target rate (here derived from the source id:
+    * 0.2/0.4/0.6/0.8/1.0) via a DETERMINISTIC arithmetic hash
+    * (Knuth multiplicative on doc_id, u = (id·2654435761 mod 2³²)/2³²,
+    * keep ⇔ u < rate). Reported per source: total, kept, target vs
+    * realized rate.
+    *
+    * 100 TB shape: the keep decision is PURE per-row arithmetic — no RNG
+    * state, no window, no pre-shuffle; the same row is kept on every
+    * engine, run, and cluster size (re-runnable samples, the property
+    * per-partition RNG sampling cannot give). Contrast the exact-quota
+    * alternative (row_number per source ≤ ⌈quota⌉): that needs a per-source
+    * sort and suffers source skew; the hash-threshold form is the
+    * web-scale standard and its realized rate concentrates at the target
+    * by Chernoff. The only shuffle is the final tiny per-source rollup. */
+  private val llmDomainMix = GraftQuery(
+    "llm_domain_mix",
+    (s, dir) => {
+      val rate = ((substring(col("source"), 4, 8).cast(IntegerType) % 5) + 1)
+        .cast(DoubleType) / 5.0
+      val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .cast(DoubleType) / 4294967296.0
+      Tables.documents(s, dir)
+        .select(col("source"), rate.as("target_rate"),
+          (u < rate).cast(IntegerType).as("keep"))
+        .groupBy(col("source"), col("target_rate"))
+        .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_kept"))
+        .withColumn("realized_rate",
+          round(col("n_kept").cast(DoubleType) / col("n_total").cast(DoubleType), 4))
+        .select("source", "n_total", "n_kept", "target_rate", "realized_rate")
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""
+      WITH k AS (
+        SELECT source,
+               CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) / 5.0 AS target_rate,
+               CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+                         < CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) / 5.0
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents)
+      SELECT source, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_kept,
+             target_rate,
+             round(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS realized_rate
+      FROM k
+      GROUP BY source, target_rate
+      ORDER BY source ASC NULLS FIRST"""))
+
+  /** MULTI-PROBE LSH ANN (the NOTES_r3 candidate): instead of llm_ann_lsh's
+    * single 8-bit bucket with a Hamming-filter scan, the corpus gets FINER
+    * 12-bit buckets (1 row per vector — no band explosion) and the QUERY
+    * side enumerates every bucket within Hamming ≤ 2 as 79 static XOR
+    * masks, turning the probe into a broadcast EQUI-join on bucket. Probed
+    * fraction: 79/4096 ≈ 2 % of buckets vs single-probe's 9/256 ≈ 3.5 % —
+    * finer cells + multi-probe buys a smaller scan at equal recall math
+    * (Lv et al., VLDB'07). Oracle: none (approximate by construction);
+    * VectorSpec pins planted-neighbor recall, the self-match, and that the
+    * probed candidate set is a strict subset of the corpus.
+    *
+    * 100 TB shape: bucketing is map-side; with the corpus PERSISTED
+    * partitioned by bucket (the IvfIndex pattern) the 79 probe buckets
+    * arrive as literals and the scan reads only those partitions —
+    * everything else is broadcast-sized. */
+  private val llmAnnLshMultiprobe = GraftQuery(
+    "llm_ann_lsh_multiprobe",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = docVec(s, dir)
+      val planted = base.filter(col("vec_id") === 0)
+        .select(lit(9000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+      val bucketed = graft.etl.VectorLsh.withBucket(base.unionByName(planted), 12, 64)
+      val qRow = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      graft.etl.VectorLsh.multiProbe(bucketed, qRow, 12, 2)
+        .select(col("vec_id"), cosR("v", "qv").as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(10)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
     llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
-    llmAnnIvfPersisted, llmAnnLsh,
+    llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
-    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep)
+    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
+    llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The corpus-assembly operators added in round 3 session 4:
+  * decontamination, repetition quality signals, PII scrubbing, domain-mix
+  * sampling. Each has a DuckDB oracle row; these specs pin the SEMANTIC
+  * claims the oracle compare alone can't express (plants rediscovered,
+  * JVM-recomputed signals, exact rate edges, determinism).
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontaminate: every benchmark source doc and every planted doc is flagged") {
+    val flagged = SparkEntry.queries("llm_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(evalIds.nonEmpty)
+    // the snippet sources contain their own snippet…
+    evalIds.foreach(id => assert(flagged.contains(id), s"eval source $id not flagged"))
+    // …and the planted docs (filler + snippet, id + 3e6) are caught too,
+    // with every complete 5-gram of the 10-word snippet hitting (6 shingles)
+    evalIds.foreach { id =>
+      assert(flagged.contains(id + 3000000L), s"planted ${id + 3000000L} not flagged")
+      assert(flagged(id + 3000000L) >= 6L,
+        s"planted ${id + 3000000L} hit only ${flagged(id + 3000000L)} shingles")
+    }
+  }
+
+  test("repetition_stats: JVM-recomputed signals for one doc; flag splits the corpus") {
+    val rows = SparkEntry.queries("llm_repetition_stats")(spark, sf).collect()
+    assert(rows.map(_.getInt(5)).distinct.sorted.toSeq == Seq(0, 1),
+      "keep flag must split the corpus, not be constant")
+    // independent scalar recomputation of doc 0's signals
+    val text0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    val words = text0.toLowerCase.trim.split("\\s+").toSeq
+    val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+    val expDup = 1.0 - words.distinct.size.toDouble / words.size.toDouble
+    val expTop = bigrams.groupBy(identity).values.map(_.size).max
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getInt(1) == words.size)
+    assert(math.abs(r0.getDouble(2) - expDup) < 1e-6)
+    assert(r0.getInt(3) == expTop)
+    val expKeep = if (expDup <= 0.6 && expTop * 2.0 / words.size <= 0.1) 1 else 0
+    assert(r0.getInt(5) == expKeep)
+  }
+
+  test("pii_scrub: planted PII is counted and redacted; clean docs untouched") {
+    val rows = SparkEntry.queries("llm_pii_scrub")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    rows.foreach { case (id, nEmail, nIp, nPhone, tail) =>
+      assert(nEmail == (if (id % 7 == 0) 1 else 0), s"doc $id email count")
+      assert(nIp == (if (id % 7 == 0) 1 else 0), s"doc $id ip count")
+      assert(nPhone == (if (id % 11 == 0) 1 else 0), s"doc $id phone count")
+      assert(!tail.contains("@"), s"doc $id tail still holds an email")
+      if (id % 7 == 0) assert(tail.contains("<EMAIL>") && tail.contains("<IP>"))
+      if (id % 11 == 0) assert(tail.contains("<PHONE>"))
+    }
+  }
+
+  test("domain_mix: rate-1.0 sources keep everything; sampling is deterministic") {
+    val q = SparkEntry.queries("llm_domain_mix")
+    val rows = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, kept, target, realized) =>
+      assert(kept <= total, s"$src kept > total")
+      // u ∈ [0,1) so target 1.0 keeps every row — an exact edge, not a bound
+      if (target == 1.0) assert(kept == total, s"$src dropped rows at rate 1.0")
+      assert(realized >= 0.0 && realized <= 1.0)
+    }
+    assert(rows.map(_._4).distinct.size > 1, "several distinct target rates expected")
+    // arithmetic-hash sampling: bit-identical on re-run (no RNG state)
+    val again = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
+}

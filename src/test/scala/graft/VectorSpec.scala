@@ -48,6 +48,27 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(r.find(_._1 == 9000000L).get._2 > 0.9)
   }
 
+  test("ann_lsh_multiprobe: planted neighbor found via the mask equi-join; probe set is pruned") {
+    val r = SparkEntry.queries("llm_ann_lsh_multiprobe")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.head == ((0L, 1.0)))                      // the query itself
+    assert(r.map(_._1).contains(9000000L))             // the planted neighbor
+    assert(r.find(_._1 == 9000000L).get._2 > 0.9)
+    // the mask set: 1 + C(12,1) + C(12,2) distinct XOR masks, all ≤ 2 bits
+    val masks = graft.etl.VectorLsh.hammingMasks(12, 2)
+    assert(masks.size == 79 && masks.distinct.size == 79)
+    assert(masks.forall(m => Integer.bitCount(m) <= 2))
+    // multi-probe candidates are a strict subset of the corpus scan
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val bucketed = graft.etl.VectorLsh.withBucket(base, 12, 64)
+    val qRow = bucketed.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val nCand = graft.etl.VectorLsh.multiProbe(bucketed, qRow, 12, 2).count()
+    val nAll = base.count()
+    assert(nCand < nAll, s"multi-probe did not prune: $nCand of $nAll")
+  }
+
   test("embed_neardup: banded LSH reproduces the exact all-pairs result, no BNLJ") {
     val df = SparkEntry.queries("llm_embed_neardup")(spark, sf)
     // candidate generation is an equi-join on (band, bucket) — the all-pairs
