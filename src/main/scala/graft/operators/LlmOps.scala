@@ -1335,6 +1335,50 @@ object LlmOps extends QueryGroup {
       GROUP BY source, target_rate
       ORDER BY source ASC NULLS FIRST"""))
 
+  /** SEQUENCE PACKING — the final step of training-batch assembly: lay all
+    * documents out on one global token axis (doc order = doc_id) and cut it
+    * into fixed-length chunks (C = 512), reporting for each doc its token
+    * offset and the first/last chunk it lands in — the standard
+    * concatenate-and-chunk contract where a doc may straddle a boundary.
+    *
+    * The interesting part is the GLOBAL EXCLUSIVE PREFIX SUM of token
+    * counts: the declarative form is an unpartitioned running-total window
+    * (PlanSpec bans that plan shape from the whole registry), so this runs
+    * [[graft.etl.SequencePack.withPrefixSum]] — range partition + one
+    * per-partition-totals job + driver exclusive scan (numPartitions longs)
+    * + a map-only running sum. The oracle IS the banned formulation (DuckDB
+    * single-node window cumsum), proving the distributed decomposition
+    * exact. 100 TB: two parallel passes over one range shuffle; no stage
+    * sees more than a partition; driver state is numPartitions longs. */
+  private val llmSequencePack = GraftQuery(
+    "llm_sequence_pack",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
+      graft.etl.SequencePack
+        .withPrefixSum(toks, Seq(col("doc_id")), "n_tokens", "prefix_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"),
+          expr("prefix_tokens div 512").as("start_chunk"),
+          expr("(prefix_tokens + n_tokens - 1) div 512").as("end_chunk"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+        FROM t)
+      SELECT doc_id, n_tokens, prefix_tokens,
+             prefix_tokens // 512 AS start_chunk,
+             (prefix_tokens + n_tokens - 1) // 512 AS end_chunk
+      FROM c
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
   /** MULTI-PROBE LSH ANN (the NOTES_r3 candidate): instead of llm_ann_lsh's
     * single 8-bit bucket with a Hamming-filter scan, the corpus gets FINER
     * 12-bit buckets (1 row per vector — no band explosion) and the QUERY
@@ -1368,6 +1412,104 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** Scalar int8 EMBEDDING QUANTIZATION — the storage/serving format of a
+    * large vector corpus (8× fewer scan bytes for ANN): per-vector min/max
+    * affine codes c = ⌊(x − min)/scale + 0.5⌋, scale = (max − min)/255,
+    * with the per-vector mean absolute reconstruction error reported. The
+    * whole op tree (scale form, fold order) is mirrored node-for-node in
+    * the oracle so the doubles agree bit-for-bit; the error fold seeds 0.0
+    * exactly like DuckDB's seedless list_reduce (0.0 + x ≡ x for x ≥ 0).
+    *
+    * 100 TB shape: pure map work over the vector column — no shuffle; the
+    * quantized table is what the IVF/LSH layouts would persist. */
+  private val llmEmbedQuantize = GraftQuery(
+    "llm_embed_quantize",
+    (s, dir) =>
+      docVec(s, dir)
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vmax", array_max(col("v")))
+        .withColumn("scale", expr("(vmax - vmin) / 255.0D"))
+        .withColumn("codes", expr(
+          "transform(v, x -> CAST(floor((x - vmin) / scale + 0.5D) AS INT))"))
+        .withColumn("mean_abs_err", expr(
+          """aggregate(
+               transform(v, x -> abs(x - (vmin + floor((x - vmin) / scale + 0.5D) * scale))),
+               0.0D, (a, e) -> a + e) / CAST(size(v) AS DOUBLE)"""))
+        .select(col("vec_id"), size(col("v")).as("n_dims"),
+          round(col("vmin"), 6).as("qmin"), round(col("vmax"), 6).as("qmax"),
+          round(col("mean_abs_err"), 6).as("mean_abs_err"),
+          array_join(slice(col("codes"), 1, 8), ",").as("codes_head"))
+        .orderBy(col("vec_id").asc_nulls_first),
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      mm AS (
+        SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+               (list_max(v) - list_min(v)) / 255.0 AS scale
+        FROM base)
+      SELECT vec_id, len(v) AS n_dims,
+             round(vmin, 6) AS qmin, round(vmax, 6) AS qmax,
+             round(list_reduce(
+                     [abs(x - (vmin + floor((x - vmin) / scale + 0.5) * scale)) FOR x IN v],
+                     (a, e) -> a + e) / CAST(len(v) AS DOUBLE), 6) AS mean_abs_err,
+             array_to_string([CAST(floor((x - vmin) / scale + 0.5) AS INT) FOR x IN v][1:8], ',') AS codes_head
+      FROM mm
+      ORDER BY vec_id ASC NULLS FIRST"""))
+
+  /** TOKEN-BUDGET domain mixture — llm_domain_mix's big sibling: rates are
+    * not given but DERIVED from a per-source token budget (B = 500):
+    * rate_s = min(1, B / tokens_s), then the same deterministic
+    * Knuth-multiplicative keep. This is how real mixtures are specified
+    * ("x billion tokens of each source"), and it needs the two-pass shape:
+    * a per-source token rollup (tiny — one row per source), rates
+    * BROADCAST back onto the corpus, map-side keep, final rollup. The
+    * corpus itself is never shuffled — only its per-source totals move.
+    * Reported per source: token total, derived rate, kept docs/tokens. */
+  private val llmTokenBudgetMix = GraftQuery(
+    "llm_token_budget_mix",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
+      val rates = toks.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("token_total"))
+        .withColumn("rate",
+          least(lit(1.0), lit(500.0) / col("token_total").cast(DoubleType)))
+      val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .cast(DoubleType) / 4294967296.0
+      toks.join(broadcast(rates), "source")
+        .withColumn("keep", (u < col("rate")).cast(IntegerType))
+        .groupBy(col("source"), col("token_total"), col("rate"))
+        .agg(sum(col("keep")).as("kept_docs"),
+          sum(col("keep") * col("n_tokens")).as("kept_tokens"))
+        .select(col("source"), col("token_total"),
+          round(col("rate"), 6).as("target_rate"),
+          col("kept_docs"), col("kept_tokens"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS token_total,
+               least(1.0, 500.0 / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)) AS rate
+        FROM t GROUP BY source),
+      k AS (
+        SELECT t.source, t.n_tokens, r.token_total, r.rate,
+               CASE WHEN CAST((t.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+                         < r.rate
+                    THEN 1 ELSE 0 END AS keep
+        FROM t JOIN r ON t.source = r.source)
+      SELECT source, token_total, round(rate, 6) AS target_rate,
+             CAST(SUM(keep) AS BIGINT) AS kept_docs,
+             CAST(SUM(keep * n_tokens) AS BIGINT) AS kept_tokens
+      FROM k
+      GROUP BY source, token_total, rate
+      ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
@@ -1375,5 +1517,6 @@ object LlmOps extends QueryGroup {
     llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
-    llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix)
+    llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix,
+    llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix)
 }

@@ -63,6 +63,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embed_quantize: codes within int8 range, error bounded by half a quantization step") {
+    val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (qmin, qmax, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val codes = r.getString(5).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255), s"vec ${r.getLong(0)} codes out of range")
+      // round-to-nearest: |x - dequant(x)| <= scale/2 (+ rounding slack)
+      val halfStep = (qmax - qmin) / 255.0 / 2.0
+      assert(err <= halfStep + 1e-6, s"vec ${r.getLong(0)}: err $err > half-step $halfStep")
+    }
+  }
+
+  test("token_budget_mix: derived rates respect the budget; kept ⊆ corpus") {
+    val rows = SparkEntry.queries("llm_token_budget_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, rate, keptDocs, keptToks) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+      assert(keptToks <= total, s"$src kept more tokens than exist")
+      // below-budget sources keep everything (rate exactly 1.0)
+      if (rate == 1.0) assert(keptToks == total && keptDocs > 0)
+      // sampled sources must actually subsample
+      if (rate < 0.5) assert(keptToks < total, s"$src rate $rate but nothing dropped")
+    }
+  }
+
   test("domain_mix: rate-1.0 sources keep everything; sampling is deterministic") {
     val q = SparkEntry.queries("llm_domain_mix")
     val rows = q(spark, sf).collect()
