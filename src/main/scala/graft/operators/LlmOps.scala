@@ -1510,6 +1510,184 @@ object LlmOps extends QueryGroup {
       GROUP BY source, token_total, rate
       ORDER BY source ASC NULLS FIRST"""))
 
+  /** SUB-DOCUMENT (chunk-level) exact dedup — the line-dedup stage of
+    * CCNet/RefinedWeb re-expressed for a newline-free corpus via
+    * CONTENT-DEFINED CHUNKING (the LBFS/storage-dedup boundary trick): a
+    * chunk starts at every word whose first letter is 's', so boundaries
+    * move WITH the content and a shared passage chunks identically no
+    * matter what offset it lands at in each host document. The corpus
+    * plants exactly that: every doc_id % 3 == 0 document gets the first
+    * 25 words of doc 0 appended as boilerplate, and the planted passage's
+    * interior chunks dedup across all ~167 hosts (its first chunk merges
+    * with each host's tail — the expected CDC edge). Per document:
+    * chunk count, chunks whose first occurrence (min (doc_id, chunk_idx))
+    * is elsewhere, and the duplicate fraction.
+    *
+    * 100 TB shape: chunking is pure in-row array work (map-side, no
+    * shuffle); first-occurrence is groupBy(chunk)+min — the partial
+    * aggregate collapses duplicate chunks MAP-SIDE so the one shuffle
+    * carries the distinct-chunk set, exactly the llm_dedup_exact argument
+    * at sub-document granularity (at production scale the join key would
+    * be the chunk's 128-bit hash, not the text). The join back and the
+    * per-doc rollup are keyed shuffles. */
+  private val llmChunkDedup = GraftQuery(
+    "llm_chunk_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+      val boiler = d.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(col("t"), " "), 1, 25), " ").as("btext"))
+      val ch = d.crossJoin(broadcast(boiler))
+        .select(col("doc_id"),
+          split(when(col("doc_id") % 3 === 0, concat(col("t"), lit(" "), col("btext")))
+            .otherwise(col("t")), " ").as("words"))
+        .withColumn("starts",
+          concat(array(lit(0)),
+            filter(sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
+              i => substring(try_element_at(col("words"), i + 1), 1, 1) === "s")))
+        .select(col("doc_id"), col("words"), col("starts"),
+          posexplode(transform(col("starts"), (st, j) =>
+            array_join(
+              slice(col("words"), st + 1,
+                coalesce(try_element_at(col("starts"), j + 2), size(col("words"))) - st),
+              " "))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
+      val firsts = ch.groupBy(col("chunk_text"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      ch.join(firsts, "chunk_text")
+        .select(col("doc_id"),
+          (!(col("f.doc_id") === col("doc_id") &&
+             col("f.chunk_idx") === col("chunk_idx"))).cast(IntegerType).as("is_dup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("is_dup")).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType), 4))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      b AS (
+        SELECT array_to_string((string_split(t, ' '))[1:25], ' ') AS btext FROM d WHERE doc_id = 0),
+      p AS (
+        SELECT doc_id,
+               string_split(CASE WHEN doc_id % 3 = 0 THEN concat(t, ' ', btext) ELSE t END, ' ') AS words
+        FROM d, b),
+      seg AS (
+        SELECT doc_id, words,
+               [0] || [i FOR i IN range(1, len(words)) IF substr(words[i+1], 1, 1) = 's'] AS starts
+        FROM p),
+      ch AS (
+        SELECT doc_id, j - 1 AS chunk_idx,
+               array_to_string(words[starts[j]+1 : coalesce(starts[j+1], len(words))], ' ') AS chunk_text
+        FROM seg, UNNEST(range(1, len(starts)+1)) AS u(j)),
+      firsts AS (
+        SELECT chunk_text, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS f
+        FROM ch GROUP BY chunk_text)
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN (f.f).doc_id = c.doc_id AND (f.f).chunk_idx = c.chunk_idx
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+             round(CAST(SUM(CASE WHEN (f.f).doc_id = c.doc_id AND (f.f).chunk_idx = c.chunk_idx
+                                 THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+      FROM ch c JOIN firsts f ON c.chunk_text = f.chunk_text
+      GROUP BY c.doc_id
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** BIGRAM-LM QUALITY SCORE — the perplexity-filter stage of CCNet/
+    * RefinedWeb with the LM trained ON the corpus itself (no external
+    * model in this container): corpus bigram/continuation counts with
+    * add-one smoothing, each document scored by its mean smoothed bigram
+    * probability  mean over doc bigrams of (c(w1 w2)+1)/(c(w1·)+V).
+    * The mean PROBABILITY (not log) keeps every arithmetic step an
+    * IEEE-defined double op (+, /, ×) that is bit-identical across
+    * engines — ln() is libm-dependent and would put the oracle one ulp
+    * away — and it orders documents the same way a mean-logprob filter
+    * does for filtering purposes: rare/implausible continuations drag the
+    * score down. Per-doc summation is decimal-captured (the Det G1
+    * argument) so partial-aggregation order can't perturb the result.
+    *
+    * 100 TB shape: dedup-first (groups keyed by raw text; counts weighted
+    * by group size, so the LM is trained on the full corpus while the
+    * expensive explode+join runs over DISTINCT documents only). The
+    * count tables shuffle distinct bigrams/words (map-side partial aggs);
+    * scoring joins are keyed on bigram/word; V is a broadcast scalar.
+    * Nothing is ever all-pairs and nothing sees the corpus un-deduped. */
+  private val llmBigramLmScore = GraftQuery(
+    "llm_bigram_lm_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+      val g = d.groupBy(col("t"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("gsz"))
+        .withColumn("words", split(col("t"), " "))
+      val bg = g.select(col("rep"), col("gsz"),
+        explode(zip_with(
+          slice(col("words"), lit(1), size(col("words")) - 1),
+          slice(col("words"), lit(2), size(col("words")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      val repbg = bg.groupBy(col("rep"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      val c2 = bg.groupBy(col("bigram")).agg(sum(col("gsz")).as("c2"))
+      val c1 = g.select(col("gsz"),
+          explode(slice(col("words"), lit(1), size(col("words")) - 1)).as("w1"))
+        .groupBy(col("w1")).agg(sum(col("gsz")).as("c1"))
+      val v = g.select(explode(col("words")).as("x"))
+        .agg(countDistinct(col("x")).cast(DoubleType).as("vsz"))
+      val scored = repbg
+        .join(c2, "bigram")
+        .join(c1, split(col("bigram"), " ").getItem(0) === c1("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("rep"), col("cnt"),
+          (col("cnt").cast(DoubleType) *
+            ((col("c2").cast(DoubleType) + lit(1.0)) /
+             (col("c1").cast(DoubleType) + col("vsz")))).as("p"))
+        .groupBy(col("rep"))
+        .agg(sum(col("p").cast(DecimalType(28, 14))).cast(DoubleType).as("num"),
+          sum(col("cnt")).cast(DoubleType).as("nb"))
+      g.join(scored.withColumnRenamed("rep", "srep"), col("rep") === col("srep"))
+        .select(explode(col("members")).as("doc_id"),
+          col("nb").cast(LongType).as("n_bigrams"),
+          round(col("num") / col("nb"), 6).as("lm_score"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      g AS (
+        SELECT t, min(doc_id) AS rep, count(*) AS gsz FROM d GROUP BY t),
+      w AS (
+        SELECT rep, gsz, string_split(t, ' ') AS words FROM g),
+      bg AS (
+        SELECT rep, gsz, unnest([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bigram
+        FROM w),
+      repbg AS (
+        SELECT rep, bigram, count(*) AS cnt FROM bg GROUP BY rep, bigram),
+      c2 AS (
+        SELECT bigram, CAST(SUM(gsz) AS BIGINT) AS c2 FROM bg GROUP BY bigram),
+      tok AS (
+        SELECT rep, gsz, unnest(words[1:len(words)-1]) AS w1 FROM w),
+      c1 AS (
+        SELECT w1, CAST(SUM(gsz) AS BIGINT) AS c1 FROM tok GROUP BY w1),
+      vtok AS (
+        SELECT unnest(words) AS x FROM w),
+      v AS (
+        SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS vsz FROM vtok),
+      scored AS (
+        SELECT r.rep,
+               CAST(SUM(CAST(CAST(r.cnt AS DOUBLE) *
+                    ((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + v.vsz))
+                    AS DECIMAL(28,14))) AS DOUBLE) AS num,
+               CAST(SUM(r.cnt) AS DOUBLE) AS nb
+        FROM repbg r JOIN c2 USING (bigram)
+             JOIN c1 ON string_split(r.bigram, ' ')[1] = c1.w1
+             CROSS JOIN v
+        GROUP BY r.rep)
+      SELECT d.doc_id, CAST(s.nb AS BIGINT) AS n_bigrams, round(s.num / s.nb, 6) AS lm_score
+      FROM d JOIN g ON d.t = g.t JOIN scored s ON g.rep = s.rep
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
@@ -1518,5 +1696,6 @@ object LlmOps extends QueryGroup {
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
     llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix,
-    llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix)
+    llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
+    llmChunkDedup, llmBigramLmScore)
 }

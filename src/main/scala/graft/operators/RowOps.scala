@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -135,6 +136,42 @@ object RowOps extends QueryGroup {
         .orderBy(col("o_orderkey").asc_nulls_first),
     None)
 
+  /** PROC SURVEYSELECT STRATA-style EXACT-QUOTA stratified sample: exactly
+    * k = 40 documents per `source` stratum, selected in a DETERMINISTIC
+    * pseudo-random order (Knuth multiplicative hash of doc_id — the
+    * llm_domain_mix arithmetic) instead of an engine RNG, so unlike
+    * `sample_seeded` the drawn sample is identical across engines, re-runs
+    * and cluster sizes and the row set is fully DuckDB-oracled.
+    *
+    * 100 TB shape: the window is PARTITIONED by stratum (never the banned
+    * global window); each stratum sorts only its own rows. When a stratum
+    * itself is huge relative to k, the production refinement is
+    * threshold-first: pick a hash cutoff u* ≈ k/|stratum| via a cheap
+    * per-stratum count, pre-filter u < c·u*, and rank only the survivors —
+    * the window then sees O(k) rows per stratum instead of the stratum.
+    * The hash-order contract is what makes that refinement EXACT (the
+    * ranking is a pure function of u, not of arrival order). */
+  private val sampleStratifiedExact = GraftQuery(
+    "sample_stratified_exact",
+    (s, dir) => {
+      val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), u.as("u"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("u").asc, col("doc_id").asc)))
+        .filter(col("rn") <= 40)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("source").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+    Some("""
+      SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 40
+      ORDER BY source ASC NULLS FIRST, rn ASC NULLS FIRST"""))
+
   /** op 15 — SAS missing-value semantics in one query: nulls (from NULLIF)
     * propagate through arithmetic, are rescued by COALESCE, compare via
     * null-safe equality, and sort FIRST (the SAS convention). */
@@ -160,5 +197,6 @@ object RowOps extends QueryGroup {
 
   override def queries: Seq[GraftQuery] = Seq(
     projectKeepDropRename, deriveColumns, filterWhere, filterSubsettingIf,
-    caseWhenLogic, limitObs, sampleSeeded, nullMissingSemantics)
+    caseWhenLogic, limitObs, sampleSeeded, sampleStratifiedExact,
+    nullMissingSemantics)
 }

@@ -107,4 +107,84 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  // ---- session-5 additions: chunk dedup, bigram LM score, stratified sample
+
+  /** JVM twin of the content-defined chunking in llm_chunk_dedup. */
+  private def cdcChunks(norm: String): Seq[String] = {
+    val words = norm.split(" ").toIndexedSeq
+    val starts = 0 +: (1 until words.size).filter(i => words(i).startsWith("s"))
+    starts.zipWithIndex.map { case (st, j) =>
+      val end = if (j + 1 < starts.size) starts(j + 1) else words.size
+      words.slice(st, end).mkString(" ")
+    }
+  }
+
+  test("chunk_dedup: full JVM recompute agrees; planted boilerplate chunks dedup") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val boiler = docs.find(_._1 == 0L).get._2.split(" ").take(25).mkString(" ")
+    // (doc_id, chunk_idx, chunk_text) for the planted corpus, in JVM Scala
+    val all = docs.flatMap { case (id, t) =>
+      val planted = if (id % 3 == 0) s"$t $boiler" else t
+      cdcChunks(planted).zipWithIndex.map { case (c, i) => (id, i, c) }
+    }
+    val firstOf = all.groupBy(_._3).map { case (c, rs) => c -> rs.map(r => (r._1, r._2)).min }
+    val expected = all.groupBy(_._1).map { case (id, rs) =>
+      id -> (rs.size, rs.count(r => firstOf(r._3) != ((r._1, r._2))))
+    }
+    val got = SparkEntry.queries("llm_chunk_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2).toInt)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id: got ${got(id)}, want $e") }
+    // the planted passage's interior chunks are duplicates in every host but the first
+    val plantedHosts = docs.map(_._1).filter(id => id % 3 == 0 && id != 0L)
+    plantedHosts.foreach(id => assert(got(id)._2 >= 1, s"planted host $id has no dup chunks"))
+  }
+
+  test("bigram_lm_score: full JVM recompute of the smoothed LM agrees to rounding") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // dedup-first is exact: counts weighted by group size == counts over raw corpus
+    val words = docs.map { case (id, t) => (id, t.split(" ").toSeq) }
+    val bigramsOf = words.map { case (id, w) =>
+      (id, w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+    }.toMap
+    val c2 = bigramsOf.values.flatten.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val c1 = words.flatMap(_._2.dropRight(1)).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val v = words.flatMap(_._2).distinct.size.toDouble
+    val expected = words.map { case (id, _) =>
+      val bgs = bigramsOf(id)
+      val s = bgs.map { b => (c2(b) + 1.0) / (c1(b.split(" ").head) + v) }.sum
+      id -> (bgs.size.toLong, s / bgs.size)
+    }.toMap
+    val got = SparkEntry.queries("llm_bigram_lm_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (nb, score)) =>
+      assert(got(id)._1 == nb, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - score) < 2e-6, s"doc $id score ${got(id)._2} vs $score")
+    }
+  }
+
+  test("stratified sample: exact per-stratum quota, subset of stratum, deterministic") {
+    val q = SparkEntry.queries("sample_stratified_exact")
+    val rows = q(spark, sf).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val strata = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.keySet == strata.keySet, "every stratum represented")
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == math.min(40L, strata(src)).toInt, s"$src quota")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"$src ranks not dense")
+    }
+    val docSrc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, src, _) => assert(docSrc(id) == src, s"doc $id wrong stratum") }
+    // hash-order selection: bit-identical on re-run (no RNG state)
+    assert(q(spark, sf).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      == rows.toSeq)
+  }
 }
