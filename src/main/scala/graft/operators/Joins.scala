@@ -300,8 +300,52 @@ object Joins extends QueryGroup {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority ASC NULLS FIRST"""))
 
+  /** RUNTIME BLOOM-FILTER pruned join — Spark's InjectRuntimeFilter: a
+    * selective predicate on the dimension side is compiled into a bloom
+    * filter that is evaluated against the FACT side's join key *before*
+    * the shuffle, so fact rows that cannot match never leave the map
+    * stage. This is the row-level sibling of dynamic partition pruning
+    * (DppSpec) and THE mechanism that keeps a 100 TB fact⋈selective-dim
+    * join from shuffling the whole fact table when the dim is too big to
+    * broadcast (broadcast joins already prune implicitly; the bloom path
+    * covers the shuffle-join regime).
+    *
+    * Built in an ISOLATED child session (`newSession` — own conf, shared
+    * context and catalog, no side effects on the caller's session, the
+    * DppSpec lesson): broadcast is disabled to force the shuffle-join
+    * regime and the application-side size threshold is zeroed so the
+    * optimizer injects the filter at test scale; at production scale the
+    * defaults (10 GB application side) trigger it exactly where it pays.
+    * Semantics are UNCHANGED by construction (a bloom filter only drops
+    * definite non-matches) — the oracle is the plain join; PlanSpec pins
+    * the `might_contain` expression into the fact scan's plan. */
+  private val joinBloomRuntime = GraftQuery(
+    "join_bloom_runtime",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val ord = Tables.orders(s2, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey")
+      Tables.lineitem(s2, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
-    joinAsof, joinAsofNative, joinInterval, joinBucketedColocated)
+    joinAsof, joinAsofNative, joinInterval, joinBucketedColocated,
+    joinBloomRuntime)
 }

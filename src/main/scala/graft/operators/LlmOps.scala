@@ -1688,6 +1688,65 @@ object LlmOps extends QueryGroup {
       FROM d JOIN g ON d.t = g.t JOIN scored s ON g.rep = s.rep
       ORDER BY doc_id ASC NULLS FIRST"""))
 
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then drop every vector that has
+    * a LOWER-ID in-cluster neighbor with cosine ≥ 0.9 — near-duplicate
+    * *meaning*, not near-duplicate *text*. Clustering bounds the pair
+    * work: within-cluster pairwise is the paper's own contract (cross-
+    * cluster near-dups are deliberately out of scope), which is what makes
+    * the pass tractable where all-pairs is not. The corpus plants mutants
+    * (scaled + shifted copies, the embed_neardup perturbation) that land
+    * in their source's cluster and must be dropped.
+    *
+    * Reuses the whole IVF stack: deterministic Lloyd training (Ivf.train),
+    * map-side nearest-centroid assignment (Ivf.assign), dedup-first
+    * representative groups (vecGroups — exact copies drop by definition,
+    * and only DISTINCT vectors enter the pairwise stage). Candidate pairs
+    * carry IDS ONLY through the cluster self-join (the embed_neardup
+    * lesson); vectors are fetched after pair-dedup by id-keyed joins.
+    *
+    * 100 TB shape: k grows with N (clusters stay bounded-size), assignment
+    * is a pure scan against broadcast-literal centroids, the self-join
+    * shuffles on cent_id, and the exact cosine runs only inside clusters.
+    * Oracle: none by construction (k-means is not expressible in the
+    * oracle engine); VectorSpec pins the drop rule against a JVM
+    * recomputation over the library's own deterministic assignment, plus
+    * planted-mutant death and exact-copy death. */
+  private val llmSemdedup = GraftQuery(
+    "llm_semdedup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = docVec(s, dir)
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+      val all = base.unionByName(planted)
+      val grouped = vecGroups(all)
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 3)
+      val assigned = graft.etl.Ivf.assign(reps, cents)
+      val ids = assigned.select(col("cent_id"), col("vec_id"))
+      val candIds = ids.as("a").join(ids.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val dropped = candIds
+        .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .filter(cosR("va", "vb") >= 0.9)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1))
+      ids
+        .join(grouped.select(col("rep_id").as("vec_id"), size(col("members")).as("gsz")),
+          "vec_id")
+        .join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cent_id"))
+        .agg(sum(col("gsz")).cast(LongType).as("n_vectors"),
+          sum(when(col("is_dropped").isNull, 1).otherwise(0)).cast(LongType).as("n_kept"))
+        .withColumn("n_dropped", col("n_vectors") - col("n_kept"))
+        .orderBy(col("cent_id").asc_nulls_first)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
@@ -1697,5 +1756,5 @@ object LlmOps extends QueryGroup {
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
     llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
-    llmChunkDedup, llmBigramLmScore)
+    llmChunkDedup, llmBigramLmScore, llmSemdedup)
 }

@@ -34,6 +34,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bucketed fact join still shuffles its inputs:\n" + p)
   }
 
+  test("join_bloom_runtime: bloom filter injected on the fact side of the shuffle join") {
+    val p = plan("join_bloom_runtime")
+    assert(p.toLowerCase.contains("might_contain"),
+      "no runtime bloom filter in the fact-side plan:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "bloom row must exercise the shuffle-join regime (broadcast disabled):\n" + p)
+  }
+
   test("filter_where: predicate pushed to parquet + column pruning") {
     val p = plan("filter_where")
     assert(p.contains("PushedFilters: ["), p)

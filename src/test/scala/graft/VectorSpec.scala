@@ -98,4 +98,48 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(byQ.values.forall(_.length == 5))
     assert(byQ.forall { case (q, rows) => rows.find(_._2 == 1).get._3 == q })
   }
+
+  test("semdedup: cluster stats match a JVM recompute of the drop rule; planted mutants die") {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.round(r * 1e6) / 1e6.toDouble // the cosR rounding
+    }
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val plants = base.filter(_._1 % 50 == 0)
+      .map { case (id, v) => (id + 1000000L, v.map(x => x * 0.9 + 0.02)) }
+    val all = base ++ plants
+    val groups = all.groupBy(_._2).map { case (v, xs) =>
+      (xs.map(_._1).min, v, xs.size)
+    }.toSeq
+    // cluster assignment through the library's own deterministic k-means
+    // (pinned elsewhere in this suite); the NOVEL logic under test is the
+    // within-cluster lower-id-neighbor drop rule.
+    import spark.implicits._
+    val repsDf = groups.map { case (rep, v, _) => (rep, v) }.toDF("vec_id", "v")
+    val cents = graft.etl.Ivf.train(repsDf, k = 16, iters = 3)
+    val centOf = graft.etl.Ivf.assign(repsDf, cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vecOf = groups.map { case (rep, v, _) => rep -> v }.toMap
+    val byCluster = groups.map(_._1).groupBy(centOf)
+    val dropped = byCluster.values.flatMap { reps =>
+      val sorted = reps.sorted
+      sorted.filter(b => sorted.exists(a => a < b && cos(vecOf(a), vecOf(b)) >= 0.9))
+    }.toSet
+    val expected = byCluster.map { case (cid, reps) =>
+      val nVec = reps.map(r => groups.find(_._1 == r).get._3.toLong).sum
+      val nKept = reps.count(r => !dropped.contains(r)).toLong
+      cid -> (nVec, nKept, nVec - nKept)
+    }
+    val got = SparkEntry.queries("llm_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"got $got\nwant $expected")
+    // every planted mutant is a semantic dup of its (lower-id) source:
+    // mutants must account for the whole dropped set, and all die
+    assert(dropped == plants.map(_._1).toSet,
+      s"dropped $dropped != planted ${plants.map(_._1).toSet}")
+  }
 }
