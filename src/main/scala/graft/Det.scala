@@ -51,6 +51,25 @@ object Det {
     sqrt((s2 - s * s / n) / (n - lit(1.0)))
   }
 
+  /** Knuth multiplicative hash of a non-negative id onto [0, 2³²) — the
+    * deterministic sampling coordinate of the mixture/sampling rows
+    * (llm_domain_mix, llm_token_budget_mix, sample_stratified_exact).
+    * Computed in DECIMAL(38,0): the plain BIGINT multiply overflows (and
+    * ANSI mode throws) once ids pass ⌊2⁶³/2654435761⌋ ≈ 3.4×10⁹ — which
+    * replica-offset corpora like the sf3/sf6 sets exceed — while the
+    * ≤21-digit decimal product is exact and the mod reduces it back to
+    * 10 digits, exactly representable as BIGINT/DOUBLE. Both engines run
+    * the identical decimal arithmetic (caught at sf3: the count()-based
+    * scaling methodology had pruned the hash out of the aggregate rows,
+    * so only full evaluation surfaced the overflow). */
+  def knuthU(id: Column): Column =
+    ((id.cast(DecimalType(38, 0)) * lit(2654435761L)) % lit(4294967296L))
+      .cast(LongType)
+
+  /** Oracle twin of [[knuthU]]. */
+  def sqlKnuthU(id: String): String =
+    s"CAST((CAST($id AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT)"
+
   /** Oracle-side SQL fragments twinning the above. */
   def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlAvg(x: String): String =

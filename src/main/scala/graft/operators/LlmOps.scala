@@ -1308,8 +1308,7 @@ object LlmOps extends QueryGroup {
     (s, dir) => {
       val rate = ((substring(col("source"), 4, 8).cast(IntegerType) % 5) + 1)
         .cast(DoubleType) / 5.0
-      val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
-        .cast(DoubleType) / 4294967296.0
+      val u = graft.Det.knuthU(col("doc_id")).cast(DoubleType) / 4294967296.0
       Tables.documents(s, dir)
         .select(col("source"), rate.as("target_rate"),
           (u < rate).cast(IntegerType).as("keep"))
@@ -1324,7 +1323,7 @@ object LlmOps extends QueryGroup {
       WITH k AS (
         SELECT source,
                CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) / 5.0 AS target_rate,
-               CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+               CASE WHEN CAST(CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT) AS DOUBLE) / 4294967296.0
                          < CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) / 5.0
                     THEN 1 ELSE 0 END AS keep
         FROM documents)
@@ -1476,8 +1475,7 @@ object LlmOps extends QueryGroup {
         .agg(sum(col("n_tokens")).as("token_total"))
         .withColumn("rate",
           least(lit(1.0), lit(500.0) / col("token_total").cast(DoubleType)))
-      val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
-        .cast(DoubleType) / 4294967296.0
+      val u = graft.Det.knuthU(col("doc_id")).cast(DoubleType) / 4294967296.0
       toks.join(broadcast(rates), "source")
         .withColumn("keep", (u < col("rate")).cast(IntegerType))
         .groupBy(col("source"), col("token_total"), col("rate"))
@@ -1499,7 +1497,7 @@ object LlmOps extends QueryGroup {
         FROM t GROUP BY source),
       k AS (
         SELECT t.source, t.n_tokens, r.token_total, r.rate,
-               CASE WHEN CAST((t.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+               CASE WHEN CAST(CAST((CAST(t.doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT) AS DOUBLE) / 4294967296.0
                          < r.rate
                     THEN 1 ELSE 0 END AS keep
         FROM t JOIN r ON t.source = r.source)

@@ -154,7 +154,7 @@ object RowOps extends QueryGroup {
   private val sampleStratifiedExact = GraftQuery(
     "sample_stratified_exact",
     (s, dir) => {
-      val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val u = graft.Det.knuthU(col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), u.as("u"))
         .withColumn("rn", row_number().over(
@@ -167,7 +167,7 @@ object RowOps extends QueryGroup {
       SELECT doc_id, source, rn FROM (
         SELECT doc_id, source,
                ROW_NUMBER() OVER (PARTITION BY source
-                 ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) AS rn
+                 ORDER BY CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 4294967296 AS BIGINT) ASC, doc_id ASC) AS rn
         FROM documents)
       WHERE rn <= 40
       ORDER BY source ASC NULLS FIRST, rn ASC NULLS FIRST"""))

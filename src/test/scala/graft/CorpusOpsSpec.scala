@@ -187,4 +187,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q(spark, sf).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
       == rows.toSeq)
   }
+
+  test("sampling hash survives replica-offset id ranges (no ANSI long overflow)") {
+    // The sf3/sf6 replica corpora offset doc_id by replica·10⁹, past the
+    // ⌊2⁶³/2654435761⌋ ≈ 3.4×10⁹ point where a BIGINT Knuth multiply
+    // overflows and ANSI mode throws. Det.knuthU computes the hash in
+    // DECIMAL(38,0), so the sampling rows must evaluate cleanly here.
+    // collect(), NOT count(): count() lets Catalyst prune the aggregate
+    // expressions (only group keys survive), which is exactly how the
+    // original overflow hid from the count()-based scaling sweeps.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigid").toString
+    import spark.implicits._
+    Seq.tabulate(100)(i =>
+      (29000000000L + i, "alpha beta gamma delta epsilon zeta", "en", s"src${i % 5}", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("llm_domain_mix", "llm_token_budget_mix", "sample_stratified_exact").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$q returned no rows on the big-id corpus")
+    }
+  }
 }
