@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, QueryGroup, Tables}
+import graft.{Det, GraftQuery, QueryGroup, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -261,7 +261,47 @@ object EtlComposites extends QueryGroup {
       SELECT o_orderkey, col_name, val_a, val_b FROM diffs
       ORDER BY o_orderkey ASC NULLS FIRST, col_name ASC NULLS FIRST"""))
 
+  /** INCREMENTAL ROLLUP MAINTENANCE (etl.Rollup): the nightly-load refresh
+    * pattern — the materialized rollup lives in mergeable partial form
+    * (COUNT + exact decimal SUMs) and each delta batch is folded in with a
+    * union + re-aggregate over GROUP rows, never a rescan of the base.
+    * Here the corpus is split into a base (90%) and a delta
+    * (l_orderkey % 10 = 0), both rolled up independently and merged; the
+    * oracle is the FULL RECOMPUTE over everything — decimal-sum
+    * associativity makes the incremental result bit-identical to it, the
+    * property that lets a production pipeline audit an incrementally
+    * maintained rollup against a periodic full rebuild.
+    *
+    * 100 TB shape: the delta scan is the only data-sized input; the base
+    * contributes |groups| rows. Both partials keep map-side combine; the
+    * merge shuffles only group rows. */
+  private val etlIncrementalRollup = GraftQuery(
+    "etl_incremental_rollup",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val measures = Seq("l_quantity", "l_extendedprice")
+      val isDelta = col("l_orderkey") % 10 === 0
+      val base = graft.etl.Rollup.partial(li.filter(!isDelta), keys, measures)
+      val delta = graft.etl.Rollup.partial(li.filter(isDelta), keys, measures)
+      graft.etl.Rollup.merge(Seq(base, delta), keys, measures)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_l_quantity").cast(DoubleType).as("sum_qty"),
+          col("sum_l_extendedprice").cast(DoubleType).as("sum_price"),
+          (col("sum_l_quantity").cast(DoubleType) /
+            col("n_rows").cast(DoubleType)).as("avg_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+             ${Det.sqlSum("l_quantity")} AS sum_qty,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price,
+             ${Det.sqlSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     etlScd2Load, etlIncrementalDedup, etlValidateSplit, etlRowHash, etlSurrogateKey,
-    etlUpdateMaster, etlCompareDatasets)
+    etlUpdateMaster, etlCompareDatasets, etlIncrementalRollup)
 }

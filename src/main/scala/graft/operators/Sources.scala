@@ -164,7 +164,53 @@ object Sources extends QueryGroup {
       ) AS t(ordinal, col_name, data_type)
       ORDER BY ordinal ASC NULLS FIRST"""))
 
+  /** Z-ORDERED scan (layouts.ZOrder): lineitem rewritten once in Morton
+    * order of (l_partkey, l_suppkey), then a 2-D box predicate — the query
+    * shape a single-key sort cannot serve — reads only the few files whose
+    * z-range intersects the box, via ordinary parquet min/max pruning.
+    * The oracle is the same box filter over the original table (the layout
+    * is a pure reordering); ZOrderSpec measures the pruning itself:
+    * scan numOutputRows under the z-layout vs the same files sorted by an
+    * uncorrelated key. The layout write is owned by the helper (cached by
+    * source size+mtime, builders stay pure — the Bucketed convention). */
+  private val scanZorderBox = GraftQuery(
+    "scan_zorder_box",
+    (s, dir) => {
+      val path = graft.layouts.ZOrder.ensure(s, dir, "lineitem_z",
+        Tables.lineitem(s, dir), "lineitem", "l_partkey", "l_suppkey")
+      // The box is derived from the table's own key ranges (a mid-span
+      // 10%×20% window) so the query is meaningful at every scale factor.
+      // The four bounds are MODEL PARAMETERS (the Ivf.assign convention):
+      // collected once so they enter the scan as LITERALS — a filter on
+      // non-literal bounds cannot be pushed into parquet min/max pruning.
+      val b = Tables.lineitem(s, dir)
+        .agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
+      val (pmin, pmax, smin, smax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val pl = pmin + (pmax - pmin) / 2; val ph = pl + (pmax - pmin) / 10
+      val sl = smin + (smax - smin) / 2; val sh = sl + (smax - smin) / 5
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(pl, ph) && col("l_suppkey").between(sl, sh))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+               min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem, b
+      WHERE l_partkey BETWEEN b.pmin + (b.pmax - b.pmin) // 2
+                          AND b.pmin + (b.pmax - b.pmin) // 2 + (b.pmax - b.pmin) // 10
+        AND l_suppkey BETWEEN b.smin + (b.smax - b.smin) // 2
+                          AND b.smin + (b.smax - b.smin) // 2 + (b.smax - b.smin) // 5
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     scanParquet, sourceCsvTyped, sinkCsvRoundtrip, sourceJsonl,
-    sourceFixedWidth, sinkPartitionedParquet, catalogIntrospect)
+    sourceFixedWidth, sinkPartitionedParquet, catalogIntrospect, scanZorderBox)
 }
