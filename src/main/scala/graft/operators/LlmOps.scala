@@ -1745,6 +1745,42 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** BPE TOKENIZATION with a tokenizer TRAINED ON THE CORPUS (etl.Bpe —
+    * the real Sennrich et al. 2016 merge-learning loop as distributed
+    * aggregations, replacing llm_token_count's "BPE-ish regex" stand-in):
+    * learn 12 merge rules from the word-frequency table, segment the
+    * distinct word types once, join the segmentation back to the corpus,
+    * and report per-document word/char/BPE-token counts plus the
+    * chars-per-token compression ratio — the quantity a token-budget
+    * pipeline actually needs from its tokenizer.
+    *
+    * 100 TB shape: training and segmentation touch only the Heaps-law
+    * word-TYPE table (dedup-first at the vocabulary level); the corpus is
+    * read once to build type frequencies and once for the final keyed
+    * join + per-doc rollup. Oracle: none by construction (the iterative
+    * data-dependent argmax is not expressible as one SQL query); BpeSpec
+    * recomputes the ENTIRE training run and the per-doc counts in plain
+    * JVM Scala and matches them exactly, tie-breaks included. */
+  private val llmBpeTokenize = GraftQuery(
+    "llm_bpe_tokenize",
+    (s, dir) => {
+      val docWords = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      val wf = docWords.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val merges = graft.etl.Bpe.train(wf, nMerges = 12)
+      val seg = graft.etl.Bpe.segment(wf.select("w"), merges)
+        .select(col("w"), size(col("syms")).as("n_sub"), length(col("w")).as("n_chr"))
+      docWords.join(seg, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chr")).cast(LongType).as("n_chars"),
+          sum(col("n_sub")).cast(LongType).as("n_bpe_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens").cast(DoubleType), 4))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
@@ -1754,5 +1790,5 @@ object LlmOps extends QueryGroup {
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
     llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
-    llmChunkDedup, llmBigramLmScore, llmSemdedup)
+    llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize)
 }

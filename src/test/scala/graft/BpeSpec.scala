@@ -1,0 +1,71 @@
+package graft
+
+import graft.etl.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** etl.Bpe: the distributed BPE trainer against a complete JVM reference
+  * implementation — merges learned, segmentations produced, and the
+  * registry row's per-document counts must all match exactly (including
+  * the deterministic (count desc, pair asc) tie-break).
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference greedy left-to-right merge, as in the Spark mergeStep. */
+  private def mergeGreedy(syms: Seq[String], a: String, b: String): Seq[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  /** Reference BPE trainer over a word-frequency map. */
+  private def jvmTrain(wf: Map[String, Long], nMerges: Int)
+      : (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var segs: Map[String, Seq[String]] = wf.keys.map(w => w -> w.split("").toSeq.filter(_.nonEmpty)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to nMerges if !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, syms) <- segs; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) += wf(w)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += best
+        segs = segs.map { case (w, s) => w -> mergeGreedy(s, best._1, best._2) }
+      }
+    }
+    (merges.toSeq, segs)
+  }
+
+  test("trainer matches the JVM reference: merges, segmentations, per-doc counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wf = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val (expMerges, expSegs) = jvmTrain(wf, 12)
+
+    import spark.implicits._
+    val wfDf = wf.toSeq.toDF("w", "cnt")
+    val gotMerges = Bpe.train(wfDf, 12)
+    assert(gotMerges == expMerges, s"merges diverge:\ngot  $gotMerges\nwant $expMerges")
+
+    val gotSegs = Bpe.segment(wfDf.select("w"), gotMerges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(gotSegs == expSegs)
+
+    // registry row end-to-end: per-doc counts from the JVM segmentation
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ").toSeq
+      id -> (ws.size.toLong, ws.map(_.length.toLong).sum, ws.map(w => expSegs(w).size.toLong).sum)
+    }.toMap
+    val got = SparkEntry.queries("llm_bpe_tokenize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // the merges must actually compress: fewer BPE tokens than characters
+    assert(got.values.forall { case (_, chars, toks) => toks < chars && toks > 0 })
+  }
+}
