@@ -1535,29 +1535,50 @@ object LlmOps extends QueryGroup {
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
       val boiler = d.filter(col("doc_id") === 0)
         .select(array_join(slice(split(col("t"), " "), 1, 25), " ").as("btext"))
-      val ch = d.crossJoin(broadcast(boiler))
+      val planted = d.crossJoin(broadcast(boiler))
         .select(col("doc_id"),
-          split(when(col("doc_id") % 3 === 0, concat(col("t"), lit(" "), col("btext")))
-            .otherwise(col("t")), " ").as("words"))
+          when(col("doc_id") % 3 === 0, concat(col("t"), lit(" "), col("btext")))
+            .otherwise(col("t")).as("pt"))
+      // DEDUP-FIRST (op-69 precondition): identical planted texts chunk
+      // identically, so chunking + first-occurrence run over DISTINCT
+      // texts only, keyed by the group's min doc_id. The fan-out is
+      // exact: the global first occurrence of any chunk lives in some
+      // group REP (every member is ≥ its rep, and reps carry every chunk
+      // their members do), so a non-rep member owns nothing — ALL its
+      // chunk occurrences are duplicates of the rep's. Rep stats come
+      // from two aggregates (its chunk count map-side; the distinct-chunk
+      // firsts re-aggregated by owning rep) — there is no join of
+      // first-occurrences back onto the exploded chunk stream (that join
+      // was the sweep's widest shuffle at sf3), and on a replica-heavy
+      // corpus the exploded stream itself is distinct-sized.
+      val groups = planted.groupBy(col("pt"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+      val chunked = groups
+        .select(col("rep"), col("members"), split(col("pt"), " ").as("words"))
         .withColumn("starts",
           concat(array(lit(0)),
             filter(sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
               i => substring(try_element_at(col("words"), i + 1), 1, 1) === "s")))
-        .select(col("doc_id"), col("words"), col("starts"),
+      val ch = chunked
+        .select(col("rep"), col("words"), col("starts"),
           posexplode(transform(col("starts"), (st, j) =>
             array_join(
               slice(col("words"), st + 1,
                 coalesce(try_element_at(col("starts"), j + 2), size(col("words"))) - st),
               " "))))
-        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
-      val firsts = ch.groupBy(col("chunk_text"))
-        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
-      ch.join(firsts, "chunk_text")
-        .select(col("doc_id"),
-          (!(col("f.doc_id") === col("doc_id") &&
-             col("f.chunk_idx") === col("chunk_idx"))).cast(IntegerType).as("is_dup"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"), sum(col("is_dup")).as("n_dup_chunks"))
+        .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
+      val owned = ch.groupBy(col("chunk_text"))
+        .agg(min(struct(col("rep").as("doc_id"), col("chunk_idx"))).as("f"))
+        .groupBy(col("f.doc_id").as("rep")).agg(count(lit(1)).as("n_owned"))
+      chunked
+        .select(col("rep"), col("members"), size(col("starts")).cast(LongType).as("n_chunks"))
+        .join(owned, Seq("rep"), "left")
+        .select(explode(col("members")).as("doc_id"), col("rep"), col("n_chunks"),
+          coalesce(col("n_owned"), lit(0L)).as("n_owned"))
+        .select(col("doc_id"), col("n_chunks"),
+          when(col("doc_id") === col("rep"), col("n_chunks") - col("n_owned"))
+            .otherwise(col("n_chunks")).as("n_dup_chunks"))
         .withColumn("dup_frac",
           round(col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType), 4))
         .orderBy(col("doc_id").asc_nulls_first)

@@ -178,6 +178,42 @@ class DedupFirstSpec extends AnyFunSuite with SparkTestBase {
         .orderBy(col("q_id").asc_nulls_first, col("rn").asc_nulls_first))
   }
 
+  test("llm_chunk_dedup == straightforward per-doc formulation on a replica corpus") {
+    // JVM reference: chunk EVERY doc (no rep grouping), global
+    // first-occurrence by (doc_id, chunk_idx), per-doc dup counts — the
+    // formulation the dedup-first rewrite must reproduce exactly. The
+    // fixture's replicas make identity groups real (doc 0+k·off repeats
+    // doc 0's text, with planted flags varying across replicas since
+    // off % 3 != 0).
+    def cdcChunks(norm: String): Seq[String] = {
+      val words = norm.split(" ").toIndexedSeq
+      val starts = 0 +: (1 until words.size).filter(i => words(i).startsWith("s"))
+      starts.zipWithIndex.map { case (st, j) =>
+        val end = if (j + 1 < starts.size) starts(j + 1) else words.size
+        words.slice(st, end).mkString(" ")
+      }
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val boiler = docs.find(_._1 == 0L).get._2.split(" ").take(25).mkString(" ")
+    val all = docs.flatMap { case (id, t) =>
+      val planted = if (id % 3 == 0) s"$t $boiler" else t
+      cdcChunks(planted).zipWithIndex.map { case (c, i) => (id, i, c) }
+    }
+    val firstOf = all.groupBy(_._3).map { case (c, rs) => c -> rs.map(r => (r._1, r._2)).min }
+    val expected = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, rs) =>
+      val nDup = rs.count(r => firstOf(r._3) != ((r._1, r._2)))
+      Seq[Any](id, rs.size.toLong, nDup.toLong,
+        math.round(nDup.toDouble / rs.size * 10000) / 10000.0)
+    }
+    val got = rows(SparkEntry.queries("llm_chunk_dedup")(spark, dir))
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // the replicas must actually exercise the fan-out: full-dup docs exist
+    assert(expected.count(r => r(1) == r(2)) > 100, "no fully-duplicate docs in fixture?")
+  }
+
   test("llm_jaccard_pairs == all-pairs-in-block formulation on a replica corpus") {
     graft.functions.GraftFunctions.register(spark)
     val sh = graft.etl.TextDedup.cappedBlocks(
