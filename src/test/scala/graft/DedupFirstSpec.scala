@@ -214,6 +214,23 @@ class DedupFirstSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.count(r => r(1) == r(2)) > 100, "no fully-duplicate docs in fixture?")
   }
 
+  test("llm_bpe_tokenize: replica corpus trains the same tokenizer; stats fan out exactly") {
+    // Uniform replication multiplies every word count by `repl`, which
+    // changes neither the per-round argmax nor its tie-break — the
+    // learned tokenizer is identical, so every replica doc must report
+    // exactly its base doc's counts, and the base must match the
+    // unreplicated run (BpeSpec separately proves that run against a
+    // full JVM reference).
+    val base = SparkEntry.queries("llm_bpe_tokenize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val got = SparkEntry.queries("llm_bpe_tokenize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == base.size * repl)
+    got.foreach { case (id, stats) =>
+      assert(stats == base(id % keyOff), s"doc $id diverges from base ${id % keyOff}")
+    }
+  }
+
   test("llm_jaccard_pairs == all-pairs-in-block formulation on a replica corpus") {
     graft.functions.GraftFunctions.register(spark)
     val sh = graft.etl.TextDedup.cappedBlocks(
