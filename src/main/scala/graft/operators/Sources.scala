@@ -180,13 +180,12 @@ object Sources extends QueryGroup {
         Tables.lineitem(s, dir), "lineitem", "l_partkey", "l_suppkey")
       // The box is derived from the table's own key ranges (a mid-span
       // 10%×20% window) so the query is meaningful at every scale factor.
-      // The four bounds are MODEL PARAMETERS (the Ivf.assign convention):
-      // collected once so they enter the scan as LITERALS — a filter on
-      // non-literal bounds cannot be pushed into parquet min/max pruning.
-      val b = Tables.lineitem(s, dir)
-        .agg(min(col("l_partkey")), max(col("l_partkey")),
-          min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
-      val (pmin, pmax, smin, smax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // The four bounds come from the layout's BUILD-TIME stats sidecar
+      // (the lakehouse-metadata convention) and enter the scan as
+      // LITERALS — a filter on non-literal bounds cannot be pushed into
+      // parquet min/max pruning, and re-deriving them with a min/max scan
+      // per query cost more than the pruned box read itself.
+      val (pmin, pmax, smin, smax) = graft.layouts.ZOrder.stats(path)
       val pl = pmin + (pmax - pmin) / 2; val ph = pl + (pmax - pmin) / 10
       val sl = smin + (smax - smin) / 2; val sh = sl + (smax - smin) / 5
       s.read.parquet(path)
