@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   *      greedy pass — a doc is dropped iff it pairs with some smaller
   *      surviving doc; transitive near-dup CHAINS (a~b, b~c, a≁c) can keep
   *      endpoints a and c, which is the documented, deterministic choice.
-  *   4. Token accounting over the kept set: whitespace tokens + the
+  *   4. Chunk-boilerplate filter (TextOps.cdcChunks): drop docs whose
+  *      content-defined chunks mostly first-occur elsewhere — the
+  *      RefinedWeb line-dedup filter at chunk granularity, catching
+  *      documents STITCHED from other documents' passages, which
+  *      doc-level near-dup cannot see (a two-doc concat has ≈0.5 Jaccard
+  *      with each source). Ordering note: chunk-exact duplication also
+  *      subsumes single-word mutants, so running it AFTER the LSH pass
+  *      keeps each detector's distinct catch observable; on a corpus
+  *      where stitched boilerplate dominates, run it before the LSH pass
+  *      instead — both orders are correct, the choice is cost.
+  *   5. Token accounting over the kept set: whitespace tokens + the
   *      chars/4 BPE estimate per doc, plus corpus totals.
   *
   * Everything before the near-dup band join is map-side or one shuffle;
@@ -38,9 +48,14 @@ object TrainingDataPrep {
 
   final case class Outputs(kept: DataFrame, dropped: DataFrame, attrition: DataFrame)
 
-  /** Prepare a corpus given as (doc_id, lang, text) rows. */
+  /** Prepare a corpus given as (doc_id, lang, text) rows.
+    * `chunkDupMax`: stage-4 boilerplate bar — a doc dies when more than
+    * this fraction of its content-defined chunks (TextOps.cdcChunks)
+    * first occur elsewhere in the surviving corpus (post exact-dedup, so
+    * texts are distinct and first-occurrence is well-defined). */
   def prepare(docsIn: DataFrame,
-      qualityMin: Double = 0.45, neardupThreshold: Double = 0.8): Outputs = {
+      qualityMin: Double = 0.45, neardupThreshold: Double = 0.8,
+      chunkDupMax: Double = 0.6): Outputs = {
     val docs = docsIn.select(col("doc_id"), col("lang"), col("text"))
 
     // 1. exact dedup: keep the smallest doc_id per raw text (group by the
@@ -68,8 +83,26 @@ object TrainingDataPrep {
       .select(col("doc_b").as("doc_id")).distinct()
     val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").cache()
 
-    // 4. token accounting
-    val kept = s3.select(
+    // 4. chunk-boilerplate filter: per-doc fraction of content-defined
+    // chunks whose first occurrence (min (doc_id, idx)) is elsewhere;
+    // docs above chunkDupMax are stitched boilerplate. Same aggregate
+    // shape as llm_chunk_dedup: no join back onto the exploded stream —
+    // dups per doc = chunk total − chunks the doc owns first.
+    val chunks = s3
+      .select(col("doc_id"), posexplode(TextOps.cdcChunks(TextOps.normalize(col("text")))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("c"))
+    val owned = chunks.groupBy(col("c"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id")).agg(count(lit(1)).as("n_owned"))
+    val boilerIds = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(owned, Seq("doc_id"), "left")
+      .filter((col("n_chunks") - coalesce(col("n_owned"), lit(0L))).cast("double")
+        > col("n_chunks").cast("double") * chunkDupMax)
+      .select("doc_id")
+    val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").cache()
+
+    // 5. token accounting
+    val kept = s4.select(
       col("doc_id"), col("lang"),
       col("q.n_tokens").as("n_tokens"), col("q.quality").as("quality"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
@@ -81,6 +114,8 @@ object TrainingDataPrep {
         .select(col("doc_id"), lit("low_quality").as("stage")))
       .unionByName(s2.join(dupIds, "doc_id")
         .select(col("doc_id"), lit("near_dup").as("stage")))
+      .unionByName(boilerIds
+        .select(col("doc_id"), lit("chunk_boilerplate").as("stage")))
 
     def stageRow(name: String, ord: Int, in: DataFrame, out: DataFrame) = {
       val tokens = out.select(
@@ -95,6 +130,7 @@ object TrainingDataPrep {
       stageRow("exact_dedup", 1, docs, s1)
         .unionByName(stageRow("quality_filter", 2, s1, s2.drop("q")))
         .unionByName(stageRow("neardup_removal", 3, s2.drop("q"), s3.drop("q")))
+        .unionByName(stageRow("chunk_boilerplate", 4, s3.drop("q"), s4.drop("q")))
 
     Outputs(kept, dropped, attrition)
   }

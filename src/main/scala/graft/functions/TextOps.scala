@@ -49,6 +49,23 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** CONTENT-DEFINED chunks of a NORMALIZED text column (the
+    * llm_chunk_dedup / corpus-prep boilerplate unit): a chunk starts at
+    * every word whose first letter is 's', so boundaries move with the
+    * content and a shared passage chunks identically at any offset in any
+    * host document — the storage-dedup (LBFS) boundary trick standing in
+    * for line splits on a newline-free corpus. Pure in-row array work. */
+  def cdcChunks(norm: Column): Column = {
+    val words = split(norm, " ")
+    val starts = concat(array(lit(0)),
+      filter(sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => substring(try_element_at(words, i + 1), 1, 1) === "s"))
+    transform(starts, (st, j) =>
+      array_join(
+        slice(words, st + 1, coalesce(try_element_at(starts, j + 2), size(words)) - st),
+        " "))
+  }
+
   /** Word k-shingles of a normalized text column: overlapping k-word
     * windows; texts shorter than k words yield their single full window. */
   def wordShingles(text: Column, k: Int): Column = {

@@ -990,14 +990,17 @@ object LlmOps extends QueryGroup {
       ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** The composed corpus-preparation job (examples.TrainingDataPrep):
-    * exact dedup → quality filter → LSH near-dup removal → token
-    * accounting, over a corpus planted with BOTH exact copies (every 50th
-    * doc) and one-word mutants (every 25th) so every stage has work to do.
+    * exact dedup → quality filter → chunk-boilerplate filter → LSH
+    * near-dup removal → token accounting, over a corpus planted with
+    * exact copies (every 50th doc), one-word mutants (every 25th), AND
+    * stitched docs (every 40th doc concatenated with its successor —
+    * ≈0.5 Jaccard with each source, so doc-level near-dup misses them;
+    * the chunk stage is what catches them) so every stage has work to do.
     * Registered as its per-stage attrition report — the deterministic
     * corpus-curation summary (docs in/out + surviving token volume per
     * stage). Oracle: none (the near-dup stage rests on minhash_sig);
     * TrainingDataPrepSpec pins stage-by-stage counts, that each planted
-    * copy/mutant dies in its intended stage, and output determinism. */
+    * copy/mutant/stitch dies in its intended stage, and determinism. */
   private val llmCorpusPrep = GraftQuery(
     "llm_corpus_prep",
     (s, dir) => {
@@ -1007,8 +1010,12 @@ object LlmOps extends QueryGroup {
       val mutants = docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
           regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
+      val stitched = docs.join(nxt, "doc_id").filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" "), col("t2")).as("text"))
       graft.examples.TrainingDataPrep
-        .prepare(docs.unionByName(copies).unionByName(mutants))
+        .prepare(docs.unionByName(copies).unionByName(mutants).unionByName(stitched))
         .attrition
         .orderBy(col("stage_ord").asc_nulls_first)
     },
@@ -1555,24 +1562,15 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
       val chunked = groups
-        .select(col("rep"), col("members"), split(col("pt"), " ").as("words"))
-        .withColumn("starts",
-          concat(array(lit(0)),
-            filter(sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
-              i => substring(try_element_at(col("words"), i + 1), 1, 1) === "s")))
+        .select(col("rep"), col("members"), TextOps.cdcChunks(col("pt")).as("chunks"))
       val ch = chunked
-        .select(col("rep"), col("words"), col("starts"),
-          posexplode(transform(col("starts"), (st, j) =>
-            array_join(
-              slice(col("words"), st + 1,
-                coalesce(try_element_at(col("starts"), j + 2), size(col("words"))) - st),
-              " "))))
+        .select(col("rep"), posexplode(col("chunks")))
         .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
       val owned = ch.groupBy(col("chunk_text"))
         .agg(min(struct(col("rep").as("doc_id"), col("chunk_idx"))).as("f"))
         .groupBy(col("f.doc_id").as("rep")).agg(count(lit(1)).as("n_owned"))
       chunked
-        .select(col("rep"), col("members"), size(col("starts")).cast(LongType).as("n_chunks"))
+        .select(col("rep"), col("members"), size(col("chunks")).cast(LongType).as("n_chunks"))
         .join(owned, Seq("rep"), "left")
         .select(explode(col("members")).as("doc_id"), col("rep"), col("n_chunks"),
           coalesce(col("n_owned"), lit(0L)).as("n_owned"))

@@ -18,7 +18,11 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
     val mutants = docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
         regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
-    (docs, docs.unionByName(copies).unionByName(mutants))
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
+    val stitched = docs.join(nxt, "doc_id").filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" "), col("t2")).as("text"))
+    (docs, docs.unionByName(copies).unionByName(mutants).unionByName(stitched))
   }
 
   test("planted copies and mutants die in their intended stages") {
@@ -45,6 +49,30 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
     val nearDupMutants = mutantIds.count(id => dropped.get(id).contains("near_dup"))
     assert(nearDupMutants * 2 >= mutantIds.length,
       s"only $nearDupMutants/${mutantIds.length} mutants died in near_dup")
+    // stitched docs (concat of two originals) have ≈0.5 Jaccard with each
+    // source — doc-level near-dup misses them; the chunk stage must not
+    val stitchedIds = docs.filter(col("doc_id") % 40 === 0).select("doc_id")
+      .collect().map(_.getLong(0) + 4000000L).toSet
+    assert(stitchedIds.nonEmpty)
+    // A stitch whose second source is much shorter is a GENUINE near-dup
+    // of its first source (J = |A|/|A∪B| ≥ 0.8) and may die in stage 3;
+    // every other stitch must reach stage 4 and die there — never survive.
+    stitchedIds.foreach { id =>
+      assert(Seq("chunk_boilerplate", "near_dup").exists(dropped.get(id).contains),
+        s"stitched $id: ${dropped.get(id)}")
+    }
+    val chunkCaught = stitchedIds.count(id => dropped.get(id).contains("chunk_boilerplate"))
+    assert(chunkCaught * 2 >= stitchedIds.size,
+      s"only $chunkCaught/${stitchedIds.size} stitches died in chunk_boilerplate")
+    // ...and the chunk stage must not eat the corpus: on this tiny-vocab
+    // synthetic data a rare ordinary doc legitimately exceeds the bar
+    // (all its short common chunks first occur elsewhere — that IS
+    // boilerplate by the filter's definition), so allow a ≤1% natural
+    // catch rather than an exact planted-only set
+    val boilerDropped = dropped.collect { case (id, "chunk_boilerplate") => id }.toSet
+    val naturals = boilerDropped -- stitchedIds
+    assert(naturals.size * 100 <= docs.count(),
+      s"chunk_boilerplate ate ${naturals.size} ordinary docs: $naturals")
   }
 
   test("attrition reconciles: docs_out chains, kept size matches, quality holds") {
@@ -52,7 +80,8 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
     val out = TrainingDataPrep.prepare(planted)
     val rows = out.attrition.orderBy(col("stage_ord")).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(rows.map(_._1).toSeq == Seq("exact_dedup", "quality_filter", "neardup_removal"))
+    assert(rows.map(_._1).toSeq ==
+      Seq("exact_dedup", "quality_filter", "neardup_removal", "chunk_boilerplate"))
     // docs_in of stage n+1 == docs_out of stage n; monotone non-increasing
     rows.sliding(2).foreach { case Array((_, _, o1), (s2, i2, _)) =>
       assert(i2 == o1, s"stage $s2 in=$i2 != prev out=$o1")
