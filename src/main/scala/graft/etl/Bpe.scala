@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * a regex approximation: repeatedly count adjacent symbol pairs over the
   * WORD-TYPE frequency table, merge the globally most frequent pair, stop
   * after `nMerges` rounds. Tie-breaks are total-ordered (count desc, then
-  * pair lexicographic) so training is deterministic on any cluster.
+  * pair lexicographic under Spark's UTF-8 BINARY collation — byte order,
+  * which differs from Java's UTF-16 ordering on supplementary-plane
+  * characters; BpeSpec's JVM reference compares UTF-8 bytes to match) so
+  * training is deterministic on any cluster.
   *
   * 100 TB shape: everything runs over word TYPES weighted by frequency,
   * never over the corpus — the type table is Heaps-law small relative to

@@ -28,7 +28,9 @@ object Bucketed {
       val f = new java.io.File(s"$dir/${sp.name.stripSuffix("_b")}.parquet")
       s"${f.length}_${f.lastModified}"
     }.mkString("_")
-    val tag = math.abs((dir + sig + buckets).hashCode).toString
+    // MD5, not String.hashCode: a 32-bit tag collision would silently
+    // serve a WRONG cached layout (the ZOrder.cacheTag argument)
+    val tag = ZOrder.cacheTag(s"$dir|$sig|$buckets")
     val db = s"graftbuckets_$tag"
     val loc = s"/tmp/graft_bucket_wh_$tag"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")

@@ -39,6 +39,26 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Size+max-mtime of a parquet source that may be a single file (the
+    * driver testdata) or a directory of part files (any Spark-written
+    * source) — the signature is derived from the DATA files, not the
+    * filesystem's directory entry, whose length/mtime are fs-dependent. */
+  private def sourceSig(f: java.io.File): String =
+    if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(p => p.isFile && !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .sortBy(_.getName)
+      s"${parts.map(_.length).sum}_${if (parts.isEmpty) 0L else parts.map(_.lastModified).max}"
+    } else s"${f.length}_${f.lastModified}"
+
+  /** Collision-safe cache tag: MD5 of the full key string (a 32-bit
+    * String.hashCode tag could silently serve a WRONG cached layout on
+    * collision — a correctness hazard, not a perf one). */
+  private[layouts] def cacheTag(key: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** Ensure a z-ordered parquet copy of `src` (derived from
     * `dir/srcTable.parquet`) exists; returns its path. Idempotent, cached
     * by source size+mtime so regenerated testdata is never served stale.
@@ -47,14 +67,18 @@ object ZOrder {
     * at build time ([[stats]]) — the lakehouse-metadata convention: a box
     * query derives its literal bounds from table statistics, not from a
     * full min/max scan of the data (measured: the bounds scan, not the
-    * pruned box read, dominated the row's cost at sf3/sf6). */
+    * pruned box read, dominated the row's cost at sf3/sf6). The rebuild
+    * guard requires BOTH the parquet _SUCCESS marker and the sidecar: the
+    * sidecar is written after the parquet commit, so a crash between the
+    * two must not leave a half-built layout that passes the guard. */
   def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
              srcTable: String, xCol: String, yCol: String,
              rangePartitions: Int = 4, targetFiles: Int = 64): String = {
     val f = new java.io.File(s"$dir/$srcTable.parquet")
-    val tag = math.abs((dir + name + s"${f.length}_${f.lastModified}").hashCode).toString
+    val tag = cacheTag(s"$dir|$name|${sourceSig(f)}")
     val path = s"/tmp/graft_zorder_${name}_$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+    if (!new java.io.File(s"$path/_SUCCESS").exists
+        || !new java.io.File(s"$path/_graft_minmax").exists) {
       // File count is the pruning granularity AND the metadata bill: a
       // fixed records-per-file cap explodes into thousands of files on a
       // big table (measured at sf3: listing+footers of 9000 files cost

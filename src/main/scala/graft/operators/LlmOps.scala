@@ -990,8 +990,8 @@ object LlmOps extends QueryGroup {
       ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** The composed corpus-preparation job (examples.TrainingDataPrep):
-    * exact dedup → quality filter → chunk-boilerplate filter → LSH
-    * near-dup removal → token accounting, over a corpus planted with
+    * exact dedup → quality filter → LSH near-dup removal →
+    * chunk-boilerplate filter → token accounting, over a corpus planted with
     * exact copies (every 50th doc), one-word mutants (every 25th), AND
     * stitched docs (every 40th doc concatenated with its successor —
     * ≈0.5 Jaccard with each source, so doc-level near-dup misses them;

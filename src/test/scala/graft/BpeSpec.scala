@@ -13,6 +13,15 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Pair tie-break ordering matching Spark's UTF-8 binary collation:
+    * compare UTF-8 bytes unsigned, NOT Java's UTF-16 code units — the two
+    * diverge for supplementary-plane characters, so a UTF-16 reference
+    * would only match Spark on BMP/ASCII corpora. */
+  private val utf8Ord: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Reference greedy left-to-right merge, as in the Spark mergeStep. */
   private def mergeGreedy(syms: Seq[String], a: String, b: String): Seq[String] =
     syms.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -32,7 +41,10 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
         counts((syms(i), syms(i + 1))) += wf(w)
       if (counts.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        val best = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }(
+            Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
+          .head._1
         merges += best
         segs = segs.map { case (w, s) => w -> mergeGreedy(s, best._1, best._2) }
       }
