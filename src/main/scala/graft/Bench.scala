@@ -210,20 +210,40 @@ object Bench {
       name -> runs.min
     }
 
-    // SPARK_GRAFT_HEADLINE_ONLY=1 skips the full-registry pass (used for
-    // crossover measurement runs at larger SFs; the driver never sets it)
-    val allOnce = if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) 0.0 else {
-      val tAll0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Full-registry pass, DECOMPOSED (round-3 verdict item 1): the one-time
+    // layout/index builds are prewarmed FIRST with the exact cache keys the
+    // query rows use and reported as separate `builds` line items (they are
+    // the tables' resident formats — a nightly 100 TB workload pays them
+    // once, not per query), then every registry row is timed individually
+    // so a regression in a carried row is visible, not buried in one total.
+    // `all_queries_once` stays in `queries` for cross-round comparability
+    // and now equals the SUM of the per-row times (build costs excluded).
+    // SPARK_GRAFT_HEADLINE_ONLY=1 skips the pass (crossover runs at larger
+    // SFs; the driver never sets it).
+    val (buildTimes, rowTimes) =
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (Nil, Nil) else {
+        def clocked[A](f: => A): Double = {
+          val t0 = System.nanoTime()
+          try f catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val builds: Seq[(String, Double)] = Seq(
+          "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
+          "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
+          "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)))
+        val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          name -> clocked(fn(spark, sfDir).count())
+        }
+        (builds, rows)
       }
-      (System.nanoTime() - tAll0) / 1e9
-    }
+    val allOnce = rowTimes.map(_._2).sum
 
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    val qs = (timed :+ ("all_queries_once" -> allOnce))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = obj(timed :+ ("all_queries_once" -> allOnce))
+    println(s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""builds":${obj(buildTimes)},"registry_rows":${obj(rowTimes)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -638,23 +638,33 @@ object LlmOps extends QueryGroup {
     * the probed search must reproduce the brute-force oracle bit-for-bit.
     * Index rows are identity-group reps; the top-5 over reps covers the
     * true top-5 (vecGroups proof), re-expanded then re-ranked. */
+  /** The persisted IVF index layout the `llm_ann_ivf_persisted` row
+    * probes — exposed so the bench prewarms it with the IDENTICAL cache
+    * key and reports the one-time train+partition+write as a separate
+    * line item (the index is the table's resident format; its build is
+    * not the probe query's cost). Returns (indexPath, centroidsPath). */
+  def persistedIvfIndex(s: SparkSession, dir: String): (String, String) = {
+    graft.functions.GraftFunctions.register(s)
+    def corpus = {
+      val base = docVec(s, dir)
+      val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+        case (off, i) =>
+          base.filter(col("vec_id") === 0)
+            .select(lit((i + 1) * 1000000L).as("vec_id"),
+              transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+      }.reduce(_ unionByName _)
+      base.unionByName(planted)
+    }
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    graft.layouts.IvfIndex.ensure(
+      s, s"annp_${dir}_${f.length}_${f.lastModified}", corpus, k = 16, iters = 2)
+  }
+
   private val llmAnnIvfPersisted = GraftQuery(
     "llm_ann_ivf_persisted",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      def corpus = {
-        val base = docVec(s, dir)
-        val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
-          case (off, i) =>
-            base.filter(col("vec_id") === 0)
-              .select(lit((i + 1) * 1000000L).as("vec_id"),
-                transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
-        }.reduce(_ unionByName _)
-        base.unionByName(planted)
-      }
-      val f = new java.io.File(s"$dir/embeddings.parquet")
-      val (idxPath, centsPath) = graft.layouts.IvfIndex.ensure(
-        s, s"annp_${dir}_${f.length}_${f.lastModified}", corpus, k = 16, iters = 2)
+      val (idxPath, centsPath) = persistedIvfIndex(s, dir)
       val q = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
       // probe selection: centroids are k×dims model params (the Ivf.assign
       // pattern) — a 16-row job picks the top-4 probe ids, which enter the
