@@ -88,8 +88,14 @@ object TrainingDataPrep {
     // docs above chunkDupMax are stitched boilerplate. Same aggregate
     // shape as llm_chunk_dedup: no join back onto the exploded stream —
     // dups per doc = chunk total − chunks the doc owns first.
+    // words/starts are materialized columns BEFORE the chunk lambdas run:
+    // higher-order lambdas re-evaluate non-attribute inputs per element
+    // (the TextOps.cdcChunks performance note) — inlining normalize here
+    // cost 17.6 s vs 0.6 s at sf0.1
     val chunks = s3
-      .select(col("doc_id"), posexplode(TextOps.cdcChunks(TextOps.normalize(col("text")))))
+      .withColumn("w", split(TextOps.normalize(col("text")), " "))
+      .withColumn("starts", TextOps.cdcStarts(col("w")))
+      .select(col("doc_id"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("c"))
     val owned = chunks.groupBy(col("c"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
@@ -100,6 +106,18 @@ object TrainingDataPrep {
         > col("n_chunks").cast("double") * chunkDupMax)
       .select("doc_id")
     val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").cache()
+
+    // Fill the stage caches EAGERLY, in dependency order. The attrition
+    // report references every stage from several branches of one union;
+    // evaluated lazily inside a single action those branches race to fill
+    // the same cache and each racer re-runs the full upstream chain —
+    // including the LSH pass — before any cache exists (measured: the
+    // corpus-prep registry row spent 40.8 s where these four jobs + the
+    // report cost 6 s). Sequential counts guarantee each stage computes
+    // exactly once; this is the op-60 materialization point made explicit,
+    // and at 100 TB it is where a real pipeline would checkpoint stage
+    // outputs to storage anyway.
+    s1.count(); s2.count(); s3.count(); s4.count()
 
     // 5. token accounting
     val kept = s4.select(

@@ -27,14 +27,19 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override def nullSafeEval(aAny: Any, bAny: Any): Any = {
     val a = aAny.asInstanceOf[ArrayData]
     val b = bAny.asInstanceOf[ArrayData]
-    val sa = new java.util.HashSet[String]()
+    // hash UTF8String directly — decoding to java.lang.String allocated +
+    // UTF-16-decoded every element of every pair, and on a blocked
+    // all-pairs pass (~10^6 pairs × ~10^2 shingles) that allocation WAS
+    // the operator (UTF8String.equals/hashCode are byte-wise, so set
+    // semantics are identical)
+    val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
-    while (i < a.numElements()) { sa.add(a.getUTF8String(i).toString); i += 1 }
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
     var inter = 0
-    val sb = new java.util.HashSet[String]()
+    val sb = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     i = 0
     while (i < b.numElements()) {
-      val s = b.getUTF8String(i).toString
+      val s = b.getUTF8String(i)
       if (sb.add(s) && sa.contains(s)) inter += 1
       i += 1
     }

@@ -54,17 +54,35 @@ object TextOps {
     * every word whose first letter is 's', so boundaries move with the
     * content and a shared passage chunks identically at any offset in any
     * host document — the storage-dedup (LBFS) boundary trick standing in
-    * for line splits on a newline-free corpus. Pure in-row array work. */
+    * for line splits on a newline-free corpus. Pure in-row array work.
+    *
+    * PERFORMANCE: higher-order lambdas disable whole-stage codegen's
+    * common-subexpression elimination, so any non-attribute Column passed
+    * here is RE-EVALUATED per lambda invocation — `cdcChunks(normalize(
+    * text))` re-runs the normalize regex once per word (measured: 17.6 s
+    * vs 0.6 s for the corpus-prep chunk stage at sf0.1). Hot paths must
+    * materialize words/starts as real columns (withColumn) and call
+    * [[cdcStarts]] + [[cdcSlices]] on those attributes. */
   def cdcChunks(norm: Column): Column = {
     val words = split(norm, " ")
-    val starts = concat(array(lit(0)),
+    cdcSlices(words, cdcStarts(words))
+  }
+
+  /** Chunk-start offsets (0-based word indices) of a pre-split words
+    * column. Pass an ATTRIBUTE (a materialized column), not an expression
+    * — see the [[cdcChunks]] performance note. */
+  def cdcStarts(words: Column): Column =
+    concat(array(lit(0)),
       filter(sequence(lit(1), greatest(size(words) - 1, lit(1))),
         i => substring(try_element_at(words, i + 1), 1, 1) === "s"))
+
+  /** Chunk texts from pre-split words + pre-computed starts. Both args
+    * should be attributes — see the [[cdcChunks]] performance note. */
+  def cdcSlices(words: Column, starts: Column): Column =
     transform(starts, (st, j) =>
       array_join(
         slice(words, st + 1, coalesce(try_element_at(starts, j + 2), size(words)) - st),
         " "))
-  }
 
   /** Word k-shingles of a normalized text column: overlapping k-word
     * windows; texts shorter than k words yield their single full window. */

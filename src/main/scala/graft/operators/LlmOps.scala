@@ -160,12 +160,32 @@ object LlmOps extends QueryGroup {
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
         .select(col("source"), col("rep"), col("members"), col("sh"))
-      val a = groups.as("a")
-      val b = groups.as("b")
-      val edges = a.join(b,
-          col("a.source") === col("b.source") && col("a.rep") < col("b.rep"))
-        .filter(expr("jaccard_sim(a.sh, b.sh)") >= 0.5)
-        .select(col("a.rep").as("a"), col("b.rep").as("b"))
+      // In-group pair expansion instead of a blocked self-join: collect
+      // each (cap-bounded) block once and evaluate the Jaccard INSIDE the
+      // pair-generating lambdas, emitting only passing edges — the
+      // self-join materialized ~10^6 joined rows each carrying BOTH
+      // shingle arrays before the filter ran (measured: 12 s of the row's
+      // 15 s at sf0.1; this shape does the identical pair set in-row).
+      // Pair order within the collected list is irrelevant: least/greatest
+      // canonicalize (a, b) and Jaccard is symmetric, so the edge SET is
+      // deterministic even though collect_list order is not.
+      // Exact LENGTH prefilter before the Jaccard kernel (the standard
+      // set-similarity length bound): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so a pair with 2·min < max can never reach 0.5 — pruned without
+      // building either hash set. word_shingles is distinct, so size(sh)
+      // IS the set size and the bound is exact, not heuristic.
+      val edges = groups
+        .groupBy(col("source"))
+        .agg(collect_list(struct(col("rep"), col("sh"), size(col("sh")).as("n"))).as("g"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(g) - 2), i ->
+               filter(transform(filter(sequence(i + 1, size(g) - 1), j ->
+                   least(g[i].n, g[j].n) * 2 >= greatest(g[i].n, g[j].n)),
+                 j -> struct(least(g[i].rep, g[j].rep) AS a,
+                        greatest(g[i].rep, g[j].rep) AS b,
+                        jaccard_sim(g[i].sh, g[j].sh) AS jac)),
+                 p -> p.jac >= 0.5D)))""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
       graft.etl.TextDedup.connectedComponents(
           groups.select(col("rep").as("id")), edges)
         .join(groups.select(col("rep").as("id"), col("members")), "id")
@@ -1572,7 +1592,10 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
       val chunked = groups
-        .select(col("rep"), col("members"), TextOps.cdcChunks(col("pt")).as("chunks"))
+        .withColumn("w", split(col("pt"), " "))
+        .withColumn("starts", TextOps.cdcStarts(col("w")))
+        .select(col("rep"), col("members"),
+          TextOps.cdcSlices(col("w"), col("starts")).as("chunks"))
       val ch = chunked
         .select(col("rep"), posexplode(col("chunks")))
         .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
