@@ -114,5 +114,9 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteCosine
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MergeUnionScans)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MergeUnionScans
+    }
   }
 }
