@@ -17,13 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * 100 TB shape: everything runs over word TYPES weighted by frequency,
   * never over the corpus — the type table is Heaps-law small relative to
   * the token stream (and exactly what reference BPE trainers hold in
-  * memory; here it is a DataFrame, so it may exceed memory freely). Each
-  * round is ONE pair-count aggregation (map-side combined, shuffled on
-  * the pair) plus a map-only merge rewrite; the learned model is k merge
-  * rules on the driver (model parameters, the Ivf convention). Each round
-  * materializes its rewrite (persist + count) so round N's job does not
-  * re-run rounds 1..N−1 — the standard iterative-algorithm pitfall
-  * Ivf.train documents.
+  * memory; here it is a DataFrame, so it may exceed memory freely). The
+  * pair-count table is built once and DELTA-UPDATED each round for only
+  * the words containing the merged pair (see [[train]]); the learned
+  * model is k merge rules on the driver (model parameters, the Ivf
+  * convention). Each round materializes its rewrite (localCheckpoint) so
+  * round N's job does not re-run rounds 1..N−1 — the standard
+  * iterative-algorithm pitfall Ivf.train documents.
   */
 object Bpe {
 
@@ -43,36 +43,98 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** Learn `nMerges` merge rules from a (w, cnt) word-frequency table. */
-  def train(wordFreq: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  /** Adjacent symbol pairs of a segmentation, as (a, b) structs. */
+  private def adjPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Frequency-weighted pair counts of a (syms, cnt) word table, with the
+    * counts scaled by `sign` — the +1/−1 halves of a delta update. */
+  private def pairCounts(words: DataFrame, sign: Int): DataFrame =
+    words
+      .select((col("cnt") * sign).as("w"), explode(adjPairs(col("syms"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("w")).as("n"))
+
+  /** Learn `nMerges` merge rules from a (w, cnt) word-frequency table.
+    *
+    * SIZE-DRIVEN strategy (the sizedOrders convention, measured on this
+    * repo's corpus-derived tables):
+    *
+    *  - tables under `deltaThreshold` word types train by FULL RECOUNT —
+    *    one pair aggregation + one rewrite per round. At small scale the
+    *    per-round cost is fixed job overhead, and the delta machinery's
+    *    extra jobs only add to it (measured 0.26 vs 0.34 s/round at 27 k
+    *    types).
+    *  - larger tables train with DELTA-UPDATED pair counts (what
+    *    reference BPE trainers do): the pair table is built once and each
+    *    round adjusts it only for the word types CONTAINING the merged
+    *    pair — recounted fully before and after their rewrite, so by
+    *    linearity the updated table is bit-identical to a from-scratch
+    *    recount, round for round, merge for merge. A round is one
+    *    materialized adjacency-marker pass over the word table (map-only,
+    *    no shuffle) plus aggregations over the affected slice, instead of
+    *    exploding and shuffling EVERY pair of every word; measured 2.07
+    *    vs 2.63 s/round at 238 k types, and the delta side's per-round
+    *    cost falls as later rounds touch ever fewer words while the
+    *    recount stays O(total symbols) forever — at a realistic 32 k-merge
+    *    production vocabulary the recount is ~32 k full-table
+    *    explode+shuffles, which is the design limit this removes.
+    *
+    * Both paths share the argmax and tie-break (count desc, pair asc in
+    * UTF-8 binary order) and produce identical merge lists; BpeSpec pins
+    * each against the same JVM reference. A delta pair whose count hits
+    * zero is dropped and recreated by a later positive delta if rewrites
+    * reintroduce it. `localCheckpoint` truncates per-round lineage (plans
+    * would otherwise nest once per merge). */
+  def train(wordFreq: DataFrame, nMerges: Int,
+      deltaThreshold: Long = 100000L): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var words = wordFreq.select(chars(col("w")).as("syms"), col("cnt")).persist()
-    words.count()
-    try {
-      var exhausted = false
-      for (_ <- 1 to nMerges if !exhausted) {
-        val best = words
-          .select(col("cnt"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (a, b) = (best.head.getString(0), best.head.getString(1))
-          merges += ((a, b))
-          val next = words
-            .select(mergeStep(col("syms"), a, b).as("syms"), col("cnt")).persist()
-          next.count()
-          words.unpersist(blocking = false)
-          words = next
+    var words = wordFreq.select(chars(col("w")).as("syms"), col("cnt")).localCheckpoint()
+    // keep-width for the per-round union: filter(!hit) ∪ rewritten would
+    // otherwise DOUBLE the partition count every round (exponential task
+    // explosion — 4 × 2^rounds tasks by round 12)
+    val width = words.rdd.getNumPartitions
+    val useDelta = words.count() >= deltaThreshold
+    var counts = if (useDelta) pairCounts(words, 1).localCheckpoint() else null
+    var exhausted = false
+    for (_ <- 1 to nMerges if !exhausted) {
+      val best = (if (useDelta) counts else pairCounts(words, 1))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        if (!useDelta) {
+          words = words.select(mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
+            .localCheckpoint()
+        } else {
+          // a word changes under merge(a,b) iff it has the adjacency (the
+          // greedy fold always fuses the first occurrence). The marker is
+          // MATERIALIZED in one checkpoint pass: filtering on the raw
+          // expression would re-run the O(total symbols) adjacency scan
+          // for every downstream consumer (affected, its negation, both
+          // delta recounts), which cost more than the recount it replaced.
+          val marked = words.withColumn("hit",
+              exists(adjPairs(col("syms")),
+                p => p.getField("a") === lit(a) && p.getField("b") === lit(b)))
+            .localCheckpoint()
+          val affected = marked.filter(col("hit")).select(col("syms"), col("cnt"))
+          val rewritten = affected.select(mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
+          val delta = pairCounts(rewritten, 1).unionByName(pairCounts(affected, -1))
+          counts = counts.unionByName(delta)
+            .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0)
+            .localCheckpoint()
+          words = marked.filter(!col("hit")).select(col("syms"), col("cnt"))
+            .unionByName(rewritten).coalesce(width).localCheckpoint()
         }
       }
-      merges.toSeq
-    } finally words.unpersist(blocking = false)
+    }
+    merges.toSeq
   }
 
   /** Segment distinct words (column `w`) with an ordered merge list —

@@ -3,58 +3,81 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextOps
 
 /** Dev-only scratch probe for stage-level timing experiments. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft_sf6")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dataBytes = Option(new java.io.File(dir).listFiles())
-      .map(_.map(_.length).sum).getOrElse(0L)
-    val shufflePartitions =
-      math.max(4, math.min(cpus.toInt, (dataBytes / (32L << 20)).toInt))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024 * 1024).toString)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t(name: String)(f: => Long): Unit = {
-      f // warmup
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    // BPE per-round flatness: train on the sf0.1 word-frequency table at
+    // increasing merge counts; per-round cost must stay ~flat.
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .cache()
+    println(s"SCRATCH word types = ${wf.count()}")
+    for (n <- Seq(12, 64, 256)) {
+      val t0 = System.nanoTime()
+      val m = graft.etl.Bpe.train(wf, n)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCRATCH bpe n=$n%4d  total=$sec%7.2f s  per-round=${sec / m.size}%6.3f s  merges=${m.size}")
+    }
+
+    // richer vocabulary: bigram types (~|V|^2) — the Heaps-law-ish shape
+    val wf2 = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextOps.wordShingles(
+        graft.functions.TextOps.normalize(col("text")), 3)).as("bg"))
+      .select(regexp_replace(col("bg"), " ", "_").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .cache()
+    println(s"SCRATCH 3gram word types = ${wf2.count()}")
+    for (n <- Seq(64)) {
+      val t0 = System.nanoTime()
+      val m = graft.etl.Bpe.train(wf2, n)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCRATCH bpe-3gram n=$n%4d  total=$sec%7.2f s  per-round=${sec / m.size}%6.3f s  merges=${m.size}")
+    }
+
+    // full-recount reference (the pre-delta formulation) for the same table
+    def trainFullRecount(wordFreq: org.apache.spark.sql.DataFrame, nMerges: Int): Int = {
+      var words = wordFreq.select(graft.etl.Bpe.chars(col("w")).as("syms"), col("cnt")).localCheckpoint()
+      var rounds = 0
+      var exhausted = false
+      for (_ <- 1 to nMerges if !exhausted) {
+        val best = words
+          .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          rounds += 1
+          words = words.select(
+            graft.etl.Bpe.mergeStep(col("syms"), best.head.getString(0), best.head.getString(1)).as("syms"),
+            col("cnt")).localCheckpoint()
+        }
       }
-      println(f"SCRATCH $name%-34s min=${runs.min}%6.3f s")
+      rounds
     }
-
-    val o = Tables.orders(spark, dir)
-    def current = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-      .union(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
-      .distinct()
-      .orderBy(col("o_custkey").asc_nulls_first)
-    def perSide = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
-      .union(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct())
-      .distinct()
-      .orderBy(col("o_custkey").asc_nulls_first)
-    def oneScan = o.filter(col("o_orderstatus").isin("F", "P")).select(col("o_custkey"))
-      .distinct()
-      .orderBy(col("o_custkey").asc_nulls_first)
-
-    t("current union->distinct")(current.count())
-    t("per-side distinct->union->distinct")(perSide.count())
-    t("one-scan isin->distinct")(oneScan.count())
-    graft.functions.GraftFunctions.register(spark)
-    t("union->distinct w/ MergeUnionScans")(current.count())
-    t("registry row w/ rule") {
-      graft.SparkEntry.queries("set_union_distinct")(spark, dir).count()
+    for (n <- Seq(64)) {
+      val t0 = System.nanoTime()
+      val r = trainFullRecount(wf2, n)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCRATCH bpe-3gram-RECOUNT n=$n%4d  total=$sec%7.2f s  per-round=${sec / r}%6.3f s  merges=$r")
     }
-    println("==== merged plan ====")
-    current.explain("formatted")
     spark.stop()
   }
 }

@@ -80,4 +80,21 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     // the merges must actually compress: fewer BPE tokens than characters
     assert(got.values.forall { case (_, chars, toks) => toks < chars && toks > 0 })
   }
+
+  test("delta-updated path produces the identical merge list") {
+    val docs = Tables.documents(spark, sf)
+      .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(_.getString(0))
+    val wf = docs.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val (expMerges, _) = jvmTrain(wf, 25)
+
+    import spark.implicits._
+    val wfDf = wf.toSeq.toDF("w", "cnt")
+    // deltaThreshold = 0 forces the delta strategy on this small table;
+    // the default picks full recount here, covered by the test above
+    val gotDelta = Bpe.train(wfDf, 25, deltaThreshold = 0L)
+    assert(gotDelta == expMerges,
+      s"delta path diverges:\ngot  $gotDelta\nwant $expMerges")
+  }
 }
