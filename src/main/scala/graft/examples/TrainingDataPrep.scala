@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *      keeps each detector's distinct catch observable; on a corpus
   *      where stitched boilerplate dominates, run it before the LSH pass
   *      instead — both orders are correct, the choice is cost.
-  *   5. Token accounting over the kept set: whitespace tokens + the
+  *   5. Chunk-level decontamination (optional, when an eval n-gram set is
+  *      supplied): drop docs where any content-defined chunk concentrates
+  *      ≥ half its shingles in the benchmark set — the paragraph-leak
+  *      rule a doc-level contamination fraction dilutes away
+  *      (llm_decontaminate_chunks proves the asymmetry).
+  *   6. Token accounting over the kept set: whitespace tokens + the
   *      chars/4 BPE estimate per doc, plus corpus totals.
   *
   * Everything before the near-dup band join is map-side or one shuffle;
@@ -52,10 +57,19 @@ object TrainingDataPrep {
     * `chunkDupMax`: stage-4 boilerplate bar — a doc dies when more than
     * this fraction of its content-defined chunks (TextOps.cdcChunks)
     * first occur elsewhere in the surviving corpus (post exact-dedup, so
-    * texts are distinct and first-occurrence is well-defined). */
+    * texts are distinct and first-occurrence is well-defined).
+    * `evalNgrams`: optional benchmark word-5-gram set (one string column
+    * `sh`) for stage 5, CHUNK-level decontamination: a doc dies when any
+    * of its content-defined chunks has ≥ `chunkContamMin` of its shingles
+    * in the eval set — the leak-concentration rule a doc-level fraction
+    * threshold provably dilutes away (llm_decontaminate_chunks row). The
+    * eval set is benchmark-sized (thousands of rows): broadcast, never
+    * shuffled against the corpus. */
   def prepare(docsIn: DataFrame,
       qualityMin: Double = 0.45, neardupThreshold: Double = 0.8,
-      chunkDupMax: Double = 0.6): Outputs = {
+      chunkDupMax: Double = 0.6,
+      evalNgrams: Option[DataFrame] = None,
+      chunkContamMin: Double = 0.5): Outputs = {
     val docs = docsIn.select(col("doc_id"), col("lang"), col("text"))
 
     // 1. exact dedup: keep the smallest doc_id per raw text (group by the
@@ -107,20 +121,41 @@ object TrainingDataPrep {
       .select("doc_id")
     val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").cache()
 
+    // 5. chunk-level decontamination (only when an eval set is supplied):
+    // a doc dies when any CDC chunk concentrates ≥ chunkContamMin of its
+    // shingles in the benchmark n-gram set — same chunking columns as
+    // stage 4 (words/starts bound per the cdcChunks CSE note)
+    val contamIds = evalNgrams match {
+      case None => s4.select("doc_id").limit(0)
+      case Some(ev) =>
+        s4.withColumn("w", split(TextOps.normalize(col("text")), " "))
+          .withColumn("starts", TextOps.cdcStarts(col("w")))
+          .select(col("doc_id"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
+          .select(col("doc_id"),
+            size(array_distinct(TextOps.wordShingles(col("col"), 5))).as("n_chsh"),
+            explode(array_distinct(TextOps.wordShingles(col("col"), 5))).as("sh"))
+          .join(broadcast(ev.select(col("sh")).distinct()), "sh")
+          .groupBy(col("doc_id"), col("n_chsh"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits").cast("double") >= col("n_chsh").cast("double") * chunkContamMin)
+          .select("doc_id").distinct()
+    }
+    val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti").cache()
+
     // Fill the stage caches EAGERLY, in dependency order. The attrition
     // report references every stage from several branches of one union;
     // evaluated lazily inside a single action those branches race to fill
     // the same cache and each racer re-runs the full upstream chain —
     // including the LSH pass — before any cache exists (measured: the
-    // corpus-prep registry row spent 40.8 s where these four jobs + the
+    // corpus-prep registry row spent 40.8 s where these five jobs + the
     // report cost 6 s). Sequential counts guarantee each stage computes
     // exactly once; this is the op-60 materialization point made explicit,
     // and at 100 TB it is where a real pipeline would checkpoint stage
     // outputs to storage anyway.
-    s1.count(); s2.count(); s3.count(); s4.count()
+    s1.count(); s2.count(); s3.count(); s4.count(); s5.count()
 
-    // 5. token accounting
-    val kept = s4.select(
+    // 6. token accounting
+    val kept = s5.select(
       col("doc_id"), col("lang"),
       col("q.n_tokens").as("n_tokens"), col("q.quality").as("quality"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
@@ -134,6 +169,8 @@ object TrainingDataPrep {
         .select(col("doc_id"), lit("near_dup").as("stage")))
       .unionByName(boilerIds
         .select(col("doc_id"), lit("chunk_boilerplate").as("stage")))
+      .unionByName(s4.join(contamIds, "doc_id")
+        .select(col("doc_id"), lit("decontaminated").as("stage")))
 
     def stageRow(name: String, ord: Int, in: DataFrame, out: DataFrame) = {
       val tokens = out.select(
@@ -149,6 +186,7 @@ object TrainingDataPrep {
         .unionByName(stageRow("quality_filter", 2, s1, s2.drop("q")))
         .unionByName(stageRow("neardup_removal", 3, s2.drop("q"), s3.drop("q")))
         .unionByName(stageRow("chunk_boilerplate", 4, s3.drop("q"), s4.drop("q")))
+        .unionByName(stageRow("decontaminate", 5, s4.drop("q"), s5.drop("q")))
 
     Outputs(kept, dropped, attrition)
   }

@@ -1021,35 +1021,151 @@ object LlmOps extends QueryGroup {
 
   /** The composed corpus-preparation job (examples.TrainingDataPrep):
     * exact dedup → quality filter → LSH near-dup removal →
-    * chunk-boilerplate filter → token accounting, over a corpus planted with
-    * exact copies (every 50th doc), one-word mutants (every 25th), AND
+    * chunk-boilerplate filter → chunk-level decontamination → token
+    * accounting, over a corpus planted with
+    * exact copies (every 50th doc), one-word mutants (every 25th),
     * stitched docs (every 40th doc concatenated with its successor —
     * ≈0.5 Jaccard with each source, so doc-level near-dup misses them;
-    * the chunk stage is what catches them) so every stage has work to do.
-    * Registered as its per-stage attrition report — the deterministic
-    * corpus-curation summary (docs in/out + surviving token volume per
-    * stage). Oracle: none (the near-dup stage rests on minhash_sig);
-    * TrainingDataPrepSpec pins stage-by-stage counts, that each planted
-    * copy/mutant/stitch dies in its intended stage, and determinism. */
+    * the chunk stage is what catches them), AND contaminated docs (the
+    * successor host's words REVERSED — a unique text with novel chunks,
+    * so stages 1–4 pass it — plus an eval snippet behind an 's' sentinel;
+    * only the decontamination stage can catch it) so every stage has work
+    * to do. Registered as its per-stage attrition report — the
+    * deterministic corpus-curation summary (docs in/out + surviving token
+    * volume per stage). Oracle: none as a composite (the near-dup stage
+    * rests on minhash_sig) — but the DETERMINISTIC stages are oracled by
+    * the llm_corpus_prep_stages twin, and TrainingDataPrepSpec pins
+    * stage-by-stage counts, that each planted copy/mutant/stitch/leak
+    * dies in its intended stage, and determinism. */
   private val llmCorpusPrep = GraftQuery(
     "llm_corpus_prep",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      val copies = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
-      val mutants = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-          regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
-      val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
-      val stitched = docs.join(nxt, "doc_id").filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
-          concat(col("text"), lit(" "), col("t2")).as("text"))
+      val (docs, planted, evalSh) = corpusPrepFixture(s, dir)
       graft.examples.TrainingDataPrep
-        .prepare(docs.unionByName(copies).unionByName(mutants).unionByName(stitched))
+        .prepare(docs.unionByName(planted), evalNgrams = Some(evalSh))
         .attrition
         .orderBy(col("stage_ord").asc_nulls_first)
     },
     None)
+
+  /** Oracled twin of the composite row, covering its DETERMINISTIC
+    * stages: the same planted corpus runs through the same pipeline with
+    * the approximate stages disabled (near-dup threshold > 1 matches no
+    * pair, chunk bar 1.0 drops nothing, no eval set), so exact-dedup,
+    * the quality filter, and the per-stage token accounting — the
+    * SQL-expressible majority of the pipeline — get a full DuckDB
+    * attrition oracle (stage rows 3–5 pass through with in = out). The
+    * approximate stages stay spec-pinned via the composite row. */
+  private val llmCorpusPrepStages = GraftQuery(
+    "llm_corpus_prep_stages",
+    (s, dir) => {
+      val (docs, planted, _) = corpusPrepFixture(s, dir)
+      graft.examples.TrainingDataPrep
+        .prepare(docs.unionByName(planted),
+          neardupThreshold = 1.01, chunkDupMax = 1.0, evalNgrams = None)
+        .attrition
+        .orderBy(col("stage_ord").asc_nulls_first)
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM base),
+      copies AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0),
+      mutants AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\w+ ', 'graftmutant ') AS text
+        FROM base WHERE doc_id % 25 = 0),
+      stitched AS (
+        SELECT d.doc_id + 4000000 AS doc_id, d.text || ' ' || n.text AS text
+        FROM base d JOIN base n ON n.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 40 = 0),
+      evalq AS (
+        SELECT doc_id, array_to_string((string_split(t, ' '))[3:22], ' ') AS snip
+        FROM nrm WHERE doc_id % 97 = 0),
+      hosts AS (SELECT doc_id - 1 AS doc_id, string_split(t, ' ') AS hw FROM nrm),
+      contam AS (
+        SELECT e.doc_id + 5000000 AS doc_id,
+               concat(array_to_string([h.hw[i] FOR i IN range(len(h.hw), 0, -1)], ' '),
+                      ' ssentinel ', e.snip) AS text
+        FROM evalq e JOIN hosts h ON e.doc_id = h.doc_id
+        WHERE len(h.hw) >= 80),
+      corpus AS (
+        SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL
+        SELECT * FROM mutants UNION ALL SELECT * FROM stitched UNION ALL
+        SELECT * FROM contam),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+          FROM corpus) WHERE rn = 1),
+      q AS (
+        SELECT doc_id, text,
+               0.4 * (CAST(len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                      / CAST(len(words) AS DOUBLE))
+               + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)) AS quality
+        FROM (SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM s1)),
+      s2 AS (SELECT doc_id, text FROM q WHERE quality >= 0.45),
+      tk AS (
+        SELECT 'corpus' AS k, COUNT(*) AS n, CAST(0 AS BIGINT) AS tok FROM corpus
+        UNION ALL
+        SELECT 's1' AS k, COUNT(*) AS n,
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tok
+        FROM s1
+        UNION ALL
+        SELECT 's2' AS k, COUNT(*) AS n,
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tok
+        FROM s2)
+      SELECT CAST(r.ord AS INTEGER) AS stage_ord, r.stage,
+             (SELECT n FROM tk WHERE k = r.kin) AS docs_in,
+             (SELECT n FROM tk WHERE k = r.kout) AS docs_out,
+             (SELECT tok FROM tk WHERE k = r.kout) AS tokens_out
+      FROM (VALUES (1, 'exact_dedup', 'corpus', 's1'),
+                   (2, 'quality_filter', 's1', 's2'),
+                   (3, 'neardup_removal', 's2', 's2'),
+                   (4, 'chunk_boilerplate', 's2', 's2'),
+                   (5, 'decontaminate', 's2', 's2')) AS r(ord, stage, kin, kout)
+      ORDER BY stage_ord ASC NULLS FIRST"""))
+
+  /** The corpus-prep fixture: (base docs, planted rows, eval 5-gram set).
+    * Shared by the composite row, its oracled `_stages` twin, and
+    * TrainingDataPrepSpec, so all three see the identical corpus. */
+  def corpusPrepFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val copies = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+    val mutants = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
+    val stitched = docs.join(nxt, "doc_id").filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" "), col("t2")).as("text"))
+    val words = split(TextOps.normalize(col("text")), " ")
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), concat_ws(" ", slice(words, 3, 20)).as("snip"))
+    // contaminated plant: the successor host REVERSED (unique text, novel
+    // chunks — survives dedup/quality/near-dup/boilerplate) + sentinel +
+    // the leaked snippet; ids + 5e6
+    val hosts = docs.select((col("doc_id") - 1).as("doc_id"),
+      TextOps.normalize(col("text")).as("host"))
+    val contaminated = evalDocs.join(hosts, "doc_id")
+      .filter(size(split(col("host"), " ")) >= 80)
+      .select((col("doc_id") + 5000000L).as("doc_id"), lit("en").as("lang"),
+        concat_ws(" ",
+          concat_ws(" ", reverse(split(col("host"), " "))),
+          lit("ssentinel"), col("snip")).as("text"))
+    val evalSh = evalDocs
+      .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+      .distinct()
+    (docs,
+      copies.unionByName(mutants).unionByName(stitched).unionByName(contaminated),
+      evalSh)
+  }
 
   /** Token counting: whitespace, regex word-ish tokens, and the chars/4
     * BPE-budget estimate. */
@@ -1190,6 +1306,153 @@ object LlmOps extends QueryGroup {
       FROM docsh d JOIN evalsh e ON d.sh = e.sh
       GROUP BY d.doc_id
       ORDER BY doc_id ASC NULLS FIRST"""))
+
+  /** CHUNK-level decontamination — the stage doc-level matching provably
+    * cannot replace: a leaked eval PARAGRAPH inside a long clean document
+    * dilutes below any doc-level contamination-fraction threshold, while
+    * the content-defined chunk containing it stays concentrated. Eval
+    * entries are 20-word snippets (words 3..22) of every 97th doc; each is
+    * PLANTED (id + 5 000 000) mid-text into a long host document (the
+    * snippet source's successor, hosts ≥ 80 words, insertion after word
+    * 30, prefixed by an 's' sentinel word so the leak starts a chunk — the
+    * CDC boundary property the chunker exists for). Per flagged doc the
+    * row reports doc-level hits/fraction AND the max per-chunk hit
+    * fraction, plus both threshold decisions — the spec pins that every
+    * plant is chunk-flagged but NOT doc-flagged (the dilution proof), and
+    * the DuckDB oracle re-derives every number exactly.
+    *
+    * 100 TB shape: identical to llm_decontaminate — broadcast eval
+    * shingles, dedup-first groups, map-side chunking (words/starts bound
+    * as materialized columns per the cdcChunks CSE note) + shingling, one
+    * broadcast probe per granularity; only hitting docs reach the final
+    * aggregation. */
+  private val llmDecontaminateChunks = GraftQuery(
+    "llm_decontaminate_chunks",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(TextOps.normalize(col("text")), " ")
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), concat_ws(" ", slice(words, 3, 20)).as("snip"))
+      val hosts = docs.select((col("doc_id") - 1).as("doc_id"),
+        TextOps.normalize(col("text")).as("host"))
+      val planted = evalDocs.join(hosts, "doc_id")
+        .filter(size(split(col("host"), " ")) >= 80)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", slice(split(col("host"), " "), 1, 30)),
+            lit("ssentinel"), col("snip"),
+            concat_ws(" ", slice(split(col("host"), " "), 31, 100000))).as("text"))
+      val evalShingles = evalDocs
+        .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+        .distinct()
+      val groups = docs.unionByName(planted)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .withColumn("w", split(col("norm"), " "))
+        .withColumn("starts", TextOps.cdcStarts(col("w")))
+      // doc-level probe: distinct whole-doc shingles vs the eval set
+      val docLevel = groups
+        .select(col("rep"), size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
+          explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
+        .join(broadcast(evalShingles), "sh")
+        .groupBy(col("rep"), col("n_sh"))
+        .agg(count(lit(1)).as("n_hits"))
+      // chunk-level probe: per-chunk distinct shingles vs the eval set
+      val chunks = groups
+        .select(col("rep"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
+        .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("ct"))
+        .select(col("rep"), col("chunk_idx"),
+          size(array_distinct(TextOps.wordShingles(col("ct"), 5))).as("n_chsh"),
+          explode(array_distinct(TextOps.wordShingles(col("ct"), 5))).as("sh"))
+      val chunkLevel = chunks
+        .join(broadcast(evalShingles), "sh")
+        .groupBy(col("rep"), col("chunk_idx"), col("n_chsh"))
+        .agg(count(lit(1)).as("ch_hits"))
+        .groupBy(col("rep"))
+        .agg(max(col("ch_hits").cast(DoubleType) / col("n_chsh").cast(DoubleType))
+          .as("max_chunk_frac_raw"),
+          sum(when(col("ch_hits").cast(DoubleType) / col("n_chsh").cast(DoubleType) >= 0.5, 1L)
+            .otherwise(0L)).as("n_hit_chunks"))
+      docLevel
+        .join(chunkLevel, Seq("rep"), "left")
+        .join(groups.select(col("rep"), col("members")), "rep")
+        .select(explode(col("members")).as("doc_id"),
+          col("n_hits"), col("n_sh").cast(LongType).as("n_sh"),
+          round(col("n_hits").cast(DoubleType) / col("n_sh").cast(DoubleType), 4).as("doc_frac"),
+          round(coalesce(col("max_chunk_frac_raw"), lit(0.0)), 4).as("max_chunk_frac"),
+          coalesce(col("n_hit_chunks"), lit(0L)).as("n_hit_chunks"),
+          (col("n_hits").cast(DoubleType) / col("n_sh").cast(DoubleType) >= 0.25)
+            .cast(IntegerType).as("flag_doc"),
+          (coalesce(col("max_chunk_frac_raw"), lit(0.0)) >= 0.5)
+            .cast(IntegerType).as("flag_chunk"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      w AS (SELECT doc_id, string_split(t, ' ') AS words FROM d),
+      evalq AS (
+        SELECT doc_id, words[3:22] AS snip FROM w WHERE doc_id % 97 = 0),
+      hosts AS (
+        SELECT doc_id - 1 AS doc_id, words AS host FROM w),
+      planted AS (
+        SELECT e.doc_id + 5000000 AS doc_id,
+               host[1:30] || ['ssentinel'] || snip || host[31:] AS words
+        FROM evalq e JOIN hosts h ON e.doc_id = h.doc_id
+        WHERE len(host) >= 80),
+      corpus AS (
+        SELECT doc_id, words FROM w
+        UNION ALL
+        SELECT doc_id, words FROM planted),
+      evalsh AS (
+        SELECT DISTINCT unnest([array_to_string(snip[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(snip) - 3, 2))]) AS sh
+        FROM evalq),
+      docsh AS (
+        SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
+        FROM (SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+                FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+              FROM corpus)),
+      doclevel AS (
+        SELECT d.doc_id, d.n_sh, COUNT(*) AS n_hits
+        FROM docsh d JOIN evalsh e ON d.sh = e.sh
+        GROUP BY d.doc_id, d.n_sh),
+      seg AS (
+        SELECT doc_id, words,
+               [0] || [i FOR i IN range(1, len(words)) IF substr(words[i+1], 1, 1) = 's'] AS starts
+        FROM corpus),
+      ch AS (
+        SELECT doc_id, j - 1 AS chunk_idx,
+               string_split(array_to_string(
+                 words[starts[j]+1 : coalesce(starts[j+1], len(words))], ' '), ' ') AS cw
+        FROM seg, UNNEST(range(1, len(starts)+1)) AS u(j)),
+      chsh AS (
+        SELECT doc_id, chunk_idx, len(shs) AS n_chsh, unnest(shs) AS sh
+        FROM (SELECT doc_id, chunk_idx,
+                     list_distinct([array_to_string(cw[i:i+4], ' ')
+                       FOR i IN range(1, greatest(len(cw) - 3, 2))]) AS shs
+              FROM ch)),
+      chunklevel AS (
+        SELECT doc_id,
+               max(frac) AS max_chunk_frac_raw,
+               CAST(SUM(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_chunks
+        FROM (SELECT c.doc_id, c.chunk_idx,
+                     CAST(COUNT(*) AS DOUBLE) / CAST(c.n_chsh AS DOUBLE) AS frac
+              FROM chsh c JOIN evalsh e ON c.sh = e.sh
+              GROUP BY c.doc_id, c.chunk_idx, c.n_chsh)
+        GROUP BY doc_id)
+      SELECT dl.doc_id, dl.n_hits, dl.n_sh,
+             round(CAST(dl.n_hits AS DOUBLE) / CAST(dl.n_sh AS DOUBLE), 4) AS doc_frac,
+             round(coalesce(cl.max_chunk_frac_raw, 0.0), 4) AS max_chunk_frac,
+             coalesce(cl.n_hit_chunks, 0) AS n_hit_chunks,
+             CASE WHEN CAST(dl.n_hits AS DOUBLE) / CAST(dl.n_sh AS DOUBLE) >= 0.25
+                  THEN 1 ELSE 0 END AS flag_doc,
+             CASE WHEN coalesce(cl.max_chunk_frac_raw, 0.0) >= 0.5
+                  THEN 1 ELSE 0 END AS flag_chunk
+      FROM doclevel dl LEFT JOIN chunklevel cl ON dl.doc_id = cl.doc_id
+      ORDER BY dl.doc_id ASC NULLS FIRST"""))
 
   /** Repetition-based quality signals (the Gopher/MassiveText family of
     * repetition filters, Rae et al. 2021 §A1.1, re-expressed relationally):
@@ -1856,8 +2119,9 @@ object LlmOps extends QueryGroup {
     llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
     llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
-    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint, llmCorpusPrep,
-    llmDecontaminate, llmRepetitionStats, llmPiiScrub, llmDomainMix,
+    llmLangId, llmQualityScore, llmTokenCount, llmFingerprint,
+    llmCorpusPrep, llmCorpusPrepStages,
+    llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize)
 }

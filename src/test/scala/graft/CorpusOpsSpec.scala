@@ -31,6 +31,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decontaminate_chunks: planted paragraph leaks are chunk-flagged but " +
+      "provably diluted below the doc-level threshold") {
+    // sf0.01: the ≥80-word host filter leaves real plants (sf0.001 has none)
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("llm_decontaminate_chunks")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // re-derive the plant set: eval sources (id % 97 == 0) whose successor
+    // host doc has >= 80 normalized words
+    val docs = Tables.documents(spark, sf01)
+      .select(col("doc_id"), size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plants = docs.keys.filter(id => id % 97 == 0 && docs.get(id + 1).exists(_ >= 80))
+      .map(_ + 5000000L).toSeq.sorted
+    assert(plants.nonEmpty, "fixture must produce at least one plant")
+    plants.foreach { id =>
+      val r = rows.getOrElse(id, fail(s"plant $id not in the flagged set"))
+      assert(r.getInt(7) == 1, s"plant $id must be chunk-flagged")
+      assert(r.getInt(6) == 0,
+        s"plant $id doc-flagged (doc_frac=${r.getDouble(3)}) — dilution fixture broken")
+      assert(r.getDouble(4) >= 0.5, s"plant $id max_chunk_frac=${r.getDouble(4)}")
+    }
+    // the doc-level detector alone (threshold form) would have missed every
+    // plant — that asymmetry is this operator's reason to exist
+    assert(plants.forall(id => rows(id).getDouble(3) < 0.25))
+  }
+
   test("repetition_stats: JVM-recomputed signals for one doc; flag splits the corpus") {
     val rows = SparkEntry.queries("llm_repetition_stats")(spark, sf).collect()
     assert(rows.map(_.getInt(5)).distinct.sorted.toSeq == Seq(0, 1),

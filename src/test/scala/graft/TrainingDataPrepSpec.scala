@@ -11,23 +11,17 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** The registry fixture itself (shared with llm_corpus_prep and its
+    * oracled _stages twin): (base docs, full planted corpus, eval set). */
   private def corpus = {
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
-    val copies = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
-    val mutants = docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-        regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
-    val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2"))
-    val stitched = docs.join(nxt, "doc_id").filter(col("doc_id") % 40 === 0)
-      .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
-        concat(col("text"), lit(" "), col("t2")).as("text"))
-    (docs, docs.unionByName(copies).unionByName(mutants).unionByName(stitched))
+    val (docs, planted, evalSh) =
+      graft.operators.LlmOps.corpusPrepFixture(spark, sf)
+    (docs, docs.unionByName(planted), evalSh)
   }
 
   test("planted copies and mutants die in their intended stages") {
-    val (docs, planted) = corpus
-    val out = TrainingDataPrep.prepare(planted)
+    val (docs, planted, evalSh) = corpus
+    val out = TrainingDataPrep.prepare(planted, evalNgrams = Some(evalSh))
     val dropped = out.dropped.collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
 
@@ -75,13 +69,42 @@ class TrainingDataPrepSpec extends AnyFunSuite with SparkTestBase {
       s"chunk_boilerplate ate ${naturals.size} ordinary docs: $naturals")
   }
 
+  test("contaminated plants survive stages 1-4 and die in decontamination") {
+    // sf0.01: the ≥80-word host filter leaves real contaminated plants
+    val sf01 = "/root/testdata/sf0.01"
+    val (docs01, planted01, evalSh01) =
+      graft.operators.LlmOps.corpusPrepFixture(spark, sf01)
+    val out = TrainingDataPrep.prepare(
+      docs01.unionByName(planted01), evalNgrams = Some(evalSh01))
+    val dropped = out.dropped.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val contamIds = planted01.filter(col("doc_id") >= 5000000L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(contamIds.nonEmpty, "fixture must produce contaminated plants")
+    // reversed-host texts are unique with novel chunks: nothing before the
+    // decontamination stage may catch them, and it must catch every one
+    contamIds.foreach { id =>
+      assert(dropped.get(id).contains("decontaminated"),
+        s"contaminated $id: ${dropped.get(id)}")
+    }
+    // and stage 5 must not eat clean docs: every decontaminated drop is a
+    // plant or an eval-SOURCE doc (the snippets derive from corpus docs,
+    // so the sources legitimately contain benchmark content)
+    val decon = dropped.collect { case (id, "decontaminated") => id }.toSet
+    val evalSources = docs01.filter(col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((decon -- contamIds).subsetOf(evalSources),
+      s"stage 5 dropped clean docs: ${decon -- contamIds -- evalSources}")
+  }
+
   test("attrition reconciles: docs_out chains, kept size matches, quality holds") {
-    val (_, planted) = corpus
-    val out = TrainingDataPrep.prepare(planted)
+    val (_, planted, evalSh) = corpus
+    val out = TrainingDataPrep.prepare(planted, evalNgrams = Some(evalSh))
     val rows = out.attrition.orderBy(col("stage_ord")).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq ==
-      Seq("exact_dedup", "quality_filter", "neardup_removal", "chunk_boilerplate"))
+      Seq("exact_dedup", "quality_filter", "neardup_removal", "chunk_boilerplate",
+        "decontaminate"))
     // docs_in of stage n+1 == docs_out of stage n; monotone non-increasing
     rows.sliding(2).foreach { case Array((_, _, o1), (s2, i2, _)) =>
       assert(i2 == o1, s"stage $s2 in=$i2 != prev out=$o1")
