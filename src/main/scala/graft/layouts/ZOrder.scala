@@ -43,7 +43,7 @@ object ZOrder {
     * driver testdata) or a directory of part files (any Spark-written
     * source) — the signature is derived from the DATA files, not the
     * filesystem's directory entry, whose length/mtime are fs-dependent. */
-  private def sourceSig(f: java.io.File): String =
+  private[graft] def sourceSig(f: java.io.File): String =
     if (f.isDirectory) {
       val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(p => p.isFile && !p.getName.startsWith("_") && !p.getName.startsWith("."))
@@ -54,7 +54,7 @@ object ZOrder {
   /** Collision-safe cache tag: MD5 of the full key string (a 32-bit
     * String.hashCode tag could silently serve a WRONG cached layout on
     * collision — a correctness hazard, not a perf one). */
-  private[layouts] def cacheTag(key: String): String =
+  private[graft] def cacheTag(key: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString

@@ -95,19 +95,20 @@ object LlmOps extends QueryGroup {
       WHERE rn = 1
       ORDER BY doc_id ASC NULLS FIRST"""))
 
-  /** op 70 — MinHash + LSH near-dup: plant one-word mutants, shingle (5-word),
-    * 64-hash MinHash, 16×4 LSH bands, candidate pairs from band buckets,
-    * exact-Jaccard verification ≥ 0.5. Oracle: none (SURVEY G4) —
-    * LlmOpsSpec asserts exactly the planted pairs are recovered. */
+  /** op 70 — MinHash + LSH near-dup: shingle (5-word), 64-hash MinHash,
+    * 16×4 LSH bands, candidate pairs from band buckets, exact-Jaccard
+    * verification ≥ 0.5, over the PLANTED FIXTURE corpus
+    * (graft.Fixtures.neardupCorpus — one-word mutants of every 25th doc,
+    * built once as parquet so the timed query is a pure operator over its
+    * input, no synthetic rows manufactured in-query). Oracle: none
+    * (SURVEY G4) — LlmOpsSpec asserts exactly the planted pairs are
+    * recovered. */
   private val llmDedupMinhash = GraftQuery(
     "llm_dedup_minhash",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutants = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          regexp_replace(col("text"), "^\\w+ ", "graftmutant ").as("text"))
+      val path = graft.Fixtures.neardupCorpus(s, dir)
       graft.etl.TextDedup.minhashPairs(
-          docs.unionByName(mutants).select(col("doc_id").as("id"), col("text")),
+          s.read.parquet(path),
           shingleWords = 5, nHashes = SIG_HASHES,
           nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, threshold = 0.5)
         .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
@@ -122,10 +123,10 @@ object LlmOps extends QueryGroup {
     * llm_jaccard_pairs machinery) closed into connected components
     * (TextDedup.connectedComponents, min-label propagation), so a chain
     * a~b~c collapses to ONE keep decision even where a≁c directly — the
-    * cluster-level rule pairwise keep-first cannot express. The corpus
-    * plants exactly such chains: for every 50th (≥30-word) doc, mutant A
-    * perturbs words 10–14 and mutant B perturbs 10–14 AND 20–24, so
-    * B shares A's neighborhood but (on shorter docs) not the original's.
+    * cluster-level rule pairwise keep-first cannot express. The input is
+    * the planted-chain FIXTURE corpus (graft.Fixtures.clusterCorpus,
+    * built once as parquet; the oracle reads the same files), whose
+    * mutant pairs are exactly such chains.
     *
     * Oracle: full SQL twin INCLUDING the closure — a recursive CTE walks
     * the symmetric edge set and takes min(label) per node, so the
@@ -135,17 +136,10 @@ object LlmOps extends QueryGroup {
     "llm_dedup_clusters",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val words = split(TextOps.normalize(col("text")), " ")
-      val eligible = base.filter(col("doc_id") % 50 === 0 && size(words) >= 30)
-      val mutA = eligible.select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-        concat_ws(" ", transform(words, (w, i) =>
-          when(i.between(9, 13), lit("graftmuta")).otherwise(w))).as("text"))
-      val mutB = eligible.select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
-        concat_ws(" ", transform(words, (w, i) =>
-          when(i.between(9, 13), lit("graftmuta"))
-            .when(i.between(19, 23), lit("graftmutb")).otherwise(w))).as("text"))
-      val docs = base.unionByName(mutA).unionByName(mutB)
+      // planted-chain corpus from the FIXTURE parquet (Fixtures
+      // .clusterCorpus): the timed query is a pure operator over its
+      // input; the oracle reads the SAME files via read_parquet
+      val docs = s.read.parquet(graft.Fixtures.clusterCorpus(s, dir))
       // dedup-first INSIDE the capped blocks (the house precondition —
       // measured 101 s at sf3's 30× replicas without it): identical texts
       // share one shingle set and one graph node. Components over rep
@@ -193,26 +187,9 @@ object LlmOps extends QueryGroup {
         .orderBy(col("doc_id").asc_nulls_first)
     },
     Some("""
-      WITH RECURSIVE base AS (
-        SELECT doc_id, source, text FROM documents),
-      w AS (
-        SELECT doc_id, source,
-               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        FROM base),
-      eligible AS (SELECT * FROM w WHERE doc_id % 50 = 0 AND len(w) >= 30),
-      muta AS (
-        SELECT doc_id + 1000000 AS doc_id, source,
-               array_to_string([CASE WHEN i BETWEEN 10 AND 14 THEN 'graftmuta'
-                                     ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' ') AS text
-        FROM eligible),
-      mutb AS (
-        SELECT doc_id + 2000000 AS doc_id, source,
-               array_to_string([CASE WHEN i BETWEEN 10 AND 14 THEN 'graftmuta'
-                                     WHEN i BETWEEN 20 AND 24 THEN 'graftmutb'
-                                     ELSE w[i] END FOR i IN range(1, len(w) + 1)], ' ') AS text
-        FROM eligible),
-      docs AS (
-        SELECT * FROM base UNION ALL SELECT * FROM muta UNION ALL SELECT * FROM mutb),
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, source, text
+        FROM read_parquet('/tmp/graft_fixture_cluster_sf0.01/*.parquet')),
       capped AS (
         SELECT doc_id, source, text
         FROM (SELECT doc_id, source, text,
