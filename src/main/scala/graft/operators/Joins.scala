@@ -324,7 +324,21 @@ object Joins extends QueryGroup {
     * defaults (10 GB application side) trigger it exactly where it pays.
     * Semantics are UNCHANGED by construction (a bloom filter only drops
     * definite non-matches) — the oracle is the plain join; PlanSpec pins
-    * the `might_contain` expression into the fact scan's plan. */
+    * the `might_contain` expression into the fact scan's plan.
+    *
+    * WHEN THE FILTER IS WORTH INJECTING (tools/BloomProbe, sf6, forced
+    * injection via creationSideThreshold): in the SHUFFLE-JOIN regime it
+    * pays exactly as designed — 3.35 → 1.84 s with the fact exchange cut
+    * 278.8 → 65.5 MB, because pruned rows never leave the map stage. On
+    * the zero-exchange BUCKETED layout it does NOT pay: 1.51 vs 1.46 s
+    * (run noise) while ADDING 7.2 MB of shuffle to build the filter —
+    * there is no fact exchange left to shrink, and the co-located merge
+    * join discards non-matching rows as cheaply as the bloom probe would.
+    * Rule: inject when the plan still shuffles the fact side (or scans a
+    * remote store where pruned rows save I/O); skip it on layouts whose
+    * join is already exchange-free. Note Spark's own cost guard agrees —
+    * at sf6 the filtered dim's size estimate exceeds the default 10 MB
+    * creationSideThreshold and vanilla Spark declines to inject. */
   private val joinBloomRuntime = GraftQuery(
     "join_bloom_runtime",
     (s, dir) => {
