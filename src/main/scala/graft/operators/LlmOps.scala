@@ -1302,10 +1302,26 @@ object LlmOps extends QueryGroup {
     * shingles, dedup-first groups, map-side chunking (words/starts bound
     * as materialized columns per the cdcChunks CSE note) + shingling, one
     * broadcast probe per granularity; only hitting docs reach the final
-    * aggregation. */
+    * aggregation.
+    *
+    * TWO measured plan pathologies shaped this implementation (223 → ~12 s
+    * at sf3d; the sf3d sweep caught them, a count()-pruned microbench
+    * cannot — count() prunes unreferenced Project expressions):
+    * 1. `select(size(f(x)), explode(f(x)))` puts the size Project ABOVE
+    *    the Generate, re-evaluating the O(L²) shingle pipeline once per
+    *    EXPLODED row (×L). The shingle array must be materialized as an
+    *    attribute BELOW the generator, and n_sh carried via a separate
+    *    cheap branch (`meta`).
+    * 2. InferFiltersFromGenerate turns explode(shs) into `size(shs) > 0`,
+    *    and pushdown re-expresses it below the aggregate in terms of the
+    *    raw text — re-running the whole shingle pipeline per raw row as a
+    *    filter. explode_outer carries no such inference, and is identical
+    *    here because shs/chunks are never empty (single-window fallback /
+    *    start-0 chunk). */
   private val llmDecontaminateChunks = GraftQuery(
     "llm_decontaminate_chunks",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val words = split(TextOps.normalize(col("text")), " ")
       val evalDocs = docs.filter(col("doc_id") % 97 === 0)
@@ -1320,29 +1336,34 @@ object LlmOps extends QueryGroup {
             lit("ssentinel"), col("snip"),
             concat_ws(" ", slice(split(col("host"), " "), 31, 100000))).as("text"))
       val evalShingles = evalDocs
-        .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+        .select(explode(expr("word_shingles(snip, 5)")).as("sh"))
         .distinct()
-      val groups = docs.unionByName(planted)
+      // per distinct text, ONCE, as attributes: chunk geometry + the
+      // distinct shingle set (native codegen'd word_shingles == distinct
+      // first-occurrence twin of array_distinct(wordShingles))
+      val base = docs.unionByName(planted)
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("w", split(col("norm"), " "))
         .withColumn("starts", TextOps.cdcStarts(col("w")))
-      // doc-level probe: distinct whole-doc shingles vs the eval set
-      val docLevel = groups
-        .select(col("rep"), size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
-          explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
+        .select(col("rep"), col("members"), col("w"), col("starts"),
+          expr("word_shingles(norm, 5)").as("shs"))
+      // doc-level probe: explode the materialized set, count hits per doc
+      val docHits = base
+        .select(col("rep"), explode_outer(col("shs")).as("sh"))
         .join(broadcast(evalShingles), "sh")
-        .groupBy(col("rep"), col("n_sh"))
+        .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_hits"))
-      // chunk-level probe: per-chunk distinct shingles vs the eval set
-      val chunks = groups
-        .select(col("rep"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
+      // chunk-level probe: chunk texts from the materialized geometry, then
+      // the per-chunk shingle set materialized below its own generator
+      val chunks = base
+        .select(col("rep"), posexplode_outer(TextOps.cdcSlices(col("w"), col("starts"))))
         .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("ct"))
-        .select(col("rep"), col("chunk_idx"),
-          size(array_distinct(TextOps.wordShingles(col("ct"), 5))).as("n_chsh"),
-          explode(array_distinct(TextOps.wordShingles(col("ct"), 5))).as("sh"))
+        .select(col("rep"), col("chunk_idx"), expr("word_shingles(ct, 5)").as("chsh"))
+        .select(col("rep"), col("chunk_idx"), size(col("chsh")).as("n_chsh"),
+          explode_outer(col("chsh")).as("sh"))
       val chunkLevel = chunks
         .join(broadcast(evalShingles), "sh")
         .groupBy(col("rep"), col("chunk_idx"), col("n_chsh"))
@@ -1352,9 +1373,11 @@ object LlmOps extends QueryGroup {
           .as("max_chunk_frac_raw"),
           sum(when(col("ch_hits").cast(DoubleType) / col("n_chsh").cast(DoubleType) >= 0.5, 1L)
             .otherwise(0L)).as("n_hit_chunks"))
-      docLevel
+      // members + n_sh ride a cheap third branch, never through a generator
+      val meta = base.select(col("rep"), col("members"), size(col("shs")).as("n_sh"))
+      docHits
         .join(chunkLevel, Seq("rep"), "left")
-        .join(groups.select(col("rep"), col("members")), "rep")
+        .join(meta, "rep")
         .select(explode(col("members")).as("doc_id"),
           col("n_hits"), col("n_sh").cast(LongType).as("n_sh"),
           round(col("n_hits").cast(DoubleType) / col("n_sh").cast(DoubleType), 4).as("doc_frac"),
