@@ -93,23 +93,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     // Idempotent: query builders call this defensively; re-registering per
-    // build spams WARNs and costs a few ms per query.
+    // build spams WARNs and costs a few ms per query. Function table is
+    // shared with graft.GraftExtensions (the spark.sql.extensions path) so
+    // the programmatic and config-driven registrations cannot drift.
     if (spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_fast"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_fast", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_fast", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_ngrams", exprs => CharNgrams(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => ArrayJaccard(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_rows", exprs => ShingleRows(exprs(0), exprs(1)), "built-in")
+    graft.GraftExtensions.functionTable.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteCosine)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteCosine
