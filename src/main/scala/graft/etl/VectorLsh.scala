@@ -105,14 +105,25 @@ object VectorLsh {
     * Total candidate volume scales as N·bucket·p^−bits ≈ N^(1+ρ) with
     * ρ ≈ 0.22 at threshold 0.9 — the standard LSH exponent, mildly
     * super-linear and embarrassingly parallel, vs the N² all-pairs join.
-    * At the gate scale (n ≲ 512) this returns (12, 4): same 4 bits as the
-    * historical 8×4 default, a few more bands — extra bands only ADD
-    * candidate pairs, and exact verification filters them, so recall can
-    * only improve. */
-  def adaptiveBandParams(n: Long, simThreshold: Double, targetBucket: Int = 32,
+    *
+    * Bucket occupancy is SIZE-DRIVEN (targetBucket ≤ 0 → auto): occupancy
+    * k costs ~N·k/2 random candidate pairs PER BAND, while each +1 bit
+    * needs ~5 % more bands (projections + band-join rows + per-run plan
+    * work). On small distinct corpora the random floor is cheap and the
+    * fixed per-band costs dominate — coarse wins; on large ones the floor
+    * IS the cost — fine wins. Both sides measured (min-of-2, local[32]):
+    * sf3 (2 k distinct) occupancy 32 → 5.4 s vs occupancy 8 → 8.4 s;
+    * sf3d (60.6 k distinct, 897 k TRUE pairs ≥ 0.9) occupancy 8 → 33 s vs
+    * occupancy 32 → 60 s (97 M raw candidates, random floor ~2× the
+    * irreducible true-pair multiplicity). Auto switches at 20 k distinct.
+    * Extra bands only ADD candidate pairs (exact verification filters
+    * them), so recall can only improve as the geometry grows. */
+  def adaptiveBandParams(n: Long, simThreshold: Double, targetBucket: Int = -1,
       missProb: Double = 1e-4): (Int, Int) = {
+    val occupancy = if (targetBucket > 0) targetBucket
+      else if (n < 20000) 32 else 8
     val bits = math.max(4, math.min(20,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+      math.ceil(math.log(math.max(1.0, n.toDouble / occupancy)) / math.log(2)).toInt))
     val p = 1.0 - math.acos(simThreshold) / math.Pi
     val bandMiss = 1.0 - math.pow(p, bits)
     val bands = math.max(8, math.ceil(math.log(missProb) / math.log(bandMiss)).toInt)

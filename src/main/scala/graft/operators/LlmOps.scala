@@ -523,9 +523,9 @@ object LlmOps extends QueryGroup {
       // few (measured 2.6→11 s at sf3's 30× replicas: 845 projections per
       // vector where 216 suffice). One extra job runs the dedup shuffle
       // for the count; adaptiveBandParams grows bits like log2(N) and
-      // bands to hold the miss probability (VectorLsh scaladoc); at the
-      // gate scale it returns the same 4 bits with a few more bands,
-      // which only adds candidates.
+      // bands to hold the miss probability (VectorLsh scaladoc, incl. the
+      // occupancy-8 trade profiled at sf3d); growing the geometry only
+      // adds candidates, and exact verification filters them.
       val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
         reps.count(), simThreshold = 0.9)
       val bucketed = graft.etl.VectorLsh.withBandBuckets(

@@ -3,103 +3,71 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextOps
 
 /** Dev-only scratch probe for stage-level timing experiments.
-  * Current experiment: why is llm_decontaminate_chunks' docLevel probe
-  * (size + explode of the same shingle set) ~90x the cost of the
-  * doc-level row's single-explode probe? */
+  * Current experiment: decompose llm_embed_neardup at sf3d (60 s in the
+  * r4 sweep vs 28 s measured in r3) into its stages. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val dir = args.headOption.getOrElse("/tmp/graft_sf3d")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dataBytes = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.length).sum).getOrElse(0L)
+    val shufflePartitions =
+      math.max(4, math.min(cpus.toInt, (dataBytes / (32L << 20)).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024 * 1024).toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    println(s"SCRATCH shufflePartitions=$shufflePartitions")
 
-    def clock(name: String)(df: => DataFrame): DataFrame = {
-      val d = df
-      d.count() // warmup
-      val t0 = System.nanoTime(); val n = d.count()
-      println(f"SCRATCH $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
-      d
+    def clock(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCRATCH $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
 
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val groups = docs
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("norm", TextOps.normalize(col("text")))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+    val all = base.unionByName(planted)
+    val grouped = all.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+    val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
 
-    // A: single explode (the llm_decontaminate shape) — fast in the sweep
-    clock("A_explode_only")(groups
-      .select(col("rep"), col("members"),
-        explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh")))
-
-    // B: size + explode of the same expression (the docLevel shape) — slow
-    clock("B_size_plus_explode")(groups
-      .select(col("rep"),
-        size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
-        explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh")))
-
-    // C: size only, no generator
-    clock("C_size_only")(groups
-      .select(col("rep"),
-        size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh")))
-
-    // D: materialize the shingle array as an attribute first
-    clock("D_materialized_shs")(groups
-      .select(col("rep"), array_distinct(TextOps.wordShingles(col("norm"), 5)).as("shs"))
-      .select(col("rep"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh")))
-
-    val evalShingles = docs.filter(col("doc_id") % 97 === 0)
-      .select(explode(TextOps.wordShingles(
-        concat_ws(" ", slice(split(TextOps.normalize(col("text")), " "), 3, 20)), 5)).as("sh"))
-      .distinct()
-
-    // E: B + broadcast semi-probe + count agg (the real docLevel shape)
-    clock("E_join_agg")(groups
-      .select(col("rep"),
-        size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
-        explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
-      .join(broadcast(evalShingles), "sh")
-      .groupBy(col("rep"), col("n_sh"))
-      .agg(count(lit(1)).as("n_hits")))
-
-    // F: same but with the shingle set materialized as an attribute
-    clock("F_join_agg_materialized")(groups
-      .select(col("rep"), array_distinct(TextOps.wordShingles(col("norm"), 5)).as("shs"))
-      .select(col("rep"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .join(broadcast(evalShingles), "sh")
-      .groupBy(col("rep"), col("n_sh"))
-      .agg(count(lit(1)).as("n_hits")))
-
-    val planE = groups
-      .select(col("rep"),
-        size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
-        explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
-      .join(broadcast(evalShingles), "sh")
-      .groupBy(col("rep"), col("n_sh"))
-      .agg(count(lit(1)).as("n_hits"))
-      .queryExecution.optimizedPlan
-    println("SCRATCH planE:\n" + planE.treeString.take(5000))
-
-    val planB = groups
-      .select(col("rep"),
-        size(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("n_sh"),
-        explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
-      .queryExecution.optimizedPlan
-    println("SCRATCH planB:\n" + planB.treeString.take(4000))
-    val planD = groups
-      .select(col("rep"), array_distinct(TextOps.wordShingles(col("norm"), 5)).as("shs"))
-      .select(col("rep"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .queryExecution.optimizedPlan
-    println("SCRATCH planD:\n" + planD.treeString.take(4000))
+    var n = 0L
+    clock("dedup_count") { n = reps.count(); n }
+    val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(n, simThreshold = 0.9)
+    println(s"SCRATCH geometry bands=$nBands bits=$nBits projections=${nBands * nBits}")
+    val bucketed = graft.etl.VectorLsh.withBandBuckets(
+        reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    clock("bucketed")(bucketed.count())
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val candIds = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    clock("cand_raw")(candIds.count())
+    val deduped = candIds.dropDuplicates(Seq("vec_a", "vec_b"))
+    clock("cand_dedup")(deduped.count())
+    val repPairs = deduped
+      .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("cosine_fast(va, vb)"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9)
+    clock("verified_pairs")(repPairs.count())
+    clock("full_row")(graft.SparkEntry.queries("llm_embed_neardup")(spark, dir).count())
 
     spark.stop()
   }
