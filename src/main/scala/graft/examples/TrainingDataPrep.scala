@@ -128,12 +128,19 @@ object TrainingDataPrep {
     val contamIds = evalNgrams match {
       case None => s4.select("doc_id").limit(0)
       case Some(ev) =>
+        // shingle set materialized BELOW the generator + explode_outer:
+        // size(f(x)) alongside explode(f(x)) would re-run the shingle
+        // pipeline per EXPLODED row, and the explode-inferred size>0
+        // filter re-runs it per raw row below the shuffle (the two plan
+        // pathologies measured on llm_decontaminate_chunks, 223→4.7 s at
+        // sf3d); native word_shingles is the distinct-set twin
+        graft.functions.GraftFunctions.register(docsIn.sparkSession)
         s4.withColumn("w", split(TextOps.normalize(col("text")), " "))
           .withColumn("starts", TextOps.cdcStarts(col("w")))
-          .select(col("doc_id"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
-          .select(col("doc_id"),
-            size(array_distinct(TextOps.wordShingles(col("col"), 5))).as("n_chsh"),
-            explode(array_distinct(TextOps.wordShingles(col("col"), 5))).as("sh"))
+          .select(col("doc_id"), posexplode_outer(TextOps.cdcSlices(col("w"), col("starts"))))
+          .select(col("doc_id"), expr("word_shingles(col, 5)").as("chsh"))
+          .select(col("doc_id"), size(col("chsh")).as("n_chsh"),
+            explode_outer(col("chsh")).as("sh"))
           .join(broadcast(ev.select(col("sh")).distinct()), "sh")
           .groupBy(col("doc_id"), col("n_chsh"))
           .agg(count(lit(1)).as("hits"))
