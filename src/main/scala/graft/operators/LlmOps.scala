@@ -2113,6 +2113,204 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** PRODUCT-QUANTIZATION encode (etl.Pq — Jégou et al. 2011): each
+    * embedding compresses to m=8 sub-codes from per-subspace L2 k-means
+    * codebooks (k=16), the storage format of a 100 TB IVF+PQ vector
+    * layout (IVF prunes cells, PQ codes make the in-cell scan 32×
+    * smaller than floats). Per vector: its codes and the cosine between
+    * the vector and its codebook reconstruction.
+    *
+    * 100 TB shape: dedup-first (codebooks train on DISTINCT vectors,
+    * weighted fan-out after); training is Lloyd rounds whose model
+    * (m×k×8 doubles) lives on the driver — the Ivf pattern; encode and
+    * decode are pure map-side literal expressions (zero shuffle). Oracle:
+    * none (k-means-based, like llm_ann_ivf); PqSpec pins determinism, a
+    * JVM argmin recompute of the codes, and codebook-beats-global-mean
+    * reconstruction. */
+  private val llmEmbedPq = GraftQuery(
+    "llm_embed_pq",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (m, k, iters) = (8, 16, 4)
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      val g = vecGroups(docVec(s, dir))
+      val reps = g.select(col("rep_id").as("vec_id"), col("v"))
+      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
+      val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
+        .select(col("vec_id").as("rep_id"), col("codes"),
+          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+            col("recon_dot") /
+              (sqrt(call_function("dot_fast", col("v"), col("v"))) *
+                sqrt(col("recon_norm2")))), 6).as("recon_cos"))
+      g.select(explode(col("members")).as("vec_id"), col("rep_id"))
+        .join(coded, "rep_id")
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), ",").as("codes_str"),
+          col("recon_cos"))
+        .orderBy(col("vec_id").asc_nulls_first)
+    },
+    None)
+
+  /** EXACT SUBSTRING (duplicated-span) DEDUP — the "dedup at the substring
+    * level" stage of Lee et al.'s *Deduplicating Training Data Makes
+    * Language Models Better*, re-expressed for a cluster: their suffix
+    * array is a single-node structure, so the distributed formulation
+    * marks every word 5-gram whose corpus-wide occurrence count is ≥ 2
+    * and merges overlapping/adjacent marked window starts into MAXIMAL
+    * duplicated spans per document (gaps-and-islands over positions).
+    * Any duplicated substring of ≥ 5 words is a run of duplicated
+    * 5-gram starts, so the recovered spans cover exactly the ≥K-word
+    * duplicated regions a suffix array would report. The corpus plants
+    * the house boilerplate passage (first 25 words of doc 0 appended to
+    * every doc_id % 3 == 0) so the spans to find provably exist, and the
+    * oracle re-derives them from scratch.
+    *
+    * 100 TB shape: dedup-first (identical planted texts group to one rep;
+    * shingle counts weighted by group size, so the occurrence threshold
+    * sees the TRUE corpus multiplicity while the explode runs once per
+    * distinct text). The heavy intermediate — one row per word position —
+    * is distinct-corpus-sized and map-generated; the occurrence count is
+    * a groupBy(shingle) whose partial aggregate collapses repeats
+    * map-side; the mark-back is a semi-join keyed on the shingle (at
+    * production scale the key would be the shingle's 128-bit hash, not
+    * its text); the island merge is a per-document window over MARKED
+    * positions only (sparse — duplicated regions, not the whole doc).
+    * Nothing is all-pairs and nothing global-sorts. */
+  private val llmSubstringDedup = GraftQuery(
+    "llm_substring_dedup",
+    (s, dir) => {
+      val K = 5
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+      val boiler = d.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(col("t"), " "), 1, 25), " ").as("btext"))
+      val planted = d.crossJoin(broadcast(boiler))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("t"), lit(" "), col("btext")))
+            .otherwise(col("t")).as("pt"))
+      // dedup-first on the PLANTED text (plant depends on doc_id, so
+      // grouping must follow it — the llm_chunk_dedup precedent)
+      val g = planted.groupBy(col("pt"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("gsz"))
+      val words = g
+        .withColumn("w", split(col("pt"), " "))
+        .select(col("rep"), col("gsz"), col("members"), col("w"),
+          size(col("w")).cast(LongType).as("n_words"))
+      // one row per COMPLETE 5-word window; `w` is an attribute, so the
+      // lambda bodies stay CSE-safe (the cdcChunks lesson)
+      val pos = words
+        .select(col("rep"), col("gsz"), posexplode(
+          when(size(col("w")) >= K,
+            transform(sequence(lit(1), size(col("w")) - (K - 1)),
+              i => concat_ws(" ", slice(col("w"), i, lit(K)))))
+            .otherwise(array().cast(ArrayType(StringType)))))
+        .select(col("rep"), col("gsz"), (col("pos") + 1).as("p"), col("col").as("sh"))
+      val dupSh = pos.groupBy(col("sh"))
+        .agg(sum(col("gsz")).as("occ"))
+        .filter(col("occ") >= 2)
+        .select("sh")
+      val marked = pos.join(dupSh, Seq("sh"), "left_semi")
+      val byRep = Window.partitionBy(col("rep")).orderBy(col("p").asc)
+      val spans = marked
+        .withColumn("prev", lag(col("p"), 1).over(byRep))
+        .withColumn("brk",
+          when(col("prev").isNull || col("p") > col("prev") + K, 1).otherwise(0))
+        .withColumn("span_id",
+          sum(col("brk")).over(byRep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("rep"), col("span_id"))
+        .agg(min(col("p")).as("s"), (max(col("p")) + (K - 1)).as("e"))
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("e") - col("s") + 1).cast(LongType).as("dup_words"))
+      words.select(col("rep"), col("members"), col("n_words"))
+        .join(spans, Seq("rep"), "left")
+        .select(explode(col("members")).as("doc_id"), col("n_words"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+        .withColumn("kept_words", col("n_words") - col("dup_words"))
+        .withColumn("dup_frac",
+          round(col("dup_words").cast(DoubleType) / col("n_words").cast(DoubleType), 4))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      b AS (
+        SELECT array_to_string((string_split(t, ' '))[1:25], ' ') AS btext FROM d WHERE doc_id = 0),
+      p AS (
+        SELECT doc_id,
+               string_split(CASE WHEN doc_id % 3 = 0 THEN concat(t, ' ', btext) ELSE t END, ' ') AS words
+        FROM d, b),
+      nw AS (SELECT doc_id, len(words) AS n_words FROM p),
+      pos AS (
+        SELECT doc_id,
+               unnest([{'p': i, 'sh': array_to_string(words[i:i+4], ' ')}
+                 FOR i IN range(1, greatest(len(words) - 3, 1))], recursive := true)
+        FROM p),
+      dup AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) >= 2),
+      m AS (SELECT doc_id, p FROM pos WHERE sh IN (SELECT sh FROM dup)),
+      isl AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                      OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 5
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      sp AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM isl),
+      spans AS (
+        SELECT doc_id, span_id, min(p) AS s, max(p) + 4 AS e
+        FROM sp GROUP BY doc_id, span_id),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+        FROM spans GROUP BY doc_id)
+      SELECT nw.doc_id, nw.n_words,
+             COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+             COALESCE(a.dup_words, 0) AS dup_words,
+             nw.n_words - COALESCE(a.dup_words, 0) AS kept_words,
+             round(CAST(COALESCE(a.dup_words, 0) AS DOUBLE) / CAST(nw.n_words AS DOUBLE), 4) AS dup_frac
+      FROM nw LEFT JOIN agg a ON nw.doc_id = a.doc_id
+      ORDER BY nw.doc_id ASC NULLS FIRST"""))
+
+  /** DETERMINISTIC CORPUS SHUFFLE — the training-order randomization stage:
+    * every epoch the corpus must be read in a pseudo-random order that is
+    * (a) reproducible bit-for-bit for restartable training, (b) derivable
+    * without a global sort. Each doc gets a shuffle key (the overflow-proof
+    * Knuth hash of doc_id + epoch seed), a shard (key mod nShards — the
+    * file a 100 TB writer would route the doc to), and its position WITHIN
+    * the shard (rank by key). One hash-partitioned exchange + a per-shard
+    * local sort — the global permutation without ever globally sorting;
+    * re-keying the seed reshuffles the next epoch. The window is
+    * partitioned by shard (never unpartitioned), and the oracle re-derives
+    * the identical permutation arithmetic. */
+  private val llmCorpusShuffle = GraftQuery(
+    "llm_corpus_shuffle",
+    (s, dir) => {
+      val nShards = 16
+      val seed = 42L
+      val byShard = Window.partitionBy(col("shard"))
+        .orderBy(col("skey").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.Det.knuthU(col("doc_id") + lit(seed)).as("skey"))
+        .withColumn("shard", (col("skey") % nShards).cast(IntegerType))
+        .withColumn("shard_pos", row_number().over(byShard).cast(LongType))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT doc_id,
+             ${graft.Det.sqlKnuthU("doc_id + 42")} AS skey,
+             CAST(${graft.Det.sqlKnuthU("doc_id + 42")} % 16 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY ${graft.Det.sqlKnuthU("doc_id + 42")} % 16
+               ORDER BY ${graft.Det.sqlKnuthU("doc_id + 42")}, doc_id) AS BIGINT) AS shard_pos
+      FROM documents
+      ORDER BY doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
@@ -2123,5 +2321,6 @@ object LlmOps extends QueryGroup {
     llmCorpusPrep, llmCorpusPrepStages,
     llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
-    llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize)
+    llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
+    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq)
 }

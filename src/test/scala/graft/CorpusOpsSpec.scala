@@ -233,4 +233,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.nonEmpty, s"$q returned no rows on the big-id corpus")
     }
   }
+
+  test("substring_dedup: planted boilerplate spans recovered per host; " +
+      "span arithmetic consistent; doc 0's own leading words flagged") {
+    val rows = SparkEntry.queries("llm_substring_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every doc_id % 3 host carries the boilerplate plant (doc 0's first
+    // ≤25 words — shorter if doc 0 is) → at least one span covering the
+    // plant; spans can only grow by merging with natural/junction dups
+    val bLen = math.min(25L,
+      Tables.documents(spark, sf).filter(col("doc_id") === 0)
+        .select(size(split(graft.functions.TextOps.normalize(col("text")), " ")))
+        .head.getInt(0).toLong)
+    rows.keys.filter(_ % 3 == 0).foreach { id =>
+      val (_, nSpans, dupWords, _) = rows(id)
+      assert(nSpans >= 1, s"host $id: no span found")
+      assert(dupWords >= bLen, s"host $id: span covers only $dupWords < $bLen words")
+    }
+    // doc 0 is the boilerplate SOURCE: its first bLen words are duplicated
+    // into every host, so they must be inside its flagged spans too
+    assert(rows(0L)._3 >= bLen)
+    // arithmetic: kept + dup == n_words, dup_spans == 0 ⇒ dup_words == 0
+    rows.foreach { case (id, (nWords, nSpans, dupWords, keptWords)) =>
+      assert(keptWords + dupWords == nWords, s"doc $id books don't balance")
+      assert((nSpans == 0) == (dupWords == 0), s"doc $id span/word mismatch")
+    }
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.etl.Pq
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization pins (llm_embed_pq is no-oracle-by-design — k-means
+  * — so this spec is its evidence): determinism, a JVM argmin recompute of
+  * the codes, decode consistency of the carried reconstruction statistics,
+  * and codebook-beats-global-mean reconstruction quality. */
+class PqSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val (dims, m, k, iters) = (64, 8, 16, 4)
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  private lazy val books = Pq.train(vecs, dims, m, k, iters)
+
+  test("train: deterministic across reruns; m codebooks of k centroids of dims/m") {
+    val again = Pq.train(vecs, dims, m, k, iters)
+    assert(books == again)
+    assert(books.size == m)
+    assert(books.forall(_.size == k))
+    assert(books.forall(_.forall(_._2.size == dims / m)))
+    assert(books.forall(b => b.map(_._1) == (0L until k.toLong)))
+  }
+
+  test("encode: codes match a JVM argmin recompute (same negscore formula, same ties)") {
+    val sub = dims / m
+    val rows = Pq.encodeWithStats(vecs, dims, books)
+      .select(col("vec_id"), col("v"), col("codes"))
+      .orderBy(col("vec_id").asc).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val codes = r.getSeq[Long](2)
+      val expected = (0 until m).map { j =>
+        val sv = v.slice(j * sub, (j + 1) * sub)
+        // identical arithmetic to Pq.scoredStruct: dot accumulated in
+        // element order (the dot_fast loop), halfcc from the driver fold
+        books(j).sortBy(_._1).map { case (cid, cv) =>
+          val halfcc = cv.map(x => x * x).sum / 2.0
+          var dot = 0.0
+          var i = 0
+          while (i < sub) { dot += sv(i) * cv(i); i += 1 }
+          (halfcc - dot, cid)
+        }.min._2
+      }
+      assert(codes == expected, s"vec ${r.getLong(0)}: $codes vs $expected")
+    }
+  }
+
+  test("recon stats: recon_dot/recon_norm2 agree with an explicit decode") {
+    val sub = dims / m
+    val rows = Pq.encodeWithStats(vecs, dims, books)
+      .orderBy(col("vec_id").asc).limit(50)
+      .select(col("v"), col("codes"), col("recon_dot"), col("recon_norm2"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val codes = r.getSeq[Long](1)
+      val recon = (0 until m).flatMap(j => books(j).sortBy(_._1).apply(codes(j).toInt)._2)
+      val dot = v.zip(recon).map { case (a, b) => a * b }.sum
+      val n2 = recon.map(x => x * x).sum
+      assert(math.abs(dot - r.getDouble(2)) < 1e-9)
+      assert(math.abs(n2 - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("quality: codebook reconstruction beats the global-mean baseline") {
+    val all = vecs.select(col("v")).collect().map(_.getSeq[Double](0))
+    val mean = (0 until dims).map(d => all.map(_(d)).sum / all.length)
+    val baseline = all.map(v => v.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum).sum / all.length
+    val sub = dims / m
+    val pqErr = Pq.encodeWithStats(vecs, dims, books)
+      .select(col("v"), col("codes")).collect().map { r =>
+        val v = r.getSeq[Double](0)
+        val codes = r.getSeq[Long](1)
+        val recon = (0 until m).flatMap(j => books(j).sortBy(_._1).apply(codes(j).toInt)._2)
+        v.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+    val meanPq = pqErr.sum / pqErr.length
+    assert(meanPq < baseline,
+      s"PQ mean L2² $meanPq should beat global-mean baseline $baseline")
+  }
+
+  test("registry row: codes for every vec_id, recon_cos in [-1,1], fan-out covers members") {
+    val out = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    assert(out.map(_.getLong(0)).distinct.length == n)
+    out.foreach { r =>
+      assert(r.getString(1).split(",").length == m)
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+}
