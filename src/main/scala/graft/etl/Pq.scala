@@ -56,47 +56,65 @@ object Pq {
   def nearestCode(sv: Column, book: Codebook): Column =
     scoredStruct(sv, book).getField("cid")
 
-  /** Train one subspace codebook over (vec_id, sv) with Lloyd iterations.
-    * Empty clusters keep their previous centroid (the standard fix; with
-    * lowest-id init and k ≪ n they are rare but must not shrink k). */
-  private def trainSub(svecs: DataFrame, k: Int, iters: Int): Codebook = {
-    var book: Codebook = svecs.orderBy(col("vec_id").asc).limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-      .toSeq
-    for (_ <- 1 to iters) {
-      val means = svecs
-        .withColumn("cid", nearestCode(col("sv"), book))
-        .select(col("cid"), posexplode(col("sv")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cv"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1))
-        .toMap
-      book = book.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    book
-  }
-
   /** Train the m codebooks over a (vec_id, v: array<double>) relation.
     * dims must divide evenly into m subspaces. Training is EAGER (each
     * round collects the model), so the input is cached for its duration —
-    * the Ivf.train lifecycle. */
+    * the Ivf.train lifecycle.
+    *
+    * All m subspaces train in the SAME Lloyd round: one pass assigns all
+    * m codes, explodes (sub, cid, pos, value) and aggregates every
+    * subspace's means in one shuffle — m=8, iters=4 is 4 jobs, not 32.
+    * The per-subspace computations are independent, so the result is
+    * IDENTICAL to training each subspace alone (PqSpec's JVM recompute
+    * pins the assignment; the decimal mean is order-independent). */
   def train(vecs: DataFrame, dims: Int, m: Int, k: Int, iters: Int): Seq[Codebook] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     GraftFunctions.register(vecs.sparkSession)
     val sub = dims / m
     val input = vecs.persist()
     try {
-      (0 until m).map { j =>
-        trainSub(
-          input.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("sv")),
-          k, iters)
+      val init = input.orderBy(col("vec_id").asc).limit(k)
+        .select(col("v")).collect()
+      var books: Seq[Codebook] = (0 until m).map { j =>
+        init.zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Double](0).slice(j * sub, (j + 1) * sub))
+        }.toSeq
       }
+      for (_ <- 1 to iters) {
+        // two ATTRIBUTE-producing projections before the explode: generator
+        // expressions are not method-split by codegen, so putting the m
+        // argmin structs inside explode() overflows Janino's method limit
+        // (measured: 5 failed compiles + interpreted fallback, 15 s vs 3 s).
+        // Projections ARE split per expression, so the subvector slices and
+        // code assignments materialize there, and the generator only sees
+        // small attribute-built structs.
+        val svCols = input.select(col("v") +: (0 until m).map(j =>
+          slice(col("v"), j * sub + 1, sub).as(s"_pq_sv$j")): _*)
+        val cidCols = svCols.select(
+          (0 until m).map(j => col(s"_pq_sv$j")) ++
+            books.zipWithIndex.map { case (book, j) =>
+              scoredStruct(col(s"_pq_sv$j"), book).getField("cid").as(s"_pq_cid$j")
+            }: _*)
+        val perSub = (0 until m).map { j =>
+          struct(lit(j).as("sub"), col(s"_pq_cid$j").as("cid"), col(s"_pq_sv$j").as("sv"))
+        }
+        val means = cidCols
+          .select(explode(array(perSub: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("e.cid").as("cid"), posexplode(col("e.sv")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("m"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+          .toMap
+        books = books.zipWithIndex.map { case (book, j) =>
+          book.map { case (cid, old) => (cid, means.getOrElse((j, cid), old)) }
+        }
+      }
+      books
     } finally input.unpersist(blocking = false)
   }
 

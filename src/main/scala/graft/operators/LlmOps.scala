@@ -2134,7 +2134,12 @@ object LlmOps extends QueryGroup {
       val (m, k, iters) = (8, 16, 4)
       val dims = Tables.embeddings(s, dir)
         .select(size(col("embedding"))).head.getInt(0)
-      val g = vecGroups(docVec(s, dir))
+      // the dedup pass materializes once (localCheckpoint — what train()
+      // would cache anyway): encode's 8-argmin projection must NOT fuse
+      // into the vecGroups aggregate's output method — that fused method
+      // overflows Janino's 64 KB limit and the whole stage falls back to
+      // interpreted execution (measured on the ADC twin).
+      val g = vecGroups(docVec(s, dir)).localCheckpoint()
       val reps = g.select(col("rep_id").as("vec_id"), col("v"))
       val books = graft.etl.Pq.train(reps, dims, m, k, iters)
       val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
@@ -2149,6 +2154,69 @@ object LlmOps extends QueryGroup {
           array_join(transform(col("codes"), _.cast("string")), ",").as("codes_str"),
           col("recon_cos"))
         .orderBy(col("vec_id").asc_nulls_first)
+    },
+    None)
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * query path of an IVF-PQ system (Jégou et al. 2011 §IV): the query
+    * stays un-quantized; per subspace, its dot product against each of
+    * the k centroids is precomputed DRIVER-SIDE (m×k doubles — the "ADC
+    * lookup table"), and scoring a database vector is then m table
+    * lookups by its codes — no float vector is ever read at query time.
+    * Score = approximate cosine  Σⱼ table_j[code_j] / (‖q‖·‖v̂‖), with
+    * ‖v̂‖ from the stored recon_norm2. Top-10 for query vec 0.
+    *
+    * 100 TB shape: dedup-first reps; codes+tables are literals riding
+    * into a map-side projection; top-k is TakeOrderedAndProject. Rep-level
+    * top-k covers the true top-k (vecGroups ordering argument). At
+    * production scale the codes table is the PERSISTED artifact (built
+    * once by llm_embed_pq's encode pass) and IVF pruning selects which
+    * code partitions to scan; here the row composes train+encode+search
+    * end-to-end so the whole path is exercised and spec-pinned (recall
+    * containment vs the exact brute-force top-50, like llm_ann_ivf).
+    * Oracle: none (k-means-based). */
+  private val llmAnnPqAdc = GraftQuery(
+    "llm_ann_pq_adc",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (m, k, iters) = (8, 16, 4)
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      // dedup artifact materialized once (see llm_embed_pq's fusion note)
+      val reps = vecGroups(docVec(s, dir))
+        .select(col("rep_id").as("vec_id"), col("v"))
+        .localCheckpoint()
+      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
+      // the CODES TABLE is the artifact an IVF-PQ system persists: encode
+      // once here (localCheckpoint — the Bpe materialization convention),
+      // query from codes after. This also keeps the query stage's codegen
+      // small: fusing the 8-argmin encode into the vecGroups aggregate's
+      // output method overflowed Janino (measured: compile fail +
+      // interpreted fallback); scoring from checkpointed codes does not.
+      val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
+        .select(col("vec_id"), col("codes"), col("recon_norm2"))
+        .localCheckpoint()
+      val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
+      val sub = dims / m
+      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
+        val qj = q.slice(j * sub, (j + 1) * sub)
+        book.sortBy(_._1).map { case (_, cv) =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qj(i) * cv(i); i += 1 }
+          d
+        }
+      }
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      val adcDot = tables.zipWithIndex.map { case (t, j) =>
+        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
+      }.reduce(_ + _)
+      coded
+        .withColumn("adc_cos",
+          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .select(col("vec_id"), col("adc_cos"))
+        .orderBy(col("adc_cos").desc, col("vec_id").asc)
+        .limit(10)
     },
     None)
 
@@ -2322,5 +2390,5 @@ object LlmOps extends QueryGroup {
     llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
-    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq)
+    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc)
 }

@@ -87,6 +87,25 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"PQ mean L2² $meanPq should beat global-mean baseline $baseline")
   }
 
+  test("adc: top-10 via code lookups stays within the exact brute-force top-50") {
+    val adc = SparkEntry.queries("llm_ann_pq_adc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(adc.length == 10)
+    // deterministic across reruns
+    val again = SparkEntry.queries("llm_ann_pq_adc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(adc.toSeq == again.toSeq)
+    // recall containment against the exact scan (the ann_ivf convention)
+    val e = vecs
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val top50 = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val hits = adc.map(_._1).count(top50.contains)
+    assert(hits >= 5, s"only $hits/10 ADC results inside exact top-50: ${adc.mkString(",")}")
+  }
+
   test("registry row: codes for every vec_id, recon_cos in [-1,1], fan-out covers members") {
     val out = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
