@@ -69,7 +69,8 @@ object TrainingDataPrep {
       qualityMin: Double = 0.45, neardupThreshold: Double = 0.8,
       chunkDupMax: Double = 0.6,
       evalNgrams: Option[DataFrame] = None,
-      chunkContamMin: Double = 0.5): Outputs = {
+      chunkContamMin: Double = 0.5,
+      onStage: (String, Double) => Unit = (_, _) => ()): Outputs = {
     val docs = docsIn.select(col("doc_id"), col("lang"), col("text"))
 
     // 1. exact dedup: keep the smallest doc_id per raw text (group by the
@@ -159,7 +160,15 @@ object TrainingDataPrep {
     // exactly once; this is the op-60 materialization point made explicit,
     // and at 100 TB it is where a real pipeline would checkpoint stage
     // outputs to storage anyway.
-    s1.count(); s2.count(); s3.count(); s4.count(); s5.count()
+    // (`onStage` reports each stage's wall clock — the default is a no-op;
+    // tools.PrepProbe uses it to attribute the composite row's cost)
+    Seq("1_exact_dedup" -> s1, "2_quality" -> s2, "3_neardup_lsh" -> s3,
+      "4_chunk_boilerplate" -> s4, "5_decontaminate" -> s5).foreach {
+      case (name, df) =>
+        val t0 = System.nanoTime()
+        df.count()
+        onStage(name, (System.nanoTime() - t0) / 1e9)
+    }
 
     // 6. token accounting
     val kept = s5.select(
@@ -179,21 +188,42 @@ object TrainingDataPrep {
       .unionByName(s4.join(contamIds, "doc_id")
         .select(col("doc_id"), lit("decontaminated").as("stage")))
 
-    def stageRow(name: String, ord: Int, in: DataFrame, out: DataFrame) = {
-      val tokens = out.select(
-        sum(size(split(TextOps.normalize(col("text")), " "))).as("tokens_out"))
-      in.select(count(lit(1)).as("docs_in"))
-        .crossJoin(out.select(count(lit(1)).as("docs_out")))
-        .crossJoin(tokens)
-        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-          col("docs_in"), col("docs_out"), col("tokens_out"))
-    }
-    val attrition =
-      stageRow("exact_dedup", 1, docs, s1)
-        .unionByName(stageRow("quality_filter", 2, s1, s2.drop("q")))
-        .unionByName(stageRow("neardup_removal", 3, s2.drop("q"), s3.drop("q")))
-        .unionByName(stageRow("chunk_boilerplate", 4, s3.drop("q"), s4.drop("q")))
-        .unionByName(stageRow("decontaminate", 5, s4.drop("q"), s5.drop("q")))
+    // Attrition report as ONE aggregate: label each cached stage output,
+    // union, groupBy(stage) for docs_out + token sums — a single shuffle
+    // over five cached map-scans — then derive docs_in as the previous
+    // stage's docs_out via a 5-row self-join (stage 1's is the corpus
+    // count, a driver value since prepare is already eager). The previous
+    // form built 15 separate aggregate subtrees (count-in × count-out ×
+    // token-sum per stage, crossJoined) whose many tiny exchanges were
+    // 23 s of the composite row's cost at sf0.1 — pure stage-scheduling
+    // overhead, not compute. A left join from a literal stage table keeps
+    // empty stages present (docs_out 0, tokens_out null — the exact rows
+    // the old global aggregates produced, and the _stages oracle expects).
+    val stageDefs = Seq(
+      ("exact_dedup", 1, s1), ("quality_filter", 2, s2.drop("q")),
+      ("neardup_removal", 3, s3.drop("q")), ("chunk_boilerplate", 4, s4.drop("q")),
+      ("decontaminate", 5, s5.drop("q")))
+    val labeled = stageDefs.map { case (name, ord, df) =>
+      df.select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+        size(split(TextOps.normalize(col("text")), " ")).cast("long").as("tok"))
+    }.reduce(_ unionByName _)
+    val outAgg = labeled.groupBy(col("stage_ord"))
+      .agg(count(lit(1)).as("docs_out"), sum(col("tok")).as("tokens_out"))
+    val session = docsIn.sparkSession
+    import session.implicits._
+    val stageNames = stageDefs.map { case (name, ord, _) => (ord, name) }
+      .toDF("stage_ord", "stage")
+    val nCorpus = docs.count()
+    val prevOut = outAgg.select((col("stage_ord") + 1).as("stage_ord"),
+      col("docs_out").as("prev_out"))
+    val attrition = stageNames
+      .join(outAgg, Seq("stage_ord"), "left")
+      .join(prevOut, Seq("stage_ord"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("prev_out"),
+          when(col("stage_ord") === 1, lit(nCorpus)).otherwise(lit(0L))).as("docs_in"),
+        coalesce(col("docs_out"), lit(0L)).as("docs_out"),
+        col("tokens_out"))
 
     Outputs(kept, dropped, attrition)
   }

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: stage-level cost attribution of the corpus-prep composite
+  * rows (the two biggest rows of the decomposed registry bench) via
+  * TrainingDataPrep's onStage callback, plus the attrition report's own
+  * cost on top. */
+object PrepProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime())
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(starts.remove(j.jobId)).getOrElse(System.nanoTime())
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec > 0.3) println(f"PREPPROBE   job ${j.jobId}%3d ${sec}%7.2f s")
+      }
+    })
+    val (docs, planted, evalSh) = graft.operators.LlmOps.corpusPrepFixture(spark, sfDir)
+    val t0 = System.nanoTime()
+    val out = graft.examples.TrainingDataPrep.prepare(
+      docs.unionByName(planted), evalNgrams = Some(evalSh),
+      onStage = (name, sec) => println(f"PREPPROBE stage $name%-22s $sec%7.2f s"))
+    val tStages = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    out.attrition.orderBy(col("stage_ord").asc_nulls_first).count()
+    println(f"PREPPROBE attrition_report       ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+    println(f"PREPPROBE total                  ${(System.nanoTime() - t0) / 1e9}%7.2f s  (stages $tStages%.2f)")
+    spark.stop()
+  }
+}
