@@ -2220,6 +2220,75 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** IVF+PQ ANN — the composed architecture a 100 TB vector store
+    * actually serves (Jégou et al. 2011 §V): the IVF coarse quantizer
+    * partitions the table into cells (on disk: partition directories —
+    * see llm_ann_ivf_persisted's pruning), the PQ codes make the in-cell
+    * scan bytes instead of floats, and a query (a) picks its top-4 cells
+    * by centroid cosine DRIVER-side (centroids are collected model
+    * params), (b) scans ONLY those cells' codes with ADC lookup tables.
+    * The scan predicate is `cent_id IN (probes)` — exactly the
+    * partition-pruning filter the persisted layout serves.
+    *
+    * 100 TB shape: dedup-first reps; both quantizers train on the
+    * distinct set; the index artifact (cent_id, codes, recon_norm2 — no
+    * floats) materializes once (localCheckpoint — the same fusion note
+    * as llm_embed_pq); the timed query is a pruned scan + m lookups per
+    * row + TakeOrderedAndProject. Oracle: none (k-means ×2); PqSpec pins
+    * recall containment vs the exact scan and cell-pruning reality. */
+  private val llmAnnIvfPq = GraftQuery(
+    "llm_ann_ivfpq",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (m, k, iters) = (8, 16, 4)
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      val vecs = docVec(s, dir)
+      val grouped = vecGroups(vecs).localCheckpoint()
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 2)
+      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
+      val indexed = graft.etl.Ivf.assign(reps, cents)
+      val coded = graft.etl.Pq.encodeWithStats(indexed, dims, books)
+        .select(col("vec_id"), col("cent_id"), col("codes"), col("recon_norm2"))
+        .localCheckpoint()
+      val q = vecs.filter(col("vec_id") === 0).head.getSeq[Double](1)
+      // probe selection on the driver — centroids ARE driver-side model
+      // params; same arithmetic as cosine_fast (element-order loops)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val probes = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .map { case (cid, cv) => (cos(q, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(4).map(_._2)
+      val sub = dims / m
+      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
+        val qj = q.slice(j * sub, (j + 1) * sub)
+        book.sortBy(_._1).map { case (_, cv) =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qj(i) * cv(i); i += 1 }
+          d
+        }
+      }
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      val adcDot = tables.zipWithIndex.map { case (t, j) =>
+        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
+      }.reduce(_ + _)
+      coded
+        .filter(col("cent_id").isin(probes: _*))
+        .withColumn("adc_cos",
+          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .select(col("vec_id"), col("adc_cos"))
+        .orderBy(col("adc_cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    None)
+
   /** EXACT SUBSTRING (duplicated-span) DEDUP — the "dedup at the substring
     * level" stage of Lee et al.'s *Deduplicating Training Data Makes
     * Language Models Better*, re-expressed for a cluster: their suffix
@@ -2258,11 +2327,17 @@ object LlmOps extends QueryGroup {
           when(col("doc_id") % 3 === 0, concat(col("t"), lit(" "), col("btext")))
             .otherwise(col("t")).as("pt"))
       // dedup-first on the PLANTED text (plant depends on doc_id, so
-      // grouping must follow it — the llm_chunk_dedup precedent)
+      // grouping must follow it — the llm_chunk_dedup precedent). The
+      // group table is materialized ONCE (localCheckpoint): `words` and
+      // `pos` below each feed two consumers, so without it the text-keyed
+      // group shuffle and the position explode re-run per consumer — the
+      // measured super-linear residue at sf6 (2.33x for 2x data; 1.9x
+      // after, see CROSSOVER round-4 sweep).
       val g = planted.groupBy(col("pt"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("gsz"))
+        .localCheckpoint()
       val words = g
         .withColumn("w", split(col("pt"), " "))
         .select(col("rep"), col("gsz"), col("members"), col("w"),
@@ -2390,5 +2465,5 @@ object LlmOps extends QueryGroup {
     llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
-    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc)
+    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc, llmAnnIvfPq)
 }

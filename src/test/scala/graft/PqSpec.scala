@@ -106,6 +106,34 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(hits >= 5, s"only $hits/10 ADC results inside exact top-50: ${adc.mkString(",")}")
   }
 
+  test("ivfpq: probed-cell ADC top-10 within exact top-50; pruning is real") {
+    val r = SparkEntry.queries("llm_ann_ivfpq")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.length == 10)
+    val e = vecs
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val top50 = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val hits = r.map(_._1).count(top50.contains)
+    assert(hits >= 5, s"only $hits/10 IVF+PQ results inside exact top-50: ${r.mkString(",")}")
+    // pruning reality: 4 of 16 cells probed means the candidate set the
+    // ADC scan touches is a strict subset of the corpus
+    val cents = graft.etl.Ivf.train(
+      vecs.groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("v")), k = 16, iters = 2)
+    val assigned = graft.etl.Ivf.assign(
+      vecs.groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("v")), cents)
+    val total = assigned.count()
+    val largestFourCells = assigned.groupBy(col("cent_id")).count()
+      .orderBy(col("count").desc).limit(4)
+      .collect().map(_.getLong(1)).sum
+    assert(largestFourCells < total,
+      s"4 cells cover the whole corpus ($largestFourCells of $total) — no pruning")
+  }
+
   test("registry row: codes for every vec_id, recon_cos in [-1,1], fan-out covers members") {
     val out = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
