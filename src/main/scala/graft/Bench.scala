@@ -231,6 +231,7 @@ object Bench {
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
+          "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_fixture_neardup" -> clocked(Fixtures.neardupCorpus(spark, sfDir)),
           "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

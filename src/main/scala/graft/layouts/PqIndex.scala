@@ -1,0 +1,77 @@
+package graft.layouts
+
+import graft.etl.{Ivf, Pq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF+PQ index — the complete resident format of a 100 TB
+  * vector table (Jégou et al. 2011 §V composed with [[IvfIndex]]'s
+  * partition layout): rows are (vec_id, codes, recon_norm2, members)
+  * PARTITIONED BY cent_id, so a probe query's `cent_id IN (...)` prunes
+  * to the probed directories before a file is opened, and inside a cell
+  * the scan reads m-byte-scale codes instead of d floats. The quantizer
+  * models (IVF centroids + PQ codebooks) persist as parquet sidecars —
+  * a query loads a few KB of model, prunes, and does m lookups per row.
+  *
+  * Dedup-first like [[IvfIndex]]: the index stores identity-group
+  * representatives with their member lists; top-k over reps covers the
+  * true top-k (the vecGroups proof in LlmOps).
+  *
+  * Build caching follows the hardened ZOrder convention: MD5 cache tag
+  * and ALL artifacts' _SUCCESS markers gate the rebuild (a crash between
+  * writes can never serve a half-built index). */
+object PqIndex {
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Codes/centroids/codebooks parquet paths for `corpus` (vec_id, v)
+    * under cache key `tag`. Builds on first call, else serves the cached
+    * layout. */
+  def ensure(s: SparkSession, tag: String, corpus: => DataFrame, dims: Int,
+      k: Int = 16, iters: Int = 2, m: Int = 8, kpq: Int = 16, pqIters: Int = 4)
+      : (String, String, String) = {
+    val id = md5(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters")
+    val codesPath = s"/tmp/graft_pq_idx_$id"
+    val centsPath = s"/tmp/graft_pq_cents_$id"
+    val booksPath = s"/tmp/graft_pq_books_$id"
+    val complete = Seq(codesPath, centsPath, booksPath)
+      .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
+    if (!complete) {
+      Seq(codesPath, centsPath, booksPath)
+        .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      // the group artifact materializes once: encode's argmin projection
+      // must not fuse into the aggregate's output method (the Janino
+      // 64 KB fusion note on llm_embed_pq)
+      val grouped = corpus.groupBy(col("v"))
+        .agg(min(col("vec_id")).as("vec_id"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+        .localCheckpoint()
+      val reps = grouped.select(col("vec_id"), col("v"))
+      val cents = Ivf.train(reps, k, iters)
+      val books = Pq.train(reps, dims, m, kpq, pqIters)
+      Pq.encodeWithStats(Ivf.assign(reps, cents), dims, books)
+        .join(grouped.select(col("vec_id"), col("members")), "vec_id")
+        .select(col("vec_id"), col("cent_id"), col("codes"),
+          col("recon_norm2"), col("members"))
+        .repartition(k, col("cent_id"))
+        .write.partitionBy("cent_id").mode("overwrite").parquet(codesPath)
+      cents.write.mode("overwrite").parquet(centsPath)
+      val session = s
+      import session.implicits._
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.map { case (cid, cv) => (j, cid, cv) }
+      }.toDF("sub", "cid", "cv").write.mode("overwrite").parquet(booksPath)
+    }
+    (codesPath, centsPath, booksPath)
+  }
+
+  /** Codebooks back from the sidecar, in [[Pq.train]]'s shape. */
+  def loadBooks(s: SparkSession, booksPath: String): Seq[Pq.Codebook] =
+    s.read.parquet(booksPath)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+}

@@ -2289,6 +2289,74 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** The persisted IVF+PQ index the `llm_ann_ivfpq_persisted` row probes —
+    * exposed so the bench prewarms it with the IDENTICAL cache key and
+    * reports the one-time train+encode+partitioned-write as a separate
+    * build line item (the index is the vector table's resident format;
+    * its build is not the probe query's cost — the llm_ann_ivf_persisted
+    * accounting). Returns (codesPath, centsPath, booksPath). */
+  def pqIndexArtifacts(s: SparkSession, dir: String): (String, String, String) = {
+    graft.functions.GraftFunctions.register(s)
+    val dims = Tables.embeddings(s, dir)
+      .select(size(col("embedding"))).head.getInt(0)
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    graft.layouts.PqIndex.ensure(
+      s, s"ivfpq_${dir}_${f.length}_${f.lastModified}", docVec(s, dir), dims)
+  }
+
+  /** IVF+PQ over the PERSISTED layout (layouts.PqIndex) — `llm_ann_ivfpq`
+    * with the quantizers and codes amortized the way a served ANN index
+    * actually is: the codes table lives on disk partitioned by cent_id,
+    * the models are KB-scale parquet sidecars, and the probe query is
+    * (a) load models, (b) pick top-4 cells driver-side, (c) scan ONLY
+    * those cells' code files (`cent_id IN` → partition pruning, pinned in
+    * PqSpec with scan metrics), (d) m lookups per row + top-10. The
+    * inline twin retrains per run; this row's build is a bench `builds`
+    * line item via [[pqIndexArtifacts]]. Oracle: none (k-means ×2);
+    * PqSpec pins agreement with the inline row and real pruning. */
+  private val llmAnnIvfPqPersisted = GraftQuery(
+    "llm_ann_ivfpq_persisted",
+    (s, dir) => {
+      val (codesPath, centsPath, booksPath) = pqIndexArtifacts(s, dir)
+      val m = 8
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val probes = s.read.parquet(centsPath).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .map { case (cid, cv) => (cos(q, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(4).map(_._2)
+      val books = graft.layouts.PqIndex.loadBooks(s, booksPath)
+      val sub = dims / m
+      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
+        val qj = q.slice(j * sub, (j + 1) * sub)
+        book.sortBy(_._1).map { case (_, cv) =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qj(i) * cv(i); i += 1 }
+          d
+        }
+      }
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      val adcDot = tables.zipWithIndex.map { case (t, j) =>
+        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
+      }.reduce(_ + _)
+      s.read.parquet(codesPath)
+        .filter(col("cent_id").isin(probes: _*))
+        .withColumn("adc_cos",
+          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .select(col("vec_id"), col("adc_cos"))
+        .orderBy(col("adc_cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    None)
+
   /** EXACT SUBSTRING (duplicated-span) DEDUP — the "dedup at the substring
     * level" stage of Lee et al.'s *Deduplicating Training Data Makes
     * Language Models Better*, re-expressed for a cluster: their suffix
@@ -2465,5 +2533,6 @@ object LlmOps extends QueryGroup {
     llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
-    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc, llmAnnIvfPq)
+    llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc, llmAnnIvfPq,
+    llmAnnIvfPqPersisted)
 }

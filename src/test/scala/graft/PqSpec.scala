@@ -134,6 +134,38 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"4 cells cover the whole corpus ($largestFourCells of $total) — no pruning")
   }
 
+  test("ivfpq_persisted: agrees with the inline row; probe reads only probed partitions") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf)
+    val persisted = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // partition pruning on the codes table (the IvfIndexSpec pin). Driver
+    // metrics (numPartitions/numFiles) post only on the FIRST computation
+    // of the scan's selectedPartitions — read them before any re-execution
+    // resets the accumulators.
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("graft_pq_idx")) => f
+    }
+    assert(scan.nonEmpty, s"no codes scan in:\n${df.queryExecution.executedPlan}")
+    val idxPath = new java.io.File(scan.get.relation.location.rootPaths.head.toUri)
+    val totalParts = Option(idxPath.listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cent_id="))).getOrElse(0)
+    val readParts = scan.get.metrics("numPartitions").value
+    assert(totalParts > 4, s"index has only $totalParts partitions")
+    assert(readParts == 4,
+      s"probe read $readParts of $totalParts partitions — expected exactly the 4 probed")
+    val inline = SparkEntry.queries("llm_ann_ivfpq")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same deterministic quantizers + same corpus → identical top-10
+    assert(persisted == inline, s"persisted=$persisted inline=$inline")
+    // build is cached: second run must not rewrite the layout
+    val mark = new java.io.File(idxPath, "_SUCCESS").lastModified()
+    SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf).collect()
+    assert(new java.io.File(idxPath, "_SUCCESS").lastModified() == mark,
+      "codes layout was rebuilt on the second run")
+  }
+
   test("registry row: codes for every vec_id, recon_cos in [-1,1], fan-out covers members") {
     val out = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
