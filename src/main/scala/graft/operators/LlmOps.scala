@@ -2399,7 +2399,7 @@ object LlmOps extends QueryGroup {
       // group table is materialized ONCE (localCheckpoint): `words` and
       // `pos` below each feed two consumers, so without it the text-keyed
       // group shuffle and the position explode re-run per consumer — the
-      // measured super-linear residue at sf6 (2.33x for 2x data; 1.9x
+      // measured super-linear residue at sf6 (2.33x for 2x data; 1.68x
       // after, see CROSSOVER round-4 sweep).
       val g = planted.groupBy(col("pt"))
         .agg(min(col("doc_id")).as("rep"),
