@@ -67,6 +67,29 @@ object PqIndex {
     (codesPath, centsPath, booksPath)
   }
 
+  /** STREAMING index maintenance — the [[IvfIndex.appendStream]] parity
+    * for the PQ layout: assign + encode are both map-side literal
+    * expressions (centroids and codebooks are frozen model params), so
+    * they apply to a streaming DataFrame unchanged, and every micro-batch
+    * lands its CODES (never float vectors) inside the cent_id= partition
+    * directories. The growing index stays probe-prunable and
+    * ADC-servable with zero reshuffling of the stream; model retraining
+    * is a batch concern (rebuild via [[ensure]] with a new tag and swap
+    * paths), and batch-file compaction is [[IvfIndex.compact]] applied to
+    * this root. vecs must have (vec_id, v); written rows are
+    * (vec_id, codes, recon_norm2) partitioned by cent_id. */
+  def appendStream(vecs: DataFrame, cents: DataFrame, books: Seq[Pq.Codebook],
+      dims: Int, codesPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    Pq.encodeWithStats(Ivf.assign(vecs, cents), dims, books)
+      .select(col("vec_id"), col("cent_id"), col("codes"), col("recon_norm2"))
+      .writeStream.format("parquet")
+      .option("path", codesPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cent_id")
+      .outputMode("append")
+      .start()
+
   /** Codebooks back from the sidecar, in [[Pq.train]]'s shape. */
   def loadBooks(s: SparkSession, booksPath: String): Seq[Pq.Codebook] =
     s.read.parquet(booksPath)

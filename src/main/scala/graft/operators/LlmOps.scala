@@ -2357,6 +2357,109 @@ object LlmOps extends QueryGroup {
     },
     None)
 
+  /** FEATURE-HASHING text embedder (Weinberger et al., "Feature Hashing
+    * for Large Scale Multitask Learning", ICML 2009) — the text→vector
+    * bridge that makes the ANN family usable without an external model:
+    * each word hashes to a dimension (xxhash64 mod D) with a ±1 sign from
+    * an independent hash bit, signs accumulate per dimension, and the
+    * vector L2-normalizes. Near-identical texts land near-identical
+    * vectors (cosine ≈ word-overlap), so the output plugs straight into
+    * llm_embed_neardup / the PQ family.
+    *
+    * 100 TB shape: dedup-first, then PURE IN-ROW array work — the
+    * (dim, sign) pairs materialize as an attribute FIRST (one xxhash64
+    * per word — the cdcChunks CSE rule; hashing inside the accumulate
+    * lambda would re-run per (word × dimension)), then one aggregate
+    * lambda builds the dense array. Zero shuffles beyond the dedup
+    * group; embedding 100 TB of text is a map job. Oracle: none
+    * (xxhash64 is Spark-specific); LlmOpsSpec-style property pins in
+    * CorpusOpsSpec (determinism, mutant-closer-than-stranger, unit
+    * norm). */
+  private val llmHashEmbed = GraftQuery(
+    "llm_hash_embed",
+    (s, dir) => {
+      val D = 64
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+        .groupBy(col("t"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+      val pairs = g
+        .withColumn("w", split(col("t"), " "))
+        .withColumn("ds", transform(col("w"), w =>
+          struct(pmod(xxhash64(w, lit(1)), lit(D)).cast(IntegerType).as("d"),
+            (pmod(xxhash64(w, lit(2)), lit(2)) * 2 - 1).cast(DoubleType).as("s"))))
+      val embedded = pairs
+        .withColumn("raw", aggregate(
+          col("ds"),
+          array_repeat(lit(0.0), D),
+          (acc, p) => transform(acc, (x, i) =>
+            when(i === p.getField("d"), x + p.getField("s")).otherwise(x))))
+        .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("emb", when(col("norm") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), x => x / col("norm"))))
+      embedded
+        .select(explode(col("members")).as("doc_id"),
+          round(col("norm"), 6).as("l1_count_norm"),
+          array_join(transform(slice(col("emb"), 1, 8),
+            x => round(x, 6).cast(StringType)), ",").as("emb_head"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    None)
+
+  /** LENGTH-BUCKETED BATCHING — the padding-efficiency stage of a
+    * training-data pipeline: documents batch with similarly-sized
+    * neighbors (8 buckets of 32 tokens, 16 docs per batch, ordered by
+    * exact length within bucket), so a batch pads to its own max instead
+    * of the corpus max. Reports per batch: size, max/sum tokens, and the
+    * padding fraction 1 − sum/(max·n) a trainer would waste.
+    *
+    * 100 TB shape: token count is map-side; the only shuffle is the
+    * per-bucket window (partitioned by bucket — 8 bounded partitions of
+    * ordered ranks; at production scale bucket count rises with the
+    * length distribution and each bucket's rank is an independent
+    * partition-local sort). Fully deterministic → exact DuckDB oracle. */
+  private val llmLengthBucketBatch = GraftQuery(
+    "llm_length_bucket_batch",
+    (s, dir) => {
+      val byBucket = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("bucket", least(floor(col("n_tokens") / 32), lit(7L)).cast(IntegerType))
+        .withColumn("batch_id", ((row_number().over(byBucket) - 1) / 16).cast(LongType))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("pad_frac", round(
+          lit(1.0) - col("sum_tokens").cast(DoubleType) /
+            (col("max_tokens") * col("n_docs")).cast(DoubleType), 6))
+        .orderBy(col("bucket").asc_nulls_first, col("batch_id").asc_nulls_first)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+               CAST(least(CAST(floor(n_tokens / 32) AS BIGINT), 7) AS INT) AS bucket
+        FROM t),
+      r AS (
+        SELECT bucket, n_tokens,
+               CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens ASC, doc_id ASC) - 1) // 16 AS BIGINT) AS batch_id
+        FROM b)
+      SELECT bucket, batch_id,
+             COUNT(*) AS n_docs,
+             MAX(n_tokens) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             round(1.0 - CAST(SUM(n_tokens) AS DOUBLE) / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE), 6) AS pad_frac
+      FROM r
+      GROUP BY bucket, batch_id
+      ORDER BY bucket ASC NULLS FIRST, batch_id ASC NULLS FIRST"""))
+
   /** EXACT SUBSTRING (duplicated-span) DEDUP — the "dedup at the substring
     * level" stage of Lee et al.'s *Deduplicating Training Data Makes
     * Language Models Better*, re-expressed for a cluster: their suffix
@@ -2534,5 +2637,5 @@ object LlmOps extends QueryGroup {
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
     llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc, llmAnnIvfPq,
-    llmAnnIvfPqPersisted)
+    llmAnnIvfPqPersisted, llmHashEmbed, llmLengthBucketBatch)
 }

@@ -234,6 +234,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash_embed: deterministic, unit-norm, and mutants embed closer than strangers") {
+    val out = SparkEntry.queries("llm_hash_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val again = SparkEntry.queries("llm_hash_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == again.toSeq)
+    assert(out.length == Tables.documents(spark, sf).count())
+    // full-vector property check via a JVM recompute of the same hashing
+    // pipeline is xxhash64-internal; instead pin the DISCRIMINATIVE
+    // property the embedding exists for: a one-word mutant of a doc
+    // embeds closer to it than an unrelated doc does, on cosine over the
+    // full D dims (recomputed through the same query pieces)
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select(graft.functions.TextOps.normalize(col("text")).as("t"))
+      .limit(2).as[String].collect()
+    val base = texts(0)
+    val mutant = ("graftmutant" +: base.split(" ").drop(1)).mkString(" ")
+    val stranger = texts(1)
+    val probe = Seq((0L, base), (1L, mutant), (2L, stranger)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hembed").toString
+    probe.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embs = SparkEntry.queries("llm_hash_embed")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toDouble)).toMap
+    def cos8(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum) + 1e-12)
+    assert(cos8(embs(0L), embs(1L)) > cos8(embs(0L), embs(2L)),
+      s"mutant no closer than stranger: ${cos8(embs(0L), embs(1L))} vs ${cos8(embs(0L), embs(2L))}")
+  }
+
   test("substring_dedup: planted boilerplate spans recovered per host; " +
       "span arithmetic consistent; doc 0's own leading words flagged") {
     val rows = SparkEntry.queries("llm_substring_dedup")(spark, sf)

@@ -166,6 +166,44 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       "codes layout was rebuilt on the second run")
   }
 
+  test("appendStream: streamed codes are batch-identical and land in prunable partitions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val cents = graft.etl.Ivf.train(vecs, k = 8, iters = 2)
+    val batchCoded = Pq
+      .encodeWithStats(graft.etl.Ivf.assign(vecs, cents), dims, books)
+      .select(col("vec_id"), col("cent_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+
+    val idx = "/tmp/graft_pq_stream_idx"
+    val cp = "/tmp/graft_pq_stream_cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+    val rows = vecs.collect().map(r => PqSpec.Vec(r.getLong(0), r.getSeq[Double](1)))
+    val stream = MemoryStream[PqSpec.Vec](spark)
+    val q = graft.layouts.PqIndex.appendStream(stream.toDF(), cents, books, dims, idx, cp)
+    try {
+      stream.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cent_id").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(streamed == batchCoded)
+    // probe-style read prunes to one partition dir
+    val oneCent = batchCoded.values.head._1
+    val probe = spark.read.parquet(idx).filter(col("cent_id") === oneCent)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    probe.collect()
+    assert(scan.get.metrics("numPartitions").value == 1)
+  }
+
   test("registry row: codes for every vec_id, recon_cos in [-1,1], fan-out covers members") {
     val out = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
@@ -177,4 +215,9 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+}
+
+object PqSpec {
+  /** Top-level so the streaming test's Dataset encoder can derive. */
+  final case class Vec(vec_id: Long, v: Seq[Double])
 }
