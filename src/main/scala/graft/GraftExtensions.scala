@@ -57,5 +57,6 @@ object GraftExtensions {
     ("char_ngrams", 2, e => CharNgrams(e(0), e(1))),
     ("word_shingles", 2, e => WordShingles(e(0), e(1))),
     ("jaccard_sim", 2, e => ArrayJaccard(e(0), e(1))),
-    ("shingle_rows", 2, e => ShingleRows(e(0), e(1))))
+    ("shingle_rows", 2, e => ShingleRows(e(0), e(1))),
+    ("hash_embed", 2, e => HashEmbed(e(0), e(1))))
 }

@@ -2378,30 +2378,21 @@ object LlmOps extends QueryGroup {
   private val llmHashEmbed = GraftQuery(
     "llm_hash_embed",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val D = 64
-      val g = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
         .groupBy(col("t"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
-      val pairs = g
-        .withColumn("w", split(col("t"), " "))
-        .withColumn("ds", transform(col("w"), w =>
-          struct(pmod(xxhash64(w, lit(1)), lit(D)).cast(IntegerType).as("d"),
-            (pmod(xxhash64(w, lit(2)), lit(2)) * 2 - 1).cast(DoubleType).as("s"))))
-      val embedded = pairs
-        .withColumn("raw", aggregate(
-          col("ds"),
-          array_repeat(lit(0.0), D),
-          (acc, p) => transform(acc, (x, i) =>
-            when(i === p.getField("d"), x + p.getField("s")).otherwise(x))))
-        .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
-        .withColumn("emb", when(col("norm") === 0.0, col("raw"))
-          .otherwise(transform(col("raw"), x => x / col("norm"))))
-      embedded
+        // ONE JVM pass per distinct text (functions.HashEmbed) — the
+        // declarative aggregate-over-transform twin is O(words × D) per
+        // row (each fold step rebuilds the D-array) and lives on as the
+        // spec's parity oracle
+        .withColumn("he", expr(s"hash_embed(t, $D)"))
         .select(explode(col("members")).as("doc_id"),
-          round(col("norm"), 6).as("l1_count_norm"),
-          array_join(transform(slice(col("emb"), 1, 8),
+          round(col("he.norm"), 6).as("raw_l2_norm"),
+          array_join(transform(slice(col("he.emb"), 1, 8),
             x => round(x, 6).cast(StringType)), ",").as("emb_head"))
         .orderBy(col("doc_id").asc_nulls_first)
     },

@@ -234,6 +234,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash_embed: native expression is bit-exact vs the declarative twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val D = 64
+    val docs = Tables.documents(spark, sf)
+      .select(graft.functions.TextOps.normalize(col("text")).as("t")).limit(50)
+    // the declarative O(words × D) formulation the native expression replaced
+    val pairs = docs
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("ds", transform(col("w"), w =>
+        struct(pmod(xxhash64(w, lit(1)), lit(D)).cast("int").as("d"),
+          (pmod(xxhash64(w, lit(2)), lit(2)) * 2 - 1).cast("double").as("s"))))
+      .withColumn("raw", aggregate(
+        col("ds"),
+        array_repeat(lit(0.0), D),
+        (acc, p) => transform(acc, (x, i) =>
+          when(i === p.getField("d"), x + p.getField("s")).otherwise(x))))
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("emb", when(col("norm") === 0.0, col("raw"))
+        .otherwise(transform(col("raw"), x => x / col("norm"))))
+      .withColumn("he", expr(s"hash_embed(t, $D)"))
+      .select(col("norm"), col("emb"), col("he.norm").as("nnorm"), col("he.emb").as("nemb"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2), "norms differ")
+      assert(r.getSeq[Double](1) == r.getSeq[Double](3), "embeddings differ")
+    }
+  }
+
   test("hash_embed: deterministic, unit-norm, and mutants embed closer than strangers") {
     val out = SparkEntry.queries("llm_hash_embed")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
