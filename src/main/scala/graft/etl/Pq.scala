@@ -125,6 +125,8 @@ object Pq {
     * projection columns first so each is computed once (the cdcChunks
     * CSE discipline), and the decoded vector itself is never built. */
   def encodeWithStats(vecs: DataFrame, dims: Int, books: Seq[Codebook]): DataFrame = {
+    require(dims % books.size == 0,
+      s"dims=$dims not divisible by ${books.size} codebooks")
     GraftFunctions.register(vecs.sparkSession)
     val sub = dims / books.size
     val bests = books.zipWithIndex.map { case (book, j) =>

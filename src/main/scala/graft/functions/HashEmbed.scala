@@ -38,6 +38,9 @@ case class HashEmbed(left: Expression, right: Expression)
 
   override def nullSafeEval(textAny: Any, dimsAny: Any): Any = {
     val d = dimsAny.asInstanceOf[Int]
+    // SQL-reachable (registered via GraftExtensions): a bad dims must
+    // fail with a named error, not a raw / by zero inside a task
+    require(d > 0, s"hash_embed dims must be positive, got $d")
     val words = textAny.asInstanceOf[UTF8String].toString.split(" ", -1)
     val raw = new Array[Double](d)
     var i = 0

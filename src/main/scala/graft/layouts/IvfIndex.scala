@@ -29,16 +29,16 @@ object IvfIndex {
     * key `tag`. Builds on first call, else returns the cached layout. */
   def ensure(s: SparkSession, tag: String, corpus: => DataFrame,
       k: Int = 16, iters: Int = 2): (String, String) = {
-    val id = math.abs((tag + "_" + k + "_" + iters).hashCode).toString
+    // MD5 cache id (LayoutUtil — the hardened ZOrder convention; the
+    // previous 32-bit hashCode id could collide and serve a wrong layout)
+    val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters)
     val idxPath = s"/tmp/graft_ivf_idx_$id"
     val centsPath = s"/tmp/graft_ivf_cents_$id"
     val done = new java.io.File(s"$idxPath/_SUCCESS")
     if (!done.exists() || !new java.io.File(s"$centsPath/_SUCCESS").exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(centsPath))
-      val grouped = corpus.groupBy(col("v"))
-        .agg(min(col("vec_id")).as("vec_id"),
-          sort_array(collect_list(col("vec_id"))).as("members"))
+      val grouped = LayoutUtil.repsWithMembers(corpus)
       val reps = grouped.select(col("vec_id"), col("v"))
       val cents = Ivf.train(reps, k, iters)
       // one write task per centroid bucket → one file per partition dir

@@ -22,17 +22,13 @@ import org.apache.spark.sql.functions._
   * writes can never serve a half-built index). */
 object PqIndex {
 
-  private def md5(s: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   /** Codes/centroids/codebooks parquet paths for `corpus` (vec_id, v)
     * under cache key `tag`. Builds on first call, else serves the cached
     * layout. */
   def ensure(s: SparkSession, tag: String, corpus: => DataFrame, dims: Int,
       k: Int = 16, iters: Int = 2, m: Int = 8, kpq: Int = 16, pqIters: Int = 4)
       : (String, String, String) = {
-    val id = md5(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters")
+    val id = LayoutUtil.cacheId(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters")
     val codesPath = s"/tmp/graft_pq_idx_$id"
     val centsPath = s"/tmp/graft_pq_cents_$id"
     val booksPath = s"/tmp/graft_pq_books_$id"
@@ -44,10 +40,7 @@ object PqIndex {
       // the group artifact materializes once: encode's argmin projection
       // must not fuse into the aggregate's output method (the Janino
       // 64 KB fusion note on llm_embed_pq)
-      val grouped = corpus.groupBy(col("v"))
-        .agg(min(col("vec_id")).as("vec_id"),
-          sort_array(collect_list(col("vec_id"))).as("members"))
-        .localCheckpoint()
+      val grouped = LayoutUtil.repsWithMembers(corpus).localCheckpoint()
       val reps = grouped.select(col("vec_id"), col("v"))
       val cents = Ivf.train(reps, k, iters)
       val books = Pq.train(reps, dims, m, kpq, pqIters)
@@ -77,7 +70,14 @@ object PqIndex {
     * is a batch concern (rebuild via [[ensure]] with a new tag and swap
     * paths), and batch-file compaction is [[IvfIndex.compact]] applied to
     * this root. vecs must have (vec_id, v); written rows are
-    * (vec_id, codes, recon_norm2) partitioned by cent_id. */
+    * (vec_id, codes, recon_norm2) partitioned by cent_id.
+    *
+    * KEEP STREAMED AND BATCH-BUILT INDEXES IN SEPARATE ROOTS (the
+    * IvfIndex.appendStream contract): [[ensure]]'s rows additionally
+    * carry the identity-group `members` column, so mixing the two
+    * schemas in one root leaves the resolved schema dependent on which
+    * footer the reader samples. Collapsing streamed raw vectors into
+    * representative rows is the batch compaction's job. */
   def appendStream(vecs: DataFrame, cents: DataFrame, books: Seq[Pq.Codebook],
       dims: Int, codesPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -2143,11 +2143,13 @@ object LlmOps extends QueryGroup {
       val reps = g.select(col("rep_id").as("vec_id"), col("v"))
       val books = graft.etl.Pq.train(reps, dims, m, k, iters)
       val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
+        .withColumn("vn2", call_function("dot_fast", col("v"), col("v")))
         .select(col("vec_id").as("rep_id"), col("codes"),
-          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-            col("recon_dot") /
-              (sqrt(call_function("dot_fast", col("v"), col("v"))) *
-                sqrt(col("recon_norm2")))), 6).as("recon_cos"))
+          // both norms guarded: an all-zero input vector (vn2 = 0) would
+          // otherwise make the non-ANSI divide return NULL
+          round(when(col("recon_norm2") === 0.0 || col("vn2") === 0.0, 0.0)
+            .otherwise(col("recon_dot") /
+              (sqrt(col("vn2")) * sqrt(col("recon_norm2")))), 6).as("recon_cos"))
       g.select(explode(col("members")).as("vec_id"), col("rep_id"))
         .join(coded, "rep_id")
         .select(col("vec_id"),
@@ -2156,6 +2158,44 @@ object LlmOps extends QueryGroup {
         .orderBy(col("vec_id").asc_nulls_first)
     },
     None)
+
+  /** Driver-side cosine with dot_fast's element-order accumulation —
+    * probe selection over collected centroid model params (bit-matches
+    * the cosine_fast kernel). */
+  private def jvmCos(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-n probe cell ids by cosine(query, centroid), ties → lowest id. */
+  private def topProbes(cents: Seq[(Long, Seq[Double])], q: Seq[Double], n: Int): Seq[Long] =
+    cents.map { case (cid, cv) => (jvmCos(q, cv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(n).map(_._2)
+
+  /** The round-6 ADC cosine column over (codes, recon_norm2) attributes:
+    * per subspace, the query's dot against each centroid precomputes
+    * DRIVER-side into an m×k lookup table, scoring is m `element_at`s per
+    * row, and the zero-reconstruction guard mirrors llm_embed_pq's. ONE
+    * definition shared by llm_ann_pq_adc / llm_ann_ivfpq /
+    * llm_ann_ivfpq_persisted so the persisted≡inline agreement PqSpec
+    * pins cannot drift; subspace width derives from q.length and
+    * books.size (never hardcoded). */
+  private def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column = {
+    val sub = q.length / books.size
+    val adcDot = books.zipWithIndex.map { case (book, j) =>
+      val qj = q.slice(j * sub, (j + 1) * sub)
+      val t = book.sortBy(_._1).map { case (_, cv) =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qj(i) * cv(i); i += 1 }
+        d
+      }
+      element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+      adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6)
+  }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
     * query path of an IVF-PQ system (Jégou et al. 2011 §IV): the query
@@ -2197,23 +2237,8 @@ object LlmOps extends QueryGroup {
         .select(col("vec_id"), col("codes"), col("recon_norm2"))
         .localCheckpoint()
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
-      val sub = dims / m
-      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
-        val qj = q.slice(j * sub, (j + 1) * sub)
-        book.sortBy(_._1).map { case (_, cv) =>
-          var d = 0.0; var i = 0
-          while (i < sub) { d += qj(i) * cv(i); i += 1 }
-          d
-        }
-      }
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      val adcDot = tables.zipWithIndex.map { case (t, j) =>
-        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
-      }.reduce(_ + _)
       coded
-        .withColumn("adc_cos",
-          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .withColumn("adc_cos", adcCosCol(books, q))
         .select(col("vec_id"), col("adc_cos"))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
         .limit(10)
@@ -2253,36 +2278,11 @@ object LlmOps extends QueryGroup {
         .select(col("vec_id"), col("cent_id"), col("codes"), col("recon_norm2"))
         .localCheckpoint()
       val q = vecs.filter(col("vec_id") === 0).head.getSeq[Double](1)
-      // probe selection on the driver — centroids ARE driver-side model
-      // params; same arithmetic as cosine_fast (element-order loops)
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val probes = cents.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .map { case (cid, cv) => (cos(q, cv), cid) }
-        .sortBy { case (c, cid) => (-c, cid) }
-        .take(4).map(_._2)
-      val sub = dims / m
-      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
-        val qj = q.slice(j * sub, (j + 1) * sub)
-        book.sortBy(_._1).map { case (_, cv) =>
-          var d = 0.0; var i = 0
-          while (i < sub) { d += qj(i) * cv(i); i += 1 }
-          d
-        }
-      }
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      val adcDot = tables.zipWithIndex.map { case (t, j) =>
-        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
-      }.reduce(_ + _)
+      val probes = topProbes(
+        cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
       coded
         .filter(col("cent_id").isin(probes: _*))
-        .withColumn("adc_cos",
-          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .withColumn("adc_cos", adcCosCol(books, q))
         .select(col("vec_id"), col("adc_cos"))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
         .limit(10)
@@ -2318,39 +2318,18 @@ object LlmOps extends QueryGroup {
     "llm_ann_ivfpq_persisted",
     (s, dir) => {
       val (codesPath, centsPath, booksPath) = pqIndexArtifacts(s, dir)
-      val m = 8
-      val dims = Tables.embeddings(s, dir)
-        .select(size(col("embedding"))).head.getInt(0)
+      // the query vector is already on the driver: subspace geometry
+      // derives from it and the loaded codebooks (q.length / books.size
+      // inside adcCosCol) — nothing about m or dims is hardcoded, so a
+      // PqIndex parameter change cannot desynchronize this row
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val probes = s.read.parquet(centsPath).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .map { case (cid, cv) => (cos(q, cv), cid) }
-        .sortBy { case (c, cid) => (-c, cid) }
-        .take(4).map(_._2)
+      val probes = topProbes(
+        s.read.parquet(centsPath).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
       val books = graft.layouts.PqIndex.loadBooks(s, booksPath)
-      val sub = dims / m
-      val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
-        val qj = q.slice(j * sub, (j + 1) * sub)
-        book.sortBy(_._1).map { case (_, cv) =>
-          var d = 0.0; var i = 0
-          while (i < sub) { d += qj(i) * cv(i); i += 1 }
-          d
-        }
-      }
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      val adcDot = tables.zipWithIndex.map { case (t, j) =>
-        element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
-      }.reduce(_ + _)
       s.read.parquet(codesPath)
         .filter(col("cent_id").isin(probes: _*))
-        .withColumn("adc_cos",
-          round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-            adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6))
+        .withColumn("adc_cos", adcCosCol(books, q))
         .select(col("vec_id"), col("adc_cos"))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
         .limit(10)

@@ -22,7 +22,8 @@ object PqProbe {
       println(f"PQPROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
     val (m, k, iters) = (8, 16, 4)
-    val dims = 64
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head.getInt(0)
     def docVec = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val reps = t("reps_checkpoint") {
