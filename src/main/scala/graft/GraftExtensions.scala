@@ -58,5 +58,6 @@ object GraftExtensions {
     ("word_shingles", 2, e => WordShingles(e(0), e(1))),
     ("jaccard_sim", 2, e => ArrayJaccard(e(0), e(1))),
     ("shingle_rows", 2, e => ShingleRows(e(0), e(1))),
-    ("hash_embed", 2, e => HashEmbed(e(0), e(1))))
+    ("hash_embed", 2, e => HashEmbed(e(0), e(1))),
+    ("cdc_chunks", 1, e => CdcChunks(e(0))))
 }

@@ -103,14 +103,15 @@ object TrainingDataPrep {
     // docs above chunkDupMax are stitched boilerplate. Same aggregate
     // shape as llm_chunk_dedup: no join back onto the exploded stream —
     // dups per doc = chunk total − chunks the doc owns first.
-    // words/starts are materialized columns BEFORE the chunk lambdas run:
-    // higher-order lambdas re-evaluate non-attribute inputs per element
-    // (the TextOps.cdcChunks performance note) — inlining normalize here
-    // cost 17.6 s vs 0.6 s at sf0.1
+    // Chunking is the native one-pass `cdc_chunks` over the normalized
+    // attribute (the declarative sequence→filter→slice pyramid cost
+    // measurable DRIVER plan/codegen time per stage and re-walked the
+    // words array per chunk — see functions.CdcChunks; the normalize
+    // still materializes first, the original CSE lesson)
+    graft.functions.GraftFunctions.register(docsIn.sparkSession)
     val chunks = s3
-      .withColumn("w", split(TextOps.normalize(col("text")), " "))
-      .withColumn("starts", TextOps.cdcStarts(col("w")))
-      .select(col("doc_id"), posexplode(TextOps.cdcSlices(col("w"), col("starts"))))
+      .withColumn("norm", TextOps.normalize(col("text")))
+      .select(col("doc_id"), posexplode(expr("cdc_chunks(norm)")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("c"))
     val owned = chunks.groupBy(col("c"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
@@ -136,9 +137,8 @@ object TrainingDataPrep {
         // pathologies measured on llm_decontaminate_chunks, 223→4.7 s at
         // sf3d); native word_shingles is the distinct-set twin
         graft.functions.GraftFunctions.register(docsIn.sparkSession)
-        s4.withColumn("w", split(TextOps.normalize(col("text")), " "))
-          .withColumn("starts", TextOps.cdcStarts(col("w")))
-          .select(col("doc_id"), posexplode_outer(TextOps.cdcSlices(col("w"), col("starts"))))
+        s4.withColumn("norm", TextOps.normalize(col("text")))
+          .select(col("doc_id"), posexplode_outer(expr("cdc_chunks(norm)")))
           .select(col("doc_id"), expr("word_shingles(col, 5)").as("chsh"))
           .select(col("doc_id"), size(col("chsh")).as("n_chsh"),
             explode_outer(col("chsh")).as("sh"))

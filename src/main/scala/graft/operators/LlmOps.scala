@@ -1346,9 +1346,11 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
         .withColumn("norm", TextOps.normalize(col("text")))
-        .withColumn("w", split(col("norm"), " "))
-        .withColumn("starts", TextOps.cdcStarts(col("w")))
-        .select(col("rep"), col("members"), col("w"), col("starts"),
+        .select(col("rep"), col("members"),
+          // native cdc_chunks: one linear pass, and the plan tree shrinks
+          // by the whole sequence→filter→slice lambda pyramid (driver
+          // plan/codegen time was the stage's measured residue)
+          expr("cdc_chunks(norm)").as("chunks"),
           expr("word_shingles(norm, 5)").as("shs"))
       // doc-level probe: explode the materialized set, count hits per doc
       val docHits = base
@@ -1359,7 +1361,7 @@ object LlmOps extends QueryGroup {
       // chunk-level probe: chunk texts from the materialized geometry, then
       // the per-chunk shingle set materialized below its own generator
       val chunks = base
-        .select(col("rep"), posexplode_outer(TextOps.cdcSlices(col("w"), col("starts"))))
+        .select(col("rep"), posexplode_outer(col("chunks")))
         .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("ct"))
         .select(col("rep"), col("chunk_idx"), expr("word_shingles(ct, 5)").as("chsh"))
         .select(col("rep"), col("chunk_idx"), size(col("chsh")).as("n_chsh"),
@@ -1831,6 +1833,7 @@ object LlmOps extends QueryGroup {
   private val llmChunkDedup = GraftQuery(
     "llm_chunk_dedup",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
       val boiler = d.filter(col("doc_id") === 0)
@@ -1855,10 +1858,8 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"))
       val chunked = groups
-        .withColumn("w", split(col("pt"), " "))
-        .withColumn("starts", TextOps.cdcStarts(col("w")))
         .select(col("rep"), col("members"),
-          TextOps.cdcSlices(col("w"), col("starts")).as("chunks"))
+          expr("cdc_chunks(pt)").as("chunks"))
       val ch = chunked
         .select(col("rep"), posexplode(col("chunks")))
         .select(col("rep"), col("pos").as("chunk_idx"), col("col").as("chunk_text"))

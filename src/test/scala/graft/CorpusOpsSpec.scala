@@ -234,6 +234,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cdc_chunks: native expression is bit-exact vs the declarative twin") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf)
+      .select(graft.functions.TextOps.normalize(col("text")).as("t"))
+    val edges = Seq("", "s", "alpha", "sun", "alpha sun set", "s s s",
+      "no starters here at all", "start s mid send").toDF("t")
+    Seq(corpus, edges).foreach { docs =>
+      val rows = docs
+        .withColumn("w", split(col("t"), " "))
+        .withColumn("starts", graft.functions.TextOps.cdcStarts(col("w")))
+        .withColumn("decl", graft.functions.TextOps.cdcSlices(col("w"), col("starts")))
+        .withColumn("nat", expr("cdc_chunks(t)"))
+        .select(col("decl"), col("nat"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"decl=${r.getSeq[String](0)} nat=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("hash_embed: native expression is bit-exact vs the declarative twin") {
     graft.functions.GraftFunctions.register(spark)
     val D = 64
