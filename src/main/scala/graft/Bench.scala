@@ -235,7 +235,14 @@ object Bench {
           "build_fixture_neardup" -> clocked(Fixtures.neardupCorpus(spark, sfDir)),
           "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          name -> clocked(fn(spark, sfDir).count())
+          val t = name -> clocked(fn(spark, sfDir).count())
+          // free the row's persisted/checkpointed RDDs NOW: localCheckpoints
+          // otherwise release only at the next GC, and that storage pressure
+          // leaked into neighboring rows' timings (llm_bigram_lm_score read
+          // 1.5–2.8 s at sf0.1 depending on which rows ran before it)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          t
         }
         (builds, rows)
       }
