@@ -74,8 +74,29 @@ object BenchBucketed {
         .agg(sum(rev).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
 
+    // variant for big-replica scales: the customer dim un-hinted, so the
+    // session's size-driven strategy picks a shuffled hash join instead
+    // of a forced broadcast — at sf12 the 1.8 M-row broadcast build
+    // dominates q5, and this measures the alternative regime
+    def q5bShufDim(s: SparkSession, dir: String): DataFrame =
+      s.table(lineitemB).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .hint("merge")
+        .join(s.table(ordersB).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+          .hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+
     val shapes: Seq[(String, (SparkSession, String) => DataFrame)] =
-      Seq("q3_bucketed" -> (q3b _), "q5_bucketed" -> (q5b _))
+      Seq("q3_bucketed" -> (q3b _), "q5_bucketed" -> (q5b _),
+        "q5_bucketed_shufdim" -> (q5bShufDim _))
 
     val timed = shapes.map { case (name, fn) =>
       val shuffles = fn(spark, sfDir).queryExecution.executedPlan.collect {
