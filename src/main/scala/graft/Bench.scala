@@ -220,40 +220,90 @@ object Bench {
     // and now equals the SUM of the per-row times (build costs excluded).
     // SPARK_GRAFT_HEADLINE_ONLY=1 skips the pass (crossover runs at larger
     // SFs; the driver never sets it).
-    val (buildTimes, rowTimes) =
-      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (Nil, Nil) else {
-        def clocked[A](f: => A): Double = {
-          val t0 = System.nanoTime()
-          try f catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val builds: Seq[(String, Double)] = Seq(
+    // timing + ERROR capture (r4 verdict item 5): a row that crashes
+    // during the bench pass must surface as an `err` entry in the JSON,
+    // not masquerade as a (fast) timing. Correctness is gated separately
+    // at sf0.01, but the bench record must not misreport a breakage as a
+    // speedup.
+    def clocked[A](f: => A): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { f; None } catch {
+        case t: Throwable =>
+          Some(t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).replaceAll("[\"\\n\\r\\\\]", " ").take(120))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // the three rows whose single-session cold numbers carry ±1 s
+    // neighborhood-GC error bars (r4 verdict item 7): re-run once after
+    // the full pass and publish min-of-2 alongside, the CROSSOVER
+    // convention for heavy-row claims
+    val heavyRows = Seq("llm_bigram_lm_score", "llm_embed_neardup", "llm_embed_pq")
+
+    def runRow(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+      // free the row's OWN persisted/checkpointed RDDs when it finishes:
+      // localCheckpoints otherwise release only at the next GC, and that
+      // storage pressure leaked into neighboring rows' timings. Scoped to
+      // the ids that appeared during the row (r4 ADVICE): a build that
+      // intentionally caches across rows must not be evicted (an
+      // unpersisted localCheckpoint cannot be recomputed).
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t = clocked(fn(spark, sfDir).count())
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      t
+    }
+
+    val (buildTimes, rowTimes, heavyMin2) =
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (Nil, Nil, Nil) else {
+        val builds: Seq[(String, (Double, Option[String]))] = Seq(
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
+          "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),
           "build_fixture_neardup" -> clocked(Fixtures.neardupCorpus(spark, sfDir)),
           "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t = name -> clocked(fn(spark, sfDir).count())
-          // free the row's persisted/checkpointed RDDs NOW: localCheckpoints
-          // otherwise release only at the next GC, and that storage pressure
-          // leaked into neighboring rows' timings (llm_bigram_lm_score read
-          // 1.5–2.8 s at sf0.1 depending on which rows ran before it)
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          t
+          name -> runRow(name, fn)
         }
-        (builds, rows)
+        val min2 = heavyRows.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val second = runRow(name, fn)
+            val first = rows.toMap.apply(name)
+            name -> (math.min(first._1, second._1), first._2.orElse(second._2))
+          }
+        }
+        (builds, rows, min2)
       }
-    val allOnce = rowTimes.map(_._2).sum
+    val allOnce = rowTimes.map(_._2._1).sum
 
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def objT(kvs: Seq[(String, (Double, Option[String]))]): String =
+      obj(kvs.map { case (k, (v, _)) => k -> v })
+    def objErrs(kvs: Seq[(String, (Double, Option[String]))]): String =
+      kvs.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
+        .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val qs = obj(timed :+ ("all_queries_once" -> allOnce))
-    println(s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""builds":${obj(buildTimes)},"registry_rows":${obj(rowTimes)},"sf":"$sfDir"}""")
+    val headlineLine =
+      s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullJson =
+      s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +
+        s""""builds":${objT(buildTimes)},"registry_rows":${objT(rowTimes)},""" +
+        s""""heavy_min2":${objT(heavyMin2)},""" +
+        s""""errors":${objErrs(buildTimes ++ rowTimes)},"sf":"$sfDir"}"""
+    // full record FIRST (and mirrored to a repo file — the r4 driver tail
+    // capture truncated the single giant line and lost the headline), the
+    // compact parseable headline line LAST
+    println(fullJson)
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try { w.println(fullJson); w.println(headlineLine) } finally w.close()
+    } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has both lines
+    println(headlineLine)
     spark.stop()
   }
 }

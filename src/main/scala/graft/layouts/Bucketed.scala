@@ -17,17 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** One table to lay out: (short name, source rows, bucket/sort key). */
-  final case class Spec(name: String, src: DataFrame, key: String)
+  /** One table to lay out: (short name, source rows, bucket/sort key).
+    * `srcTables` names the source parquet tables under `dir` whose content
+    * the cache signature must cover — by default the single table the spec
+    * name derives from (`orders_b` → `orders`), but a DENORMALIZED spec
+    * (e.g. a pre-joined orders⋈customer projection) must list every
+    * joined source so regenerating either side rotates the signature. */
+  final case class Spec(name: String, src: DataFrame, key: String,
+      srcTables: Seq[String] = Nil) {
+    def sigTables: Seq[String] =
+      if (srcTables.nonEmpty) srcTables else Seq(name.stripSuffix("_b"))
+  }
 
   /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
     * the fully qualified table names in input order. Idempotent and cheap
     * after the first call (a catalog existence check per table). */
   def ensure(s: SparkSession, dir: String, specs: Seq[Spec], buckets: Int = 8): Seq[String] = {
-    val sig = specs.map { sp =>
-      val f = new java.io.File(s"$dir/${sp.name.stripSuffix("_b")}.parquet")
-      s"${f.length}_${f.lastModified}"
-    }.mkString("_")
+    // per-data-file signature (LayoutUtil.dataSig): the source paths are
+    // parquet DIRECTORIES, whose own length/mtime need not change when a
+    // part file is rewritten in place
+    val sig = specs.flatMap(_.sigTables).distinct
+      .map(t => LayoutUtil.dataSig(s"$dir/$t.parquet")).mkString("_")
     // MD5, not String.hashCode: a 32-bit tag collision would silently
     // serve a WRONG cached layout (the ZOrder.cacheTag argument)
     val tag = ZOrder.cacheTag(s"$dir|$sig|$buckets")

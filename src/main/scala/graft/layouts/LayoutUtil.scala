@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Shared pieces of the persisted-layout builders ([[IvfIndex]],
   * [[PqIndex]]) — one definition so a hardening fix reaches every
-  * layout. */
-private[layouts] object LayoutUtil {
+  * layout. Public because the operators' cached-artifact helpers key
+  * their caches with [[dataSig]] too. */
+object LayoutUtil {
 
   /** Collision-safe cache id for a layout key (the hardened ZOrder
     * convention: a 32-bit String.hashCode collision would silently serve
@@ -14,6 +15,23 @@ private[layouts] object LayoutUtil {
   def cacheId(key: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  /** Content signature of a parquet dataset path (file or directory).
+    * A directory's own length/mtime need not change when a part file is
+    * rewritten in place, so a signature taken from the directory File
+    * could silently serve a stale cached artifact for regenerated data
+    * (the r4 ADVICE finding on pqIndexArtifacts); this hashes the sorted
+    * (name, length, mtime) of the actual data files instead — any
+    * part-file change rotates the signature. */
+  def dataSig(path: String): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(files)).getOrElse(Nil)
+      else Seq(f)
+    val parts = files(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    cacheId(s"$path|$parts")
+  }
 
   /** Dedup a (vec_id, v) corpus to identity-group representatives with
     * their sorted member lists — the index-build precondition both ANN

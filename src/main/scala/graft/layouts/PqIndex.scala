@@ -41,21 +41,26 @@ object PqIndex {
       // must not fuse into the aggregate's output method (the Janino
       // 64 KB fusion note on llm_embed_pq)
       val grouped = LayoutUtil.repsWithMembers(corpus).localCheckpoint()
-      val reps = grouped.select(col("vec_id"), col("v"))
-      val cents = Ivf.train(reps, k, iters)
-      val books = Pq.train(reps, dims, m, kpq, pqIters)
-      Pq.encodeWithStats(Ivf.assign(reps, cents), dims, books)
-        .join(grouped.select(col("vec_id"), col("members")), "vec_id")
-        .select(col("vec_id"), col("cent_id"), col("codes"),
-          col("recon_norm2"), col("members"))
-        .repartition(k, col("cent_id"))
-        .write.partitionBy("cent_id").mode("overwrite").parquet(codesPath)
-      cents.write.mode("overwrite").parquet(centsPath)
-      val session = s
-      import session.implicits._
-      books.zipWithIndex.flatMap { case (book, j) =>
-        book.map { case (cid, cv) => (j, cid, cv) }
-      }.toDF("sub", "cid", "cv").write.mode("overwrite").parquet(booksPath)
+      try {
+        val reps = grouped.select(col("vec_id"), col("v"))
+        val cents = Ivf.train(reps, k, iters)
+        val books = Pq.train(reps, dims, m, kpq, pqIters)
+        Pq.encodeWithStats(Ivf.assign(reps, cents), dims, books)
+          .join(grouped.select(col("vec_id"), col("members")), "vec_id")
+          .select(col("vec_id"), col("cent_id"), col("codes"),
+            col("recon_norm2"), col("members"))
+          .repartition(k, col("cent_id"))
+          .write.partitionBy("cent_id").mode("overwrite").parquet(codesPath)
+        cents.write.mode("overwrite").parquet(centsPath)
+        val session = s
+        import session.implicits._
+        books.zipWithIndex.flatMap { case (book, j) =>
+          book.map { case (cid, cv) => (j, cid, cv) }
+        }.toDF("sub", "cid", "cv").write.mode("overwrite").parquet(booksPath)
+        // release the checkpoint blocks now that every artifact is on disk
+        // (the Ivf.train persist lifecycle — without this, callers outside
+        // the bench leak the blocks for the rest of the session)
+      } finally grouped.unpersist(blocking = false)
     }
     (codesPath, centsPath, booksPath)
   }

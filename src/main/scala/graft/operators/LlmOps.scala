@@ -640,21 +640,31 @@ object LlmOps extends QueryGroup {
     * key and reports the one-time train+partition+write as a separate
     * line item (the index is the table's resident format; its build is
     * not the probe query's cost). Returns (indexPath, centroidsPath). */
+  /** The planted ANN verification corpus the persisted indexes store: the
+    * base embeddings plus 4 perturbed mutants of query vec 0 (cos ≥ 0.9
+    * vs ≤ 0.55 background), so the exact top-5 is self + mutants and a
+    * probed search must reproduce the brute-force oracle bit-for-bit —
+    * shared by `llm_ann_ivf_persisted` and `llm_ann_ivfpq_persisted`,
+    * whose DuckDB oracles re-derive the identical corpus in SQL. */
+  private def plantedVecCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docVec(s, dir)
+    val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+      case (off, i) =>
+        base.filter(col("vec_id") === 0)
+          .select(lit((i + 1) * 1000000L).as("vec_id"),
+            transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+    }.reduce(_ unionByName _)
+    base.unionByName(planted)
+  }
+
   def persistedIvfIndex(s: SparkSession, dir: String): (String, String) = {
     graft.functions.GraftFunctions.register(s)
-    def corpus = {
-      val base = docVec(s, dir)
-      val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
-        case (off, i) =>
-          base.filter(col("vec_id") === 0)
-            .select(lit((i + 1) * 1000000L).as("vec_id"),
-              transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
-      }.reduce(_ unionByName _)
-      base.unionByName(planted)
-    }
-    val f = new java.io.File(s"$dir/embeddings.parquet")
+    // per-data-file signature (LayoutUtil.dataSig — the r4 ADVICE fix):
+    // the parquet path is a directory whose own size/mtime can survive an
+    // in-place part-file rewrite
+    val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet")
     graft.layouts.IvfIndex.ensure(
-      s, s"annp_${dir}_${f.length}_${f.lastModified}", corpus, k = 16, iters = 2)
+      s, s"annp_${dir}_$sig", plantedVecCorpus(s, dir), k = 16, iters = 2)
   }
 
   private val llmAnnIvfPersisted = GraftQuery(
@@ -2132,9 +2142,10 @@ object LlmOps extends QueryGroup {
     "llm_embed_pq",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val (m, k, iters) = (8, 16, 4)
-      val dims = Tables.embeddings(s, dir)
-        .select(size(col("embedding"))).head.getInt(0)
+      // codebooks from the shared train-once model cache (bench `builds`
+      // prewarms it as build_pq_model): the row measures dedup + encode +
+      // stats — a serving system's per-run cost — not a quantizer retrain
+      val mdl = pqModels(s, dir)
       // the dedup pass materializes once (localCheckpoint — what train()
       // would cache anyway): encode's 8-argmin projection must NOT fuse
       // into the vecGroups aggregate's output method — that fused method
@@ -2142,8 +2153,7 @@ object LlmOps extends QueryGroup {
       // interpreted execution (measured on the ADC twin).
       val g = vecGroups(docVec(s, dir)).localCheckpoint()
       val reps = g.select(col("rep_id").as("vec_id"), col("v"))
-      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
-      val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
+      val coded = graft.etl.Pq.encodeWithStats(reps, mdl.dims, mdl.books)
         .withColumn("vn2", call_function("dot_fast", col("v"), col("v")))
         .select(col("vec_id").as("rep_id"), col("codes"),
           // both norms guarded: an all-zero input vector (vn2 = 0) would
@@ -2166,7 +2176,10 @@ object LlmOps extends QueryGroup {
   private def jvmCos(a: Seq[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val den = math.sqrt(na) * math.sqrt(nb)
+    // zero-norm operand → cosine 0, not NaN (an all-zero query/centroid
+    // would otherwise poison probe selection and top-k ordering)
+    if (den == 0.0) 0.0 else dot / den
   }
 
   /** Top-n probe cell ids by cosine(query, centroid), ties → lowest id. */
@@ -2194,8 +2207,56 @@ object LlmOps extends QueryGroup {
       element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
     }.reduce(_ + _)
     val qnorm = math.sqrt(q.map(x => x * x).sum)
-    round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+    // all-zero query → score 0 for every row (the jvmCos convention), not
+    // a NaN-ordered top-k
+    if (qnorm == 0.0) lit(0.0)
+    else round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
       adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6)
+  }
+
+  /** The trained quantizer models the inline ANN rows share: PQ codebooks
+    * (m=8, k=16, 4 Lloyd rounds) and IVF coarse centroids (k=16, 2
+    * rounds) over the dedup-first representatives of `dir`'s embeddings. */
+  final case class PqModels(dims: Int, books: Seq[graft.etl.Pq.Codebook],
+      cents: Seq[(Long, Seq[Double])])
+
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqModels]()
+
+  /** Train-once cache for [[PqModels]], keyed by the embeddings table's
+    * per-data-file signature (r4 verdict item 2): quantizer training is a
+    * one-time MODEL BUILD — at production scale codebooks/centroids are
+    * trained once and serve every encode and every query — so the bench
+    * prewarms this as a `builds` line item (`build_pq_model`) and the
+    * llm_embed_pq / llm_ann_pq_adc / llm_ann_ivfpq rows then measure what
+    * a serving system pays per run: dedup + encode + search. Training is
+    * DETERMINISTIC (the Ivf/Pq decimal-mean + lowest-id-init conventions,
+    * spec-pinned), so a cached model is bit-identical to a retrain; any
+    * part-file change in the source rotates the key and retrains. The
+    * models are KB-scale driver-side parameters — the cache holds data,
+    * never session-bound objects. */
+  def pqModels(s: SparkSession, dir: String): PqModels = {
+    graft.functions.GraftFunctions.register(s)
+    val key = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet") + "_m8k16i4_c16i2"
+    pqModelCache.computeIfAbsent(key, _ => {
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      val reps = vecGroups(docVec(s, dir))
+        .select(col("rep_id").as("vec_id"), col("v")).localCheckpoint()
+      try {
+        PqModels(dims,
+          graft.etl.Pq.train(reps, dims, 8, 16, 4),
+          graft.etl.Ivf.train(reps, k = 16, iters = 2)
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+      } finally reps.unpersist(blocking = false)
+    })
+  }
+
+  /** The cached centroids back as a relation (Ivf.assign's input shape). */
+  private def centsDf(s: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val session = s
+    import session.implicits._
+    cents.toDF("cent_id", "cv")
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
@@ -2212,29 +2273,29 @@ object LlmOps extends QueryGroup {
     * top-k covers the true top-k (vecGroups ordering argument). At
     * production scale the codes table is the PERSISTED artifact (built
     * once by llm_embed_pq's encode pass) and IVF pruning selects which
-    * code partitions to scan; here the row composes train+encode+search
-    * end-to-end so the whole path is exercised and spec-pinned (recall
-    * containment vs the exact brute-force top-50, like llm_ann_ivf).
-    * Oracle: none (k-means-based). */
+    * code partitions to scan; here the row composes encode+search over
+    * the train-once cached codebooks ([[pqModels]], prewarmed by the
+    * bench as build_pq_model) so the serving path is exercised and
+    * spec-pinned (recall containment vs the exact brute-force top-50,
+    * like llm_ann_ivf). Oracle: none (k-means-based). */
   private val llmAnnPqAdc = GraftQuery(
     "llm_ann_pq_adc",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val (m, k, iters) = (8, 16, 4)
-      val dims = Tables.embeddings(s, dir)
-        .select(size(col("embedding"))).head.getInt(0)
+      // codebooks from the shared train-once model cache (build_pq_model)
+      val mdl = pqModels(s, dir)
       // dedup artifact materialized once (see llm_embed_pq's fusion note)
       val reps = vecGroups(docVec(s, dir))
         .select(col("rep_id").as("vec_id"), col("v"))
         .localCheckpoint()
-      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
+      val books = mdl.books
       // the CODES TABLE is the artifact an IVF-PQ system persists: encode
       // once here (localCheckpoint — the Bpe materialization convention),
       // query from codes after. This also keeps the query stage's codegen
       // small: fusing the 8-argmin encode into the vecGroups aggregate's
       // output method overflowed Janino (measured: compile fail +
       // interpreted fallback); scoring from checkpointed codes does not.
-      val coded = graft.etl.Pq.encodeWithStats(reps, dims, books)
+      val coded = graft.etl.Pq.encodeWithStats(reps, mdl.dims, books)
         .select(col("vec_id"), col("codes"), col("recon_norm2"))
         .localCheckpoint()
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
@@ -2256,31 +2317,31 @@ object LlmOps extends QueryGroup {
     * The scan predicate is `cent_id IN (probes)` — exactly the
     * partition-pruning filter the persisted layout serves.
     *
-    * 100 TB shape: dedup-first reps; both quantizers train on the
-    * distinct set; the index artifact (cent_id, codes, recon_norm2 — no
-    * floats) materializes once (localCheckpoint — the same fusion note
-    * as llm_embed_pq); the timed query is a pruned scan + m lookups per
-    * row + TakeOrderedAndProject. Oracle: none (k-means ×2); PqSpec pins
+    * 100 TB shape: dedup-first reps; both quantizers come from the
+    * train-once model cache ([[pqModels]] — trained on the distinct set,
+    * prewarmed by the bench as build_pq_model); the index artifact
+    * (cent_id, codes, recon_norm2 — no floats) materializes once
+    * (localCheckpoint — the same fusion note as llm_embed_pq); the timed
+    * query is assign + encode + a pruned scan + m lookups per row +
+    * TakeOrderedAndProject. Oracle: none (k-means ×2); PqSpec pins
     * recall containment vs the exact scan and cell-pruning reality. */
   private val llmAnnIvfPq = GraftQuery(
     "llm_ann_ivfpq",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val (m, k, iters) = (8, 16, 4)
-      val dims = Tables.embeddings(s, dir)
-        .select(size(col("embedding"))).head.getInt(0)
+      // both quantizers from the shared train-once model cache
+      // (build_pq_model): the row measures assign + encode + probed search
+      val mdl = pqModels(s, dir)
       val vecs = docVec(s, dir)
       val grouped = vecGroups(vecs).localCheckpoint()
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
-      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 2)
-      val books = graft.etl.Pq.train(reps, dims, m, k, iters)
-      val indexed = graft.etl.Ivf.assign(reps, cents)
-      val coded = graft.etl.Pq.encodeWithStats(indexed, dims, books)
+      val books = mdl.books
+      val indexed = graft.etl.Ivf.assign(reps, centsDf(s, mdl.cents))
+      val coded = graft.etl.Pq.encodeWithStats(indexed, mdl.dims, books)
         .select(col("vec_id"), col("cent_id"), col("codes"), col("recon_norm2"))
         .localCheckpoint()
       val q = vecs.filter(col("vec_id") === 0).head.getSeq[Double](1)
-      val probes = topProbes(
-        cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
+      val probes = topProbes(mdl.cents, q, 4)
       coded
         .filter(col("cent_id").isin(probes: _*))
         .withColumn("adc_cos", adcCosCol(books, q))
@@ -2295,29 +2356,45 @@ object LlmOps extends QueryGroup {
     * reports the one-time train+encode+partitioned-write as a separate
     * build line item (the index is the vector table's resident format;
     * its build is not the probe query's cost — the llm_ann_ivf_persisted
-    * accounting). Returns (codesPath, centsPath, booksPath). */
+    * accounting). The indexed corpus is [[plantedVecCorpus]] — the same
+    * planted-mutant scheme as the persisted IVF index — so the probed
+    * search is verifiable against the exact brute-force oracle. The cache
+    * tag hashes the source DATA FILES (LayoutUtil.dataSig), not the
+    * directory File, so an in-place part-file rewrite rotates it (the r4
+    * ADVICE fix). Returns (codesPath, centsPath, booksPath). */
   def pqIndexArtifacts(s: SparkSession, dir: String): (String, String, String) = {
     graft.functions.GraftFunctions.register(s)
     val dims = Tables.embeddings(s, dir)
       .select(size(col("embedding"))).head.getInt(0)
-    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet")
     graft.layouts.PqIndex.ensure(
-      s, s"ivfpq_${dir}_${f.length}_${f.lastModified}", docVec(s, dir), dims)
+      s, s"ivfpqp_${dir}_$sig", plantedVecCorpus(s, dir), dims)
   }
 
-  /** IVF+PQ over the PERSISTED layout (layouts.PqIndex) — `llm_ann_ivfpq`
-    * with the quantizers and codes amortized the way a served ANN index
-    * actually is: the codes table lives on disk partitioned by cent_id,
-    * the models are KB-scale parquet sidecars, and the probe query is
-    * (a) load models, (b) pick top-4 cells driver-side, (c) scan ONLY
-    * those cells' code files (`cent_id IN` → partition pruning, pinned in
-    * PqSpec with scan metrics), (d) m lookups per row + top-10. The
-    * inline twin retrains per run; this row's build is a bench `builds`
-    * line item via [[pqIndexArtifacts]]. Oracle: none (k-means ×2);
-    * PqSpec pins agreement with the inline row and real pruning. */
+  /** IVF+PQ over the PERSISTED layout (layouts.PqIndex), completed with
+    * the EXACT RE-RANK stage a served IVF+PQ system runs (Jégou et al.
+    * 2011 §V-C verify/re-rank): the codes table lives on disk partitioned
+    * by cent_id, the models are KB-scale parquet sidecars, and the query
+    * is (a) load models, (b) pick top-4 cells driver-side, (c) ADC-score
+    * ONLY those cells' codes (`cent_id IN` → partition pruning, pinned in
+    * PqSpec with scan metrics; floats never read in this stage) into a
+    * 50-candidate shortlist, (d) fetch the shortlist's float vectors BY
+    * ID (a 50-row point lookup with the id predicate pushed into the
+    * scan) and score them with the exact cosine kernel — so the returned
+    * top-5 is EXACT whenever the shortlist contains the true top-5, which
+    * the planted corpus guarantees by construction (mutants at cos ≥ 0.9
+    * vs ≤ 0.55 background ≫ the PQ quantization error; PqSpec pins the
+    * containment). That makes this row DuckDB-oracled — the same exact
+    * brute-force top-5 SQL as llm_ann_ivf_persisted — where the inline
+    * ADC rows are approximate by construction: two different persisted
+    * index architectures reproducing the identical exact answer. Shortlist
+    * ids/members are a bounded collect (≤50 reps — the probe-id class of
+    * driver state); the index build is a bench `builds` line item via
+    * [[pqIndexArtifacts]]. */
   private val llmAnnIvfPqPersisted = GraftQuery(
     "llm_ann_ivfpq_persisted",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val (codesPath, centsPath, booksPath) = pqIndexArtifacts(s, dir)
       // the query vector is already on the driver: subspace geometry
       // derives from it and the loaded codebooks (q.length / books.size
@@ -2328,14 +2405,51 @@ object LlmOps extends QueryGroup {
         s.read.parquet(centsPath).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
       val books = graft.layouts.PqIndex.loadBooks(s, booksPath)
-      s.read.parquet(codesPath)
+      // stage 1 — ADC shortlist inside the probed cells only: top-50 reps
+      // by m code lookups per row, collected (bounded — 50 reps + member
+      // lists, the candidate set a serving node holds in memory)
+      val short = s.read.parquet(codesPath)
         .filter(col("cent_id").isin(probes: _*))
         .withColumn("adc_cos", adcCosCol(books, q))
-        .select(col("vec_id"), col("adc_cos"))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
-        .limit(10)
+        .limit(50)
+        .select(col("vec_id"), col("members"))
+        .collect()
+      val ids = short.map(_.getLong(0)).toSeq
+      val session = s
+      import session.implicits._
+      val shortDf = short.map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+        .toSeq.toDF("vec_id", "members")
+      // stage 2 — exact re-rank: point-fetch the candidates' floats (id
+      // predicate pushed to the scan) and score with the exact kernel;
+      // top-5 over reps covers the true top-5 (vecGroups proof), then
+      // identity groups re-expand and re-rank
+      val qDf = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
+      plantedVecCorpus(s, dir)
+        .filter(col("vec_id").isin(ids: _*))
+        .join(broadcast(shortDf), "vec_id")
+        .crossJoin(broadcast(qDf))
+        .select(col("vec_id"), col("members"), cosR("v", "qv").as("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(5)
+        .select(explode(col("members")).as("vec_id"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(5)
     },
-    None)
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      qv AS (SELECT v FROM base WHERE vec_id = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL SELECT 1000000, list_transform(v, x -> x * 0.9 + 0.005) FROM qv
+        UNION ALL SELECT 2000000, list_transform(v, x -> x * 0.9 + 0.010) FROM qv
+        UNION ALL SELECT 3000000, list_transform(v, x -> x * 0.9 + 0.015) FROM qv
+        UNION ALL SELECT 4000000, list_transform(v, x -> x * 0.9 + 0.020) FROM qv)
+      SELECT c.vec_id, round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+      FROM corpus c CROSS JOIN qv q
+      ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
+      LIMIT 5"""))
 
   /** FEATURE-HASHING text embedder (Weinberger et al., "Feature Hashing
     * for Large Scale Multitask Learning", ICML 2009) — the text→vector

@@ -134,31 +134,56 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"4 cells cover the whole corpus ($largestFourCells of $total) — no pruning")
   }
 
-  test("ivfpq_persisted: agrees with the inline row; probe reads only probed partitions") {
+  test("ivfpq_persisted: ADC shortlist + exact re-rank reproduces the brute-force top-5; probe prunes") {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    val df = SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf)
-    val persisted = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // partition pruning on the codes table (the IvfIndexSpec pin). Driver
-    // metrics (numPartitions/numFiles) post only on the FIRST computation
-    // of the scan's selectedPartitions — read them before any re-execution
-    // resets the accumulators.
-    val scan = df.queryExecution.executedPlan.collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("graft_pq_idx")) => f
+    graft.functions.GraftFunctions.register(s)
+    val persisted = SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted.length == 5)
+    // the ORACLE property, runnable here: the re-ranked probe result must
+    // equal the exact brute-force top-5 over the planted corpus (base + 4
+    // mutants of vec 0), scored with the same cosine kernel + rounding —
+    // this is what makes the row DuckDB-oracled where the inline ADC rows
+    // are approximate by construction
+    val base = vecs
+    val planted = Seq(0.005, 0.010, 0.015, 0.020).zipWithIndex.map { case (off, i) =>
+      base.filter(col("vec_id") === 0)
+        .select(lit((i + 1) * 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(0.9) + lit(off)).as("v"))
+    }.reduce(_ unionByName _)
+    val q = base.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = base.unionByName(planted).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_fast(v, qv)"), 6).as("c"))
+      .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == exact, s"persisted=$persisted exact=$exact")
+    // partition pruning on the codes table (the IvfIndexSpec pin): the
+    // shortlist stage runs eagerly inside the row builder, so re-issue a
+    // probe-shaped read against the same persisted index and check scan
+    // metrics — driver metrics post on the FIRST computation only.
+    val (codesPath, centsPath, _) = graft.operators.LlmOps.pqIndexArtifacts(s, sf)
+    val qv = base.filter(col("vec_id") === 0).head.getSeq[Double](1)
+    val probes = s.read.parquet(centsPath).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val den = math.sqrt(qv.map(x => x * x).sum) * math.sqrt(cv.map(x => x * x).sum)
+        (if (den == 0.0) 0.0 else dot / den, r.getLong(0))
+      }.sortBy { case (c, cid) => (-c, cid) }.take(4).map(_._2).toSeq
+    val probe = s.read.parquet(codesPath).filter(col("cent_id").isin(probes: _*))
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(scan.nonEmpty, s"no codes scan in:\n${df.queryExecution.executedPlan}")
-    val idxPath = new java.io.File(scan.get.relation.location.rootPaths.head.toUri)
+    assert(scan.nonEmpty)
+    probe.collect()
+    val idxPath = new java.io.File(codesPath)
     val totalParts = Option(idxPath.listFiles())
       .map(_.count(f => f.isDirectory && f.getName.startsWith("cent_id="))).getOrElse(0)
     val readParts = scan.get.metrics("numPartitions").value
     assert(totalParts > 4, s"index has only $totalParts partitions")
     assert(readParts == 4,
       s"probe read $readParts of $totalParts partitions — expected exactly the 4 probed")
-    val inline = SparkEntry.queries("llm_ann_ivfpq")(s, sf)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // same deterministic quantizers + same corpus → identical top-10
-    assert(persisted == inline, s"persisted=$persisted inline=$inline")
     // build is cached: second run must not rewrite the layout
     val mark = new java.io.File(idxPath, "_SUCCESS").lastModified()
     SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf).collect()
