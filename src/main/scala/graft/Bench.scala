@@ -260,6 +260,7 @@ object Bench {
         val builds: Seq[(String, (Double, Option[String]))] = Seq(
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
+          "build_bucketed_dims" -> clocked(operators.Joins.bucketedDims(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),

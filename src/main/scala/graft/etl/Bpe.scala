@@ -90,7 +90,8 @@ object Bpe {
     * reintroduce it. `localCheckpoint` truncates per-round lineage (plans
     * would otherwise nest once per merge). */
   def train(wordFreq: DataFrame, nMerges: Int,
-      deltaThreshold: Long = 100000L): Seq[(String, String)] = {
+      deltaThreshold: Long = 100000L,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var words = wordFreq.select(chars(col("w")).as("syms"), col("cnt")).localCheckpoint()
     // keep-width for the per-round union: filter(!hit) ∪ rewritten would
@@ -100,7 +101,8 @@ object Bpe {
     val useDelta = words.count() >= deltaThreshold
     var counts = if (useDelta) pairCounts(words, 1).localCheckpoint() else null
     var exhausted = false
-    for (_ <- 1 to nMerges if !exhausted) {
+    for (round <- 1 to nMerges if !exhausted) {
+      val roundStart = System.nanoTime()
       val best = (if (useDelta) counts else pairCounts(words, 1))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
@@ -133,6 +135,9 @@ object Bpe {
             .unionByName(rewritten).coalesce(width).localCheckpoint()
         }
       }
+      // per-round wall clock to the observer (the endurance probe's hook —
+      // tools/BpeEndurance; a no-op by default)
+      onRound(round, (System.nanoTime() - roundStart) / 1e9)
     }
     merges.toSeq
   }

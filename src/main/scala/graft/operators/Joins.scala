@@ -306,6 +306,83 @@ object Joins extends QueryGroup {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority ASC NULLS FIRST"""))
 
+  /** The BIG-DIMENSION co-located layout (r4 verdict item 1): at sf12 the
+    * q5 star join's dominant measured cost is building+shipping the
+    * 1.8 M-row customer broadcast — the classic plan, the fact-bucketed
+    * plan, and the shuffled-dim plan all pay it or worse (7.1 / 8.0 /
+    * 9.6 s, CROSSOVER.md sf12). A dimension that size stops being
+    * "broadcast-able" and must be CO-LOCATED like the facts are. Three
+    * tables, one `Bucketed.ensure` build:
+    *
+    *  - `customer_b`   — customer bucketed+sorted on c_custkey;
+    *  - `orders_bc`    — a second orders copy bucketed on o_custkey, so
+    *    orders⋈customer runs as a zero-exchange zero-sort SMJ (the
+    *    generic custkey co-location; also what the enriched build uses);
+    *  - `orders_cust_b` — the orders⋈customer JOIN INDEX: the orders keys
+    *    with the customer attribute (c_nationkey) already attached,
+    *    bucketed+sorted on o_orderkey with the facts' bucket count. The
+    *    dim join is paid ONCE at layout-build time, so a star query joins
+    *    lineitem_b ⋈ orders_cust_b with ZERO exchange and ZERO broadcast
+    *    on both the fact⋈orders and orders⋈customer edges — the only plan
+    *    shape whose per-query cost for the big dim is zero at any scale.
+    *
+    * The cache signature covers BOTH source tables (Spec.srcTables), so
+    * regenerating either orders or customer rotates the layout. */
+  def bucketedDims(s: org.apache.spark.sql.SparkSession, dir: String,
+      buckets: Int = 8): Seq[String] = {
+    val enriched = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+    graft.layouts.Bucketed.ensure(s, dir, Seq(
+      graft.layouts.Bucketed.Spec("customer_b", Tables.customer(s, dir), "c_custkey"),
+      graft.layouts.Bucketed.Spec("orders_bc", Tables.orders(s, dir), "o_custkey",
+        srcTables = Seq("orders")),
+      graft.layouts.Bucketed.Spec("orders_cust_b", enriched, "o_orderkey",
+        srcTables = Seq("orders", "customer"))), buckets = buckets)
+  }
+
+  /** q5's star shape over the CO-LOCATED layouts: lineitem_b ⋈
+    * orders_cust_b is a zero-exchange SMJ (both bucketed+sorted on
+    * orderkey), the customer attributes ride along from the join index —
+    * no customer broadcast, no custkey exchange ANYWHERE in the plan —
+    * and only the two genuinely tiny dims (supplier, nation) broadcast.
+    * The remaining exchanges are the 25-group aggregation and the
+    * presentation sort, KB-scale by construction. The oracle is the plain
+    * 5-table SQL over the raw tables — the layout changes only the
+    * physical plan. Spec pin: PlanSpec asserts zero hash exchange on any
+    * join key and no broadcast built from customer. */
+  private val joinStarColocated = GraftQuery(
+    "join_star_colocated",
+    (s, dir) => {
+      val Seq(_, lineitemB) = bucketedFacts(s, dir)
+      val Seq(_, _, ordersCustB) = bucketedDims(s, dir)
+      s.table(lineitemB)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .hint("merge")
+        .join(s.table(ordersCustB), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT n_name, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name ASC NULLS FIRST"""))
+
   /** RUNTIME BLOOM-FILTER pruned join — Spark's InjectRuntimeFilter: a
     * selective predicate on the dimension side is compiled into a bloom
     * filter that is evaluated against the FACT side's join key *before*
@@ -367,5 +444,5 @@ object Joins extends QueryGroup {
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
     joinAsof, joinAsofNative, joinInterval, joinBucketedColocated,
-    joinBloomRuntime)
+    joinStarColocated, joinBloomRuntime)
 }

@@ -2494,25 +2494,48 @@ object LlmOps extends QueryGroup {
 
   /** LENGTH-BUCKETED BATCHING — the padding-efficiency stage of a
     * training-data pipeline: documents batch with similarly-sized
-    * neighbors (8 buckets of 32 tokens, 16 docs per batch, ordered by
-    * exact length within bucket), so a batch pads to its own max instead
-    * of the corpus max. Reports per batch: size, max/sum tokens, and the
-    * padding fraction 1 − sum/(max·n) a trainer would waste.
+    * neighbors (16 docs per batch, ordered by exact length within
+    * bucket), so a batch pads to its own max instead of the corpus max.
+    * Buckets are QUANTILE-DRIVEN (r4 verdict item 3 — the fixed 8-bucket
+    * cut capped the rank at 8 window partitions): bucket count B grows
+    * with the corpus, B = clamp(⌈N/64⌉, 8, 1024), and each document's
+    * bucket is its equal-frequency quantile slot
+    * `(cum_lt · B) div N` where cum_lt = #docs with strictly smaller
+    * token count — so every bucket holds ≈64 docs (≈4 batches) of
+    * adjacent lengths regardless of the length DISTRIBUTION (a skewed
+    * corpus no longer piles into one fixed-width bucket), and equal
+    * lengths always share a bucket. Reports per batch: size, max/sum
+    * tokens, and the padding fraction 1 − sum/(max·n) a trainer wastes.
     *
-    * 100 TB shape: token count is map-side; the only shuffle is the
-    * per-bucket window (partitioned by bucket — 8 bounded partitions of
-    * ordered ranks; at production scale bucket count rises with the
-    * length distribution and each bucket's rank is an independent
-    * partition-local sort). Fully deterministic → exact DuckDB oracle. */
+    * 100 TB shape: token count is map-side; cum_lt comes from the length
+    * HISTOGRAM (groupBy n_tokens — map-side partials shuffle only
+    * distinct lengths, a bounded set) prefix-summed by
+    * [[graft.etl.SequencePack.withPrefixSum]] (range-partitioned scan,
+    * driver holds numPartitions longs — never an unpartitioned window);
+    * docs pick their bucket through a broadcast join against that
+    * bounded histogram; the per-bucket rank runs in B window partitions
+    * that GROW with the data (the r4 parallelism cap removed). N is one
+    * scalar count (bounded driver state). The 1024 cap is a padding
+    * saturation point, not a parallelism cap — past it the within-bucket
+    * length spread is already ≪ batch-max padding noise; raise it with
+    * corpus size if batches-per-bucket must stay constant. Fully
+    * deterministic (integer arithmetic only) → exact DuckDB oracle. */
   private val llmLengthBucketBatch = GraftQuery(
     "llm_length_bucket_batch",
     (s, dir) => {
-      val byBucket = Window.partitionBy(col("bucket"))
-        .orderBy(col("n_tokens").asc, col("doc_id").asc)
-      Tables.documents(s, dir)
+      val lens = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
-        .withColumn("bucket", least(floor(col("n_tokens") / 32), lit(7L)).cast(IntegerType))
+      val n = lens.count()
+      val b = math.max(8L, math.min(1024L, (n + 63L) / 64L))
+      val hist = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      val bucketOf = graft.etl.SequencePack
+        .withPrefixSum(hist, Seq(col("n_tokens").asc), "c", prefixCol = "cum_lt")
+        .select(col("n_tokens"),
+          expr(s"CAST((cum_lt * ${b}L) DIV ${n}L AS INT)").as("bucket"))
+      val byBucket = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      lens.join(broadcast(bucketOf), "n_tokens")
         .withColumn("batch_id", ((row_number().over(byBucket) - 1) / 16).cast(LongType))
         .groupBy(col("bucket"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2528,10 +2551,17 @@ object LlmOps extends QueryGroup {
         SELECT doc_id,
                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
         FROM documents),
+      tot AS (SELECT COUNT(*) AS n,
+                     GREATEST(8, LEAST(1024, (COUNT(*) + 63) // 64)) AS b
+              FROM t),
+      hist AS (SELECT n_tokens, COUNT(*) AS c FROM t GROUP BY n_tokens),
+      cum AS (SELECT n_tokens,
+                     CAST(SUM(c) OVER (ORDER BY n_tokens ASC) - c AS BIGINT) AS cum_lt
+              FROM hist),
       b AS (
-        SELECT doc_id, n_tokens,
-               CAST(least(CAST(floor(n_tokens / 32) AS BIGINT), 7) AS INT) AS bucket
-        FROM t),
+        SELECT doc_id, t.n_tokens,
+               CAST((cum.cum_lt * tot.b) // tot.n AS INT) AS bucket
+        FROM t JOIN cum ON t.n_tokens = cum.n_tokens CROSS JOIN tot),
       r AS (
         SELECT bucket, n_tokens,
                CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens ASC, doc_id ASC) - 1) // 16 AS BIGINT) AS batch_id

@@ -36,7 +36,9 @@ object BenchBucketed {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one-time layout build (timed separately — the amortized cost)
+    // one-time layout builds (timed separately — the amortized cost): the
+    // fact layout, then the big-dim co-location (customer_b / orders_bc /
+    // the orders⋈customer join index orders_cust_b — r4 verdict item 1)
     val t0 = System.nanoTime()
     val buckets = cpus.toInt
     val Seq(ordersB, lineitemB) = Bucketed.ensure(spark, sfDir, Seq(
@@ -44,6 +46,10 @@ object BenchBucketed {
       Bucketed.Spec("lineitem_b", Tables.lineitem(spark, sfDir), "l_orderkey")),
       buckets = buckets)
     val layoutSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val Seq(customerB, ordersBc, ordersCustB) =
+      graft.operators.Joins.bucketedDims(spark, sfDir, buckets = buckets)
+    val dimLayoutSec = (System.nanoTime() - t1) / 1e9
 
     def q3b(s: SparkSession, dir: String): DataFrame = {
       val cust = Tables.customer(s, dir)
@@ -94,9 +100,49 @@ object BenchBucketed {
         .agg(sum(rev).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
 
+    // q5 over the JOIN-INDEX layout: lineitem_b ⋈ orders_cust_b is a
+    // zero-exchange SMJ and the customer attribute rides along — no
+    // customer broadcast, no custkey exchange anywhere (the registry's
+    // join_star_colocated shape with the headline's plain-double agg)
+    def q5Enriched(s: SparkSession, dir: String): DataFrame =
+      s.table(lineitemB).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .hint("merge")
+        .join(s.table(ordersCustB), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+
+    // the GENERIC dim co-location (no denormalized index): flip the join
+    // order — orders_bc ⋈ customer_b is a zero-exchange SMJ on custkey,
+    // then ONE exchange re-keys the narrow enriched orders onto the
+    // bucketed lineitem's orderkey partitioning. Measures what co-locating
+    // the dim buys WITHOUT paying the join-index build.
+    def q5DimBucketed(s: SparkSession, dir: String): DataFrame =
+      s.table(lineitemB).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .hint("merge")
+        .join(
+          s.table(ordersBc).select("o_orderkey", "o_custkey").hint("merge")
+            .join(s.table(customerB).select("c_custkey", "c_nationkey"),
+              col("o_custkey") === col("c_custkey"))
+            .select("o_orderkey", "c_nationkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+
     val shapes: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("q3_bucketed" -> (q3b _), "q5_bucketed" -> (q5b _),
-        "q5_bucketed_shufdim" -> (q5bShufDim _))
+        "q5_bucketed_shufdim" -> (q5bShufDim _),
+        "q5_dim_bucketed" -> (q5DimBucketed _),
+        "q5_enriched" -> (q5Enriched _))
 
     val timed = shapes.map { case (name, fn) =>
       val shuffles = fn(spark, sfDir).queryExecution.executedPlan.collect {
@@ -113,7 +159,7 @@ object BenchBucketed {
     val qs = timed.map { case (k, v, sh) =>
       "\"" + k + "\":" + f"$v%.4f" + ",\"" + k + "_shuffles\":" + sh
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"bucketed_fact_join","layout_build_sec":$layoutSec%.2f,"buckets":$buckets,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"bucketed_fact_join","layout_build_sec":$layoutSec%.2f,"dim_layout_build_sec":$dimLayoutSec%.2f,"buckets":$buckets,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

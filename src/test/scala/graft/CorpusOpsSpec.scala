@@ -345,4 +345,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert((nSpans == 0) == (dupWords == 0), s"doc $id span/word mismatch")
     }
   }
+
+  test("length_bucket_batch: bucket count is quantile-driven and grows with the corpus") {
+    // sf0.001 (50 docs) sits at the floor B=8; sf0.1 (5000 docs) must
+    // derive B=⌈5000/64⌉=79 — the r4 fixed-8-partition rank cap removed
+    def buckets(dir: String): Seq[Int] =
+      SparkEntry.queries("llm_length_bucket_batch")(spark, dir)
+        .select(org.apache.spark.sql.functions.col("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val small = buckets("/root/testdata/sf0.001")
+    assert(small.max < 8, s"sf0.001 bucket ids exceed the B=8 floor: $small")
+    val big = buckets("/root/testdata/sf0.1")
+    assert(big.length > 8 && big.length <= 79,
+      s"sf0.1 derived ${big.length} buckets — expected >8 (growth) and ≤ B=79")
+    // equal-frequency property: every bucket id in [0, B)
+    assert(big.forall(b => b >= 0 && b < 79), s"bucket id out of range: $big")
+  }
 }

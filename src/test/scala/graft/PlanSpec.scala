@@ -34,6 +34,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bucketed fact join still shuffles its inputs:\n" + p)
   }
 
+  test("join_star_colocated: no exchange and no broadcast on the fact⋈orders " +
+      "and orders⋈customer edges") {
+    val p = plan("join_star_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "co-located star join still shuffles a join key:\n" + p)
+    // the customer relation must not appear at query time at all — its
+    // attribute rides in the orders_cust_b join-index scan, so no
+    // broadcast (and no scan) is built from customer
+    assert(!p.contains("customer.parquet"),
+      "customer scanned at query time:\n" + p)
+    // exactly the two genuinely tiny dims (supplier, nation) broadcast
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
+  }
+
   test("join_bloom_runtime: bloom filter injected on the fact side of the shuffle join") {
     val p = plan("join_bloom_runtime")
     assert(p.toLowerCase.contains("might_contain"),
