@@ -27,6 +27,21 @@ import org.apache.spark.sql.types._
   */
 object Bench {
 
+  /** Timing + ERROR capture (r4 verdict item 5): a row that crashes
+    * during the bench pass must surface as an `err` entry in the JSON,
+    * not masquerade as a (fast) timing. Correctness is gated separately
+    * at sf0.01, but the bench record must not misreport a breakage as a
+    * speedup. Package-visible so BenchSpec can pin the capture. */
+  private[graft] def clocked[A](f: => A): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try { f; None } catch {
+      case t: Throwable =>
+        Some(t.getClass.getSimpleName + ": " +
+          String.valueOf(t.getMessage).replaceAll("[\"\\n\\r\\\\]", " ").take(120))
+    }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** Size-driven strategy for the fact⋈orders join: broadcast the orders
@@ -220,20 +235,6 @@ object Bench {
     // and now equals the SUM of the per-row times (build costs excluded).
     // SPARK_GRAFT_HEADLINE_ONLY=1 skips the pass (crossover runs at larger
     // SFs; the driver never sets it).
-    // timing + ERROR capture (r4 verdict item 5): a row that crashes
-    // during the bench pass must surface as an `err` entry in the JSON,
-    // not masquerade as a (fast) timing. Correctness is gated separately
-    // at sf0.01, but the bench record must not misreport a breakage as a
-    // speedup.
-    def clocked[A](f: => A): (Double, Option[String]) = {
-      val t0 = System.nanoTime()
-      val err = try { f; None } catch {
-        case t: Throwable =>
-          Some(t.getClass.getSimpleName + ": " +
-            String.valueOf(t.getMessage).replaceAll("[\"\\n\\r\\\\]", " ").take(120))
-      }
-      ((System.nanoTime() - t0) / 1e9, err)
-    }
     // the three rows whose single-session cold numbers carry ±1 s
     // neighborhood-GC error bars (r4 verdict item 7): re-run once after
     // the full pass and publish min-of-2 alongside, the CROSSOVER

@@ -27,11 +27,20 @@ object BpeEndurance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the llm_bpe_tokenize word table: dedup-first, group-size-weighted
+    // production-scale TYPE table: the synthetic corpus vocabulary is 31
+    // words by construction, so (exactly as the r4 strategy measurements
+    // did — their 931/27,213-type tables are the corpus bigram/trigram
+    // counts) the table is scaled with word 4-GRAMS as pseudo-words:
+    // ~210k types at sf3, above the 100k delta threshold. Dedup-first,
+    // group-size-weighted, words array materialized before the gram
+    // lambda (the CSE discipline).
     val g = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+      .select(TextOps.normalize(col("text")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("gsz"))
-    val wf = g.select(col("gsz"), explode(split(col("t"), " ")).as("w"))
+    val wf = g.select(col("gsz"), split(col("t"), " ").as("ws"))
+      .select(col("gsz"), explode(expr(
+        "transform(sequence(1, greatest(size(ws)-3, 0)), i -> concat_ws('_', slice(ws, i, 4)))"))
+        .as("w"))
       .groupBy(col("w")).agg(sum(col("gsz")).as("cnt"))
       .localCheckpoint()
     val types = wf.count()
