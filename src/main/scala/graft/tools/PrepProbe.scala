@@ -27,16 +27,35 @@ object PrepProbe {
         if (sec > 0.3) println(f"PREPPROBE   job ${j.jobId}%3d ${sec}%7.2f s")
       }
     })
-    val (docs, planted, evalSh) = graft.operators.LlmOps.corpusPrepFixture(spark, sfDir)
-    val t0 = System.nanoTime()
-    val out = graft.examples.TrainingDataPrep.prepare(
-      docs.unionByName(planted), evalNgrams = Some(evalSh),
-      onStage = (name, sec) => println(f"PREPPROBE stage $name%-22s $sec%7.2f s"))
-    val tStages = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    out.attrition.orderBy(col("stage_ord").asc_nulls_first).count()
-    println(f"PREPPROBE attrition_report       ${(System.nanoTime() - t1) / 1e9}%7.2f s")
-    println(f"PREPPROBE total                  ${(System.nanoTime() - t0) / 1e9}%7.2f s  (stages $tStages%.2f)")
+    // min-of-2 protocol (r5 verdict item 1): run the full composite twice
+    // in one JVM — run 1 is the cold in-pass number the registry bench
+    // reports, run 2 is the warm number CROSSOVER's historical 5.1/3.9 s
+    // were measured under. Stage caches are dropped between runs so run 2
+    // re-executes every stage (warm = JIT + parquet footers + page cache,
+    // not a served cache).
+    val iters = if (args.length > 1) args(1).toInt else 2
+    (1 to iters).foreach { it =>
+      val (docs, planted, evalSh) = graft.operators.LlmOps.corpusPrepFixture(spark, sfDir)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val out = graft.examples.TrainingDataPrep.prepare(
+        docs.unionByName(planted), evalNgrams = Some(evalSh),
+        onStage = (name, sec) => println(f"PREPPROBE[$it] stage $name%-22s $sec%7.2f s"))
+      val tStages = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      out.attrition.orderBy(col("stage_ord").asc_nulls_first).count()
+      println(f"PREPPROBE[$it] attrition_report       ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+      println(f"PREPPROBE[$it] total                  ${(System.nanoTime() - t0) / 1e9}%7.2f s  (stages $tStages%.2f)")
+      val t2 = System.nanoTime()
+      val out2 = graft.examples.TrainingDataPrep.prepare(
+        docs.unionByName(planted),
+        neardupThreshold = 1.01, chunkDupMax = 1.0, evalNgrams = None)
+      out2.attrition.orderBy(col("stage_ord").asc_nulls_first).count()
+      println(f"PREPPROBE[$it] stages_twin_total      ${(System.nanoTime() - t2) / 1e9}%7.2f s")
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }
