@@ -36,11 +36,26 @@ object Bench {
     val t0 = System.nanoTime()
     val err = try { f; None } catch {
       case t: Throwable =>
+        // anything outside printable ASCII (plus quote/backslash) would be
+        // invalid unescaped inside the single-line JSON errors record
         Some(t.getClass.getSimpleName + ": " +
-          String.valueOf(t.getMessage).replaceAll("[\"\\n\\r\\\\]", " ").take(120))
+          String.valueOf(t.getMessage).replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ").take(120))
     }
     ((System.nanoTime() - t0) / 1e9, err)
   }
+
+  /** Combine two timed runs of the same row into the published min-of-2:
+    * a crashed run must not contribute its (fast) failure time to the min
+    * (r5 ADVICE) — publish the clean run's time and carry the error; min
+    * only when both runs completed. */
+  private[graft] def min2(first: (Double, Option[String]),
+      second: (Double, Option[String])): (Double, Option[String]) =
+    (first, second) match {
+      case ((t1, None), (t2, None)) => (math.min(t1, t2), None)
+      case ((t1, None), (_, e))     => (t1, e)
+      case ((_, e), (t2, None))     => (t2, e)
+      case ((t1, e), _)             => (t1, e)
+    }
 
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
@@ -239,7 +254,8 @@ object Bench {
     // neighborhood-GC error bars (r4 verdict item 7): re-run once after
     // the full pass and publish min-of-2 alongside, the CROSSOVER
     // convention for heavy-row claims
-    val heavyRows = Seq("llm_bigram_lm_score", "llm_embed_neardup", "llm_embed_pq")
+    val heavyRows = Seq("llm_bigram_lm_score", "llm_embed_neardup", "llm_embed_pq",
+      "llm_corpus_prep", "llm_corpus_prep_stages")
 
     def runRow(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       // free the row's OWN persisted/checkpointed RDDs when it finishes:
@@ -266,18 +282,21 @@ object Bench {
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),
           "build_fixture_neardup" -> clocked(Fixtures.neardupCorpus(spark, sfDir)),
-          "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)))
+          "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)),
+          "build_fixture_simtok" -> clocked(Fixtures.simhashTokens(spark, sfDir)),
+          "build_fixture_fpgrams" -> clocked(Fixtures.fingerprintGrams(spark, sfDir)),
+          "build_fixture_hepairs" -> clocked(Fixtures.hashEmbedPairs(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           name -> runRow(name, fn)
         }
-        val min2 = heavyRows.flatMap { name =>
+        val heavyMins = heavyRows.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val second = runRow(name, fn)
             val first = rows.toMap.apply(name)
-            name -> (math.min(first._1, second._1), first._2.orElse(second._2))
+            name -> min2(first, second)
           }
         }
-        (builds, rows, min2)
+        (builds, rows, heavyMins)
       }
     val allOnce = rowTimes.map(_._2._1).sum
 

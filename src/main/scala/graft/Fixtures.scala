@@ -73,4 +73,101 @@ object Fixtures {
             .when(i.between(19, 23), lit("graftmutb")).otherwise(w))).as("text"))
       base.unionByName(mutA).unionByName(mutB)
     }
+
+  // ---------------------------------------------------------------------
+  // JVM-TWIN PRIMITIVE DUMPS (r5 verdict item 3): the three hash rows
+  // (llm_dedup_simhash / llm_fingerprint / llm_hash_embed) are
+  // deterministic pure functions whose only oracle blocker was that
+  // DuckDB cannot evaluate xxhash64. The pattern proven on
+  // llm_ann_ivfpq_persisted: a JVM twin (plain Scala loops over Spark's
+  // published XXH64/UTF8String runtime primitives — NOT the Catalyst
+  // expression/codegen path the registry row executes) dumps the per-doc
+  // primitive hash stream to a parquet fixture, and the DuckDB oracle
+  // RECOMPUTES the whole downstream composition (bit-majority packing,
+  // winnowing window minima, sign accumulation + normalization) in SQL
+  // from that stream. A green row then certifies the Catalyst composition
+  // against an independent SQL recomposition, with the shared surface
+  // reduced to the published XXH64 algorithm itself.
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Single-argument `xxhash64(col)` twin: Spark hashes the UTF-8 bytes at
+    * the default seed 42. */
+  private def xx42(bytes: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+
+  /** `TextOps.normalize` twin (lower + collapse whitespace + trim) built
+    * on UTF8String so case folding and trimming match Spark's runtime
+    * exactly (String.trim would also strip control chars; UTF8String.trim
+    * strips spaces only). */
+  private[graft] def jvmNormalize(text: String): String =
+    UTF8String.fromString(
+      UTF8String.fromString(text).toLowerCase.toString.replaceAll("\\s+", " "))
+      .trim().toString
+
+  /** llm_dedup_simhash primitive stream: one row per token OCCURRENCE of
+    * the normalized text, with its xxhash64 — the oracle recomputes the
+    * per-bit ±1 majority and MSB-first packing in SQL. */
+  def simhashTokens(s: SparkSession, dir: String): String =
+    ensure(s, dir, "simtok") {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          jvmNormalize(text).split(" ", -1).iterator
+            .map(w => (id, xx42(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        })
+        .toDF("doc_id", "h")
+    }
+
+  /** llm_fingerprint primitive stream: one row per char-8-gram position i
+    * (1-based, i ≤ max(len−7, 1) — the charGramHashes window rule,
+    * including the short-text single-window edge) with the gram's
+    * xxhash64; grams are cut with UTF8String.substringSQL so code-point
+    * semantics match Spark's substr. */
+  def fingerprintGrams(s: SparkSession, dir: String): String =
+    ensure(s, dir, "fpgrams") {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val norm = UTF8String.fromString(jvmNormalize(text))
+          val upper = math.max(norm.numChars() - 7, 1)
+          (1 to upper).iterator.map { i =>
+            (id, i, xx42(norm.substringSQL(i, 8).getBytes))
+          }
+        })
+        .toDF("doc_id", "i", "h")
+    }
+
+  /** llm_hash_embed primitive stream: one row per word occurrence of each
+    * DISTINCT normalized text (keyed by its min-doc_id rep — the same
+    * dedup-first grouping the row performs), carrying the word's hashed
+    * dimension and ±1 sign at D=64 (the row's D) — the HashEmbed
+    * composition `xxhash64(w, lit(k)) = hashInt(k, hashBytes(w, 42))`.
+    * The oracle re-derives the text→rep grouping from raw documents,
+    * accumulates signs per dimension, and normalizes in SQL. */
+  def hashEmbedPairs(s: SparkSession, dir: String): String =
+    ensure(s, dir, "hepairs") {
+      import s.implicits._
+      val D = 64
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, jvmNormalize(text)) })
+        .toDF("doc_id", "t")
+        .groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
+        .as[(String, Long)]
+        .mapPartitions(_.flatMap { case (t, rep) =>
+          t.split(" ", -1).iterator.map { w =>
+            val hw = xx42(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val dim = (((XXH64.hashInt(1, hw) % D) + D) % D).toInt
+            val sign = ((((XXH64.hashInt(2, hw) % 2) + 2) % 2) * 2 - 1)
+            (rep, dim, sign)
+          }
+        })
+        .toDF("rep", "dim", "sign")
+    }
 }

@@ -57,21 +57,27 @@ object Tables {
     })
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long (ns since epoch)
-    * via the legacy flag, then integer-divide to µs — `div` (integral
-    * division) not `/` (double division: ns epoch values ~1.7e18 exceed
-    * 2^53 and would lose precision). Cast to NTZ so the wall-clock value
-    * matches what DuckDB yields for `CAST(ts AS TIMESTAMP)` on the same
-    * file (both truncate ns → µs).
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (the
+    * original testdata, which Spark's vectorized reader rejects with
+    * PARQUET_TYPE_ILLEGAL — the legacy flag reads it as a raw ns long)
+    * and TIMESTAMP(MICROS) (later regenerations, which arrive as a
+    * timestamp directly). Branch on the LOADED type so either vintage
+    * normalizes to µs NTZ: ns longs integer-divide to µs — `div` not `/`
+    * (ns epoch values ~1.7e18 exceed 2^53; double division would lose
+    * precision) — matching what DuckDB yields for `CAST(ts AS TIMESTAMP)`
+    * on the same file (ns truncates to µs; µs is a no-op).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     apply(spark, sfDir, "events")
 
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
+      case _        => col("ts").cast(TimestampNTZType)
+    }
+    raw.withColumn("ts", ts)
   }
 
   // Named accessors (readability in operator code).

@@ -40,6 +40,18 @@ object Ivf {
       .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
   }
 
+  /** Cluster count for a bounded within-cell pairwise pass (SemDeDup):
+    * cells hold ~targetCell distinct vectors on average, so the
+    * within-cell all-pairs total is ~N·targetCell/2 — LINEAR in N, where
+    * any FIXED k leaves cell population N/k and the pass quadratic as the
+    * corpus grows (the r5 scale-killer on llm_semdedup). Floor 16 keeps
+    * the historical geometry on small corpora; cap 4096 bounds
+    * [[assign]]'s literal-centroid argmax expression — past ~0.5 M
+    * distinct vectors swap assign's typedlit argmax for a broadcast join
+    * on cent candidates before raising the cap. */
+  def adaptiveK(n: Long, targetCell: Int = 128): Int =
+    math.min(4096, math.max(16, math.ceil(n.toDouble / targetCell.toDouble).toInt))
+
   /** k-means training over a (vec_id, v: array<double>) DataFrame.
     * Centroids are MODEL PARAMETERS (k×dims doubles): each iteration
     * materializes them to the driver and restarts from a literal relation —

@@ -71,7 +71,26 @@ object TrainingDataPrep {
       evalNgrams: Option[DataFrame] = None,
       chunkContamMin: Double = 0.5,
       onStage: (String, Double) => Unit = (_, _) => ()): Outputs = {
-    val docs = docsIn.select(col("doc_id"), col("lang"), col("text"))
+    // The input is scanned by four consumers (exact-dedup groupBy, the s1
+    // join, the corpus count, the dropped report) — cache it once, and
+    // count it HERE so the fixture-construction joins a caller passes in
+    // run exactly once (the count also fills the cache eagerly).
+    val docs = docsIn.select(col("doc_id"), col("lang"), col("text")).cache()
+    val nCorpus = docs.count()
+
+    // STAGE LINEAGE MUST BE CUT, not just cached: s3's plan references s2
+    // five times (minhashPairs walks its grouped/sh subtrees thrice/twice),
+    // s4 references s3 three times, s5 references s4 twice — so a cache()
+    // chain leaves the LOGICAL plan growing ~30× per stage of depth, and
+    // Catalyst re-analyzes that whole tree for every downstream action even
+    // though execution reads the cache (measured at sf0.1/32 threads: the
+    // decontaminate stage spent 11.26 s wall on 0.86 s of Spark jobs — the
+    // difference was driver-side analysis of a plan embedding the full
+    // pipeline lineage multiple times). localCheckpoint truncates the plan
+    // to the materialized partitions — exactly the stage-boundary
+    // checkpoint a 100 TB pipeline writes to storage anyway — and planning
+    // cost returns to linear in pipeline depth. Lazy (eager=false): each
+    // stage materializes in the timed foreach below, in dependency order.
 
     // 1. exact dedup: keep the smallest doc_id per raw text (group by the
     // content itself — no hash pass; map-side partials shrink the shuffle
@@ -83,11 +102,11 @@ object TrainingDataPrep {
     val s1 = docs.join(exactKept, "doc_id")
       // two downstream stages and the attrition count branch from this
       // survivor set (the op-60 materialization point)
-      .cache()
+      .localCheckpoint(false)
 
     // 2. quality filter — the oracled formula, map-side
     val scored = s1.withColumn("q", TextOps.qualityFeatures(col("text")))
-    val s2 = scored.filter(col("q.quality") >= qualityMin).cache()
+    val s2 = scored.filter(col("q.quality") >= qualityMin).localCheckpoint(false)
 
     // 3. near-dup removal on survivors: LSH candidates + exact Jaccard,
     // drop the larger id of each verified pair
@@ -96,7 +115,7 @@ object TrainingDataPrep {
         shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4,
         threshold = neardupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").cache()
+    val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
     // 4. chunk-boilerplate filter: per-doc fraction of content-defined
     // chunks whose first occurrence (min (doc_id, idx)) is elsewhere;
@@ -121,7 +140,7 @@ object TrainingDataPrep {
       .filter((col("n_chunks") - coalesce(col("n_owned"), lit(0L))).cast("double")
         > col("n_chunks").cast("double") * chunkDupMax)
       .select("doc_id")
-    val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").cache()
+    val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
     // 5. chunk-level decontamination (only when an eval set is supplied):
     // a doc dies when any CDC chunk concentrates ≥ chunkContamMin of its
@@ -148,9 +167,9 @@ object TrainingDataPrep {
           .filter(col("hits").cast("double") >= col("n_chsh").cast("double") * chunkContamMin)
           .select("doc_id").distinct()
     }
-    val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti").cache()
+    val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
-    // Fill the stage caches EAGERLY, in dependency order. The attrition
+    // Materialize the stage checkpoints EAGERLY, in dependency order. The attrition
     // report references every stage from several branches of one union;
     // evaluated lazily inside a single action those branches race to fill
     // the same cache and each racer re-runs the full upstream chain —
@@ -213,7 +232,6 @@ object TrainingDataPrep {
     import session.implicits._
     val stageNames = stageDefs.map { case (name, ord, _) => (ord, name) }
       .toDF("stage_ord", "stage")
-    val nCorpus = docs.count()
     val prevOut = outAgg.select((col("stage_ord") + 1).as("stage_ord"),
       col("docs_out").as("prev_out"))
     val attrition = stageNames

@@ -38,9 +38,15 @@ object Bucketed {
     // part file is rewritten in place
     val sig = specs.flatMap(_.sigTables).distinct
       .map(t => LayoutUtil.dataSig(s"$dir/$t.parquet")).mkString("_")
+    // the tag must also pin WHAT is being laid out, not just the source
+    // bytes: two ensure() calls whose sigTables coincide but whose spec
+    // names/keys/projections differ must not share a database (r5 ADVICE)
+    val specSig = specs.map(sp =>
+      s"${sp.name}:${sp.key}:${sp.src.schema.map(f => f.name + ":" + f.dataType.sql).mkString(",")}")
+      .mkString(";")
     // MD5, not String.hashCode: a 32-bit tag collision would silently
     // serve a WRONG cached layout (the ZOrder.cacheTag argument)
-    val tag = ZOrder.cacheTag(s"$dir|$sig|$buckets")
+    val tag = ZOrder.cacheTag(s"$dir|$sig|$buckets|$specSig")
     val db = s"graftbuckets_$tag"
     val loc = s"/tmp/graft_bucket_wh_$tag"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")

@@ -27,8 +27,13 @@ object LayoutUtil {
     def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(files)).getOrElse(Nil)
       else Seq(f)
+    // key by the path RELATIVE to the dataset root, not the base name:
+    // partitioned datasets (cent_id=N/part-*.parquet) reuse base names
+    // across partitions, and a same-size/same-mtime file moving between
+    // partitions must rotate the signature (r5 ADVICE)
+    val root = new java.io.File(path).getAbsolutePath
     val parts = files(new java.io.File(path))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getAbsolutePath.stripPrefix(root)}:${f.length}:${f.lastModified}")
       .sorted.mkString("|")
     cacheId(s"$path|$parts")
   }

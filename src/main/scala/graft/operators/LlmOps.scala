@@ -219,14 +219,37 @@ object LlmOps extends QueryGroup {
       FROM reach GROUP BY id
       ORDER BY doc_id ASC NULLS FIRST"""))
 
+  /** 64-bit SimHash per document. Oracled via the JVM-twin primitive dump
+    * (graft.Fixtures.simhashTokens): the fixture carries one row per token
+    * occurrence with its xxhash64, and the oracle recomputes the per-bit
+    * ±1 majority and the MSB-first packing in SQL — bit 63 is the sign
+    * bit, added as the Long.MinValue literal (the Java shiftleft wrap). */
   private val llmDedupSimhash = GraftQuery(
     "llm_dedup_simhash",
-    (s, dir) =>
+    (s, dir) => {
+      graft.Fixtures.simhashTokens(s, dir) // primitive dump for the DuckDB oracle
       graft.etl.TextDedup.simhashes(
           Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
         .select(col("id").as("doc_id"), col("simhash"))
-        .orderBy(col("doc_id").asc_nulls_first),
-    None)
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, h
+        FROM read_parquet('/tmp/graft_fixture_simtok_sf0.01/*.parquet')),
+      bits AS (
+        SELECT t.doc_id, b.b,
+               CASE WHEN SUM(CASE WHEN ((t.h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM tok t CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(64)) b
+        GROUP BY t.doc_id, b.b)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bit = 1 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << b) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** n-gram Jaccard near-dup with BLOCKED candidate generation: pairs are
     * compared only within a (lang, source) block — at sf0.1 that is ~100k
@@ -1175,11 +1198,17 @@ object LlmOps extends QueryGroup {
       ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** Winnowing fingerprints (rolling char-8-gram hashes, min per 4-window):
-    * robust local document fingerprint. Oracle: none (xxhash64 is
-    * Spark-specific); LlmOpsSpec asserts edit-robustness properties. */
+    * robust local document fingerprint. Oracled via the JVM-twin primitive
+    * dump (graft.Fixtures.fingerprintGrams): the fixture carries every
+    * (position, gram-hash) row, and the oracle recomputes the window
+    * minima (frame = CURRENT ROW..3 FOLLOWING, truncating at the tail
+    * exactly like slice), the window-count rule max(n−3, 1), the distinct
+    * + ascending sort, and the first-4 head join in SQL. LlmOpsSpec still
+    * pins the edit-robustness properties. */
   private val llmFingerprint = GraftQuery(
     "llm_fingerprint",
-    (s, dir) =>
+    (s, dir) => {
+      graft.Fixtures.fingerprintGrams(s, dir) // primitive dump for the DuckDB oracle
       Tables.documents(s, dir)
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("grams", TextOps.charGramHashes("norm", 8))
@@ -1190,8 +1219,26 @@ object LlmOps extends QueryGroup {
           // Stringified: the driver sorts/hashes even oracle-less outputs and
           // chokes on array cells; LlmOpsSpec pins the array form.
           array_join(transform(slice(col("fps"), 1, 4), _.cast("string")), ",").as("fp_head"))
-        .orderBy(col("doc_id").asc_nulls_first),
-    None)
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, i, h
+        FROM read_parquet('/tmp/graft_fixture_fpgrams_sf0.01/*.parquet')),
+      n AS (SELECT doc_id, max(i) AS n FROM g GROUP BY doc_id),
+      w AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i ASC
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g),
+      keep AS (
+        SELECT w.doc_id, w.m FROM w JOIN n ON w.doc_id = n.doc_id
+        WHERE w.i <= greatest(n.n - 3, 1)),
+      d AS (SELECT DISTINCT doc_id, m FROM keep)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_fps,
+             array_to_string(list_sort(list(m))[1:4], ',') AS fp_head
+      FROM d GROUP BY doc_id
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** Custom Generator surface (the UDTF escape hatch): shingle_rows emits
     * one row per complete n-word window, streaming — no intermediate array
@@ -2046,8 +2093,12 @@ object LlmOps extends QueryGroup {
           transform(col("v"), x => x * 0.9 + 0.02).as("v"))
       val all = base.unionByName(planted)
       val grouped = vecGroups(all)
-      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
-      val cents = graft.etl.Ivf.train(reps, k = 16, iters = 3)
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
+      // k from the DISTINCT count (Ivf.adaptiveK): bounded cell population
+      // keeps the within-cell pairwise linear in N — a fixed k was the r5
+      // verdict's quadratic-at-scale residue. One scalar count of an
+      // already-cached set: bounded driver state.
+      val cents = graft.etl.Ivf.train(reps, k = graft.etl.Ivf.adaptiveK(reps.count()), iters = 3)
       val assigned = graft.etl.Ivf.assign(reps, cents)
       val ids = assigned.select(col("cent_id"), col("vec_id"))
       val candIds = ids.as("a").join(ids.as("b"),
@@ -2465,15 +2516,25 @@ object LlmOps extends QueryGroup {
     * per word — the cdcChunks CSE rule; hashing inside the accumulate
     * lambda would re-run per (word × dimension)), then one aggregate
     * lambda builds the dense array. Zero shuffles beyond the dedup
-    * group; embedding 100 TB of text is a map job. Oracle: none
-    * (xxhash64 is Spark-specific); LlmOpsSpec-style property pins in
-    * CorpusOpsSpec (determinism, mutant-closer-than-stranger, unit
-    * norm). */
+    * group; embedding 100 TB of text is a map job. Oracled via the
+    * JVM-twin primitive dump (graft.Fixtures.hashEmbedPairs): the fixture
+    * carries each distinct text's per-word (dim, sign) pairs, and the
+    * oracle re-derives the text→rep grouping from raw documents and the
+    * sign accumulation + L2 normalization in SQL (raw sums are small
+    * exact integers, so the norm and divisions are bit-exact across
+    * engines); CorpusOpsSpec keeps the property pins (determinism,
+    * mutant-closer-than-stranger, native-vs-declarative parity). */
   private val llmHashEmbed = GraftQuery(
     "llm_hash_embed",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.hashEmbedPairs(s, dir) // primitive dump for the DuckDB oracle
       val D = 64
+      // head dims as SEPARATE rounded double columns (not a stringified
+      // array): doubles hash bit-exactly in the driver compare, while
+      // Java 17's Double.toString is not guaranteed shortest-roundtrip,
+      // so string formatting would be the one non-deterministic seam
+      val embCols = (0 until 8).map(i => round(col("he.emb")(i), 6).as(s"emb_$i"))
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
         .groupBy(col("t"))
@@ -2484,13 +2545,47 @@ object LlmOps extends QueryGroup {
         // row (each fold step rebuilds the D-array) and lives on as the
         // spec's parity oracle
         .withColumn("he", expr(s"hash_embed(t, $D)"))
-        .select(explode(col("members")).as("doc_id"),
-          round(col("he.norm"), 6).as("raw_l2_norm"),
-          array_join(transform(slice(col("he.emb"), 1, 8),
-            x => round(x, 6).cast(StringType)), ",").as("emb_head"))
+        .select(Seq(explode(col("members")).as("doc_id"),
+          round(col("he.norm"), 6).as("raw_l2_norm")) ++ embCols: _*)
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH nrm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      grp AS (SELECT t, min(doc_id) AS rep FROM nrm GROUP BY t),
+      px AS (
+        SELECT rep, dim, sign
+        FROM read_parquet('/tmp/graft_fixture_hepairs_sf0.01/*.parquet')),
+      raw AS (SELECT rep, dim, CAST(SUM(sign) AS DOUBLE) AS r FROM px GROUP BY rep, dim),
+      nm AS (SELECT rep, sqrt(SUM(r * r)) AS norm FROM raw GROUP BY rep),
+      head AS (
+        SELECT g.rep, d.dim, coalesce(raw.r, 0.0) AS r
+        FROM (SELECT DISTINCT rep FROM px) g
+        CROSS JOIN (SELECT CAST(range AS INTEGER) AS dim FROM range(8)) d
+        LEFT JOIN raw ON raw.rep = g.rep AND raw.dim = d.dim),
+      emb AS (
+        SELECT h.rep, h.dim,
+               CASE WHEN nm.norm = 0 THEN h.r ELSE h.r / nm.norm END AS e
+        FROM head h JOIN nm ON nm.rep = h.rep),
+      wide AS (
+        SELECT rep,
+               round(MAX(CASE WHEN dim = 0 THEN e END), 6) AS emb_0,
+               round(MAX(CASE WHEN dim = 1 THEN e END), 6) AS emb_1,
+               round(MAX(CASE WHEN dim = 2 THEN e END), 6) AS emb_2,
+               round(MAX(CASE WHEN dim = 3 THEN e END), 6) AS emb_3,
+               round(MAX(CASE WHEN dim = 4 THEN e END), 6) AS emb_4,
+               round(MAX(CASE WHEN dim = 5 THEN e END), 6) AS emb_5,
+               round(MAX(CASE WHEN dim = 6 THEN e END), 6) AS emb_6,
+               round(MAX(CASE WHEN dim = 7 THEN e END), 6) AS emb_7
+        FROM emb GROUP BY rep)
+      SELECT n.doc_id, round(nm.norm, 6) AS raw_l2_norm,
+             w.emb_0, w.emb_1, w.emb_2, w.emb_3, w.emb_4, w.emb_5, w.emb_6, w.emb_7
+      FROM nrm n
+      JOIN grp g ON n.t = g.t
+      JOIN nm ON nm.rep = g.rep
+      JOIN wide w ON w.rep = g.rep
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** LENGTH-BUCKETED BATCHING — the padding-efficiency stage of a
     * training-data pipeline: documents batch with similarly-sized

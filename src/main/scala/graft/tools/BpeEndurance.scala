@@ -38,8 +38,12 @@ object BpeEndurance {
       .select(TextOps.normalize(col("text")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("gsz"))
     val wf = g.select(col("gsz"), split(col("t"), " ").as("ws"))
+      // guard: sequence(1, 0) is the DESCENDING [1, 0] and slice(ws, 0, 4)
+      // throws, so a <=3-word doc must short-circuit to an empty gram array
       .select(col("gsz"), explode(expr(
-        "transform(sequence(1, greatest(size(ws)-3, 0)), i -> concat_ws('_', slice(ws, i, 4)))"))
+        "case when size(ws) >= 4 then " +
+          "transform(sequence(1, size(ws)-3), i -> concat_ws('_', slice(ws, i, 4))) " +
+          "else array() end"))
         .as("w"))
       .groupBy(col("w")).agg(sum(col("gsz")).as("cnt"))
       .localCheckpoint()

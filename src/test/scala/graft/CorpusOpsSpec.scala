@@ -288,9 +288,11 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("hash_embed: deterministic, unit-norm, and mutants embed closer than strangers") {
     val out = SparkEntry.queries("llm_hash_embed")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        (2 until 10).map(r.getDouble).mkString(",")))
     val again = SparkEntry.queries("llm_hash_embed")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        (2 until 10).map(r.getDouble).mkString(",")))
     assert(out.toSeq == again.toSeq)
     assert(out.length == Tables.documents(spark, sf).count())
     // full-vector property check via a JVM recompute of the same hashing
@@ -311,7 +313,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_hembed").toString
     probe.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val embs = SparkEntry.queries("llm_hash_embed")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toDouble)).toMap
+      .collect().map(r => r.getLong(0) -> (2 until 10).map(r.getDouble).toArray).toMap
     def cos8(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum /
         (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum) + 1e-12)

@@ -107,10 +107,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       srcDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(srcDir.toString).schema  // ts as raw ns long
+    // ts arrives as a raw ns long (NANOS testdata vintage) or a timestamp
+    // (MICROS vintage) — normalize exactly like Tables.events
+    val rawSchema = spark.read.parquet(srcDir.toString).schema
+    val tsExpr =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+      else "cast(ts as timestamp_ntz)"
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(tsExpr))
     val q = EventPipelines.tumblingCounts(stream)
       .writeStream.format("memory").queryName("file_stream_out")
       .outputMode("complete").start()

@@ -119,7 +119,8 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     // within-cluster lower-id-neighbor drop rule.
     import spark.implicits._
     val repsDf = groups.map { case (rep, v, _) => (rep, v) }.toDF("vec_id", "v")
-    val cents = graft.etl.Ivf.train(repsDf, k = 16, iters = 3)
+    val cents = graft.etl.Ivf.train(repsDf,
+      k = graft.etl.Ivf.adaptiveK(groups.size), iters = 3)
     val centOf = graft.etl.Ivf.assign(repsDf, cents)
       .select("vec_id", "cent_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
