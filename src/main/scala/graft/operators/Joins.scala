@@ -383,6 +383,37 @@ object Joins extends QueryGroup {
       GROUP BY n_name
       ORDER BY n_name ASC NULLS FIRST"""))
 
+  /** The generic custkey co-location EARNING ITS BUILD (r5 verdict item
+    * 5): a per-customer order profile where BOTH stages ride the
+    * `orders_bc`/`customer_b` bucketing — the o_custkey aggregation needs
+    * no exchange (the bucketed scan already satisfies its clustering), and
+    * the customer join is a zero-exchange SMJ on the shared bucket count.
+    * The only exchange left in the plan is the KB-scale presentation
+    * sort — at 100 TB this is THE shape for repeated ad-hoc per-customer
+    * rollups: every query on the custkey axis is shuffle-free once the
+    * layout exists. Oracle: the plain join+group SQL over the raw tables
+    * (the layout changes only the physical plan); PlanSpec pins zero
+    * custkey exchange and the SMJ. */
+  private val joinCustkeyColocated = GraftQuery(
+    "join_custkey_colocated",
+    (s, dir) => {
+      val Seq(customerB, ordersBc, _) = bucketedDims(s, dir)
+      val perCust = s.table(ordersBc)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("spend"))
+      s.table(customerB).select("c_custkey", "c_mktsegment")
+        .hint("merge")
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"), col("spend"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+             ${Det.sqlSum("o_totalprice")} AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey ASC NULLS FIRST"""))
+
   /** RUNTIME BLOOM-FILTER pruned join — Spark's InjectRuntimeFilter: a
     * selective predicate on the dimension side is compiled into a bloom
     * filter that is evaluated against the FACT side's join key *before*
@@ -444,5 +475,5 @@ object Joins extends QueryGroup {
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
     joinAsof, joinAsofNative, joinInterval, joinBucketedColocated,
-    joinStarColocated, joinBloomRuntime)
+    joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }

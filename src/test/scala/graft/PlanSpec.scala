@@ -52,6 +52,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
   }
 
+  test("join_custkey_colocated: custkey agg and customer join both ride the " +
+      "bucketing — zero custkey exchange") {
+    val p = plan("join_custkey_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "co-located custkey rollup still shuffles a join/group key:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "the layout row must not fall back to a broadcast join:\n" + p)
+  }
+
   test("join_bloom_runtime: bloom filter injected on the fact side of the shuffle join") {
     val p = plan("join_bloom_runtime")
     assert(p.toLowerCase.contains("might_contain"),
