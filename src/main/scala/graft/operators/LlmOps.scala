@@ -2593,7 +2593,7 @@ object LlmOps extends QueryGroup {
     * bucket), so a batch pads to its own max instead of the corpus max.
     * Buckets are QUANTILE-DRIVEN (r4 verdict item 3 — the fixed 8-bucket
     * cut capped the rank at 8 window partitions): bucket count B grows
-    * with the corpus, B = clamp(⌈N/64⌉, 8, 1024), and each document's
+    * with the corpus, B = max(8, ⌈N/64⌉), and each document's
     * bucket is its equal-frequency quantile slot
     * `(cum_lt · B) div N` where cum_lt = #docs with strictly smaller
     * token count — so every bucket holds ≈64 docs (≈4 batches) of
@@ -2609,12 +2609,14 @@ object LlmOps extends QueryGroup {
     * driver holds numPartitions longs — never an unpartitioned window);
     * docs pick their bucket through a broadcast join against that
     * bounded histogram; the per-bucket rank runs in B window partitions
-    * that GROW with the data (the r4 parallelism cap removed). N is one
-    * scalar count (bounded driver state). The 1024 cap is a padding
-    * saturation point, not a parallelism cap — past it the within-bucket
-    * length spread is already ≪ batch-max padding noise; raise it with
-    * corpus size if batches-per-bucket must stay constant. Fully
-    * deterministic (integer arithmetic only) → exact DuckDB oracle. */
+    * that GROW with the data (the r4 parallelism cap removed, and the r5
+    * 1024-bucket cap with it: B is now UNCAPPED, so batches-per-bucket
+    * stays ≈4 at any corpus size — every per-bucket window is ~64 rows
+    * forever; the broadcast join still carries one row per DISTINCT
+    * length, bounded by the token-length range, not by B). N is one
+    * scalar count
+    * (bounded driver state). Fully deterministic (integer arithmetic
+    * only) → exact DuckDB oracle. */
   private val llmLengthBucketBatch = GraftQuery(
     "llm_length_bucket_batch",
     (s, dir) => {
@@ -2627,7 +2629,7 @@ object LlmOps extends QueryGroup {
           size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
         .localCheckpoint()
       val n = lens.count()
-      val b = math.max(8L, math.min(1024L, (n + 63L) / 64L))
+      val b = math.max(8L, (n + 63L) / 64L)
       val hist = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
       val bucketOf = graft.etl.SequencePack
         .withPrefixSum(hist, Seq(col("n_tokens").asc), "c", prefixCol = "cum_lt")
@@ -2652,7 +2654,7 @@ object LlmOps extends QueryGroup {
                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
         FROM documents),
       tot AS (SELECT COUNT(*) AS n,
-                     GREATEST(8, LEAST(1024, (COUNT(*) + 63) // 64)) AS b
+                     GREATEST(8, (COUNT(*) + 63) // 64) AS b
               FROM t),
       hist AS (SELECT n_tokens, COUNT(*) AS c FROM t GROUP BY n_tokens),
       cum AS (SELECT n_tokens,
