@@ -40,17 +40,23 @@ object Ivf {
       .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
   }
 
-  /** Cluster count for a bounded within-cell pairwise pass (SemDeDup):
-    * cells hold ~targetCell distinct vectors on average, so the
-    * within-cell all-pairs total is ~N·targetCell/2 — LINEAR in N, where
-    * any FIXED k leaves cell population N/k and the pass quadratic as the
-    * corpus grows (the r5 scale-killer on llm_semdedup). Floor 16 keeps
-    * the historical geometry on small corpora; cap 4096 bounds
-    * [[assign]]'s literal-centroid argmax expression — past ~0.5 M
-    * distinct vectors swap assign's typedlit argmax for a broadcast join
-    * on cent candidates before raising the cap. */
-  def adaptiveK(n: Long, targetCell: Int = 128): Int =
-    math.min(4096, math.max(16, math.ceil(n.toDouble / targetCell.toDouble).toInt))
+  /** Cluster count for the cluster-scoped pairwise pass (SemDeDup):
+    * k = ⌈√N⌉, the BALANCE POINT of the two costs that pull k in
+    * opposite directions — within-cell all-pairs is ~N²/(2k) (wants k
+    * large; any FIXED k leaves it quadratic, the r5 scale-killer on
+    * llm_semdedup) while centroid assignment/training is ~N·k per pass
+    * (wants k small; k ∝ N would just move the quadratic there). At
+    * k = √N both terms are O(N^1.5) — the standard SemDeDup compromise
+    * (the paper's own configs sit near √N cells for corpus sizes in the
+    * millions). Truly linear scaling needs candidate pruning INSIDE
+    * cells (the VectorLsh band machinery at the drop threshold) — the
+    * named next increment, not a k choice. Floor 16 keeps the historical
+    * geometry on small corpora; cap 4096 bounds [[assign]]'s
+    * literal-centroid argmax expression — past ~16 M distinct vectors
+    * swap assign's typedlit argmax for a broadcast join before raising
+    * the cap. */
+  def adaptiveK(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** k-means training over a (vec_id, v: array<double>) DataFrame.
     * Centroids are MODEL PARAMETERS (k×dims doubles): each iteration

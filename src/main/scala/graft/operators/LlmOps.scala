@@ -2094,9 +2094,10 @@ object LlmOps extends QueryGroup {
       val all = base.unionByName(planted)
       val grouped = vecGroups(all)
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
-      // k from the DISTINCT count (Ivf.adaptiveK): bounded cell population
-      // keeps the within-cell pairwise linear in N — a fixed k was the r5
-      // verdict's quadratic-at-scale residue. One scalar count of an
+      // k from the DISTINCT count (Ivf.adaptiveK = ⌈√N⌉): balances the
+      // within-cell pairwise (~N²/2k) against assignment/training (~N·k)
+      // at O(N^1.5) apiece — a fixed k was the r5 verdict's
+      // quadratic-at-scale residue. One scalar count of an
       // already-cached set: bounded driver state.
       val cents = graft.etl.Ivf.train(reps, k = graft.etl.Ivf.adaptiveK(reps.count()), iters = 3)
       val assigned = graft.etl.Ivf.assign(reps, cents)
