@@ -143,6 +143,43 @@ object Fixtures {
         .toDF("doc_id", "i", "h")
     }
 
+  /** llm_dedup_minhash primitive dump: one row per DISTINCT 5-word
+    * shingle of the neardup corpus, carrying its full 64-slot seed-family
+    * hash array hs[j] = h1 + j·(h2|1) (the MinHashSignature Broder
+    * family: h1/h2 = xxhash64 of the shingle at seeds 42/43, Java
+    * wrapping arithmetic — recomputed here as a plain Scala loop). The
+    * oracle re-derives each doc's distinct shingle set from the corpus
+    * parquet in SQL, joins this table, takes min per seed for the
+    * signature, groups band 4-tuples for candidates (tuple equality ⊆
+    * Spark's band-hash equality; hash collisions only ADD candidates,
+    * which the exact-Jaccard verification removes), and verifies +
+    * expands exactly like the operator. */
+  def minhashShingleHashes(s: SparkSession, dir: String): String = {
+    val corpus = neardupCorpus(s, dir)
+    ensure(s, dir, "mhsig") {
+      import s.implicits._
+      s.read.parquet(corpus).select(col("text")).as[String]
+        .mapPartitions(_.flatMap { text =>
+          val w = jvmNormalize(text).split(" ", -1)
+          val upper = math.max(w.length - 4, 1)
+          (1 to upper).iterator
+            .map(i => w.slice(i - 1, math.min(i + 4, w.length)).mkString(" "))
+        })
+        .distinct()
+        .mapPartitions(_.map { sh =>
+          val b = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h1 = xxSeed(b, 42L)
+          val h2 = xxSeed(b, 43L) | 1L
+          (sh, Array.tabulate(64)(j => h1 + j.toLong * h2))
+        })
+        .toDF("sh", "hs")
+    }
+  }
+
+  private def xxSeed(bytes: Array[Byte], seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+
   /** llm_hash_embed primitive stream: one row per word occurrence of each
     * DISTINCT normalized text (keyed by its min-doc_id rep — the same
     * dedup-first grouping the row performs), carrying the word's hashed

@@ -100,20 +100,81 @@ object LlmOps extends QueryGroup {
     * verification ≥ 0.5, over the PLANTED FIXTURE corpus
     * (graft.Fixtures.neardupCorpus — one-word mutants of every 25th doc,
     * built once as parquet so the timed query is a pure operator over its
-    * input, no synthetic rows manufactured in-query). Oracle: none
-    * (SURVEY G4) — LlmOpsSpec asserts exactly the planted pairs are
-    * recovered. */
+    * input, no synthetic rows manufactured in-query).
+    *
+    * Oracled (r6 — SURVEY G4's "none by design" retired by the JVM-twin
+    * fixture pattern): Fixtures.minhashShingleHashes dumps the Broder
+    * seed-family hash array per DISTINCT shingle; the oracle re-derives
+    * doc shingle sets from the corpus parquet, min-reduces the signature,
+    * buckets band 4-TUPLES (tuple equality ⊆ band-hash equality — a hash
+    * collision can only ADD candidates, and exact-Jaccard verification
+    * removes them), verifies at ≥ 0.5, and expands identity groups.
+    * LlmOpsSpec still asserts the planted pairs are recovered. */
   private val llmDedupMinhash = GraftQuery(
     "llm_dedup_minhash",
     (s, dir) => {
       val path = graft.Fixtures.neardupCorpus(s, dir)
+      graft.Fixtures.minhashShingleHashes(s, dir) // primitive dump for the oracle
       graft.etl.TextDedup.minhashPairs(
           s.read.parquet(path),
           shingleWords = 5, nHashes = SIG_HASHES,
           nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, threshold = 0.5)
         .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH docs AS (
+        SELECT id, text
+        FROM read_parquet('/tmp/graft_fixture_neardup_sf0.01/*.parquet')),
+      nrm AS (
+        SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM docs),
+      grp AS (
+        SELECT t, min(id) AS rep, list_sort(list(id)) AS members
+        FROM nrm GROUP BY t),
+      mem AS (SELECT rep, unnest(members) AS m FROM grp),
+      shing AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM grp)),
+      tok AS (SELECT rep, unnest(shs) AS sh FROM shing),
+      shh AS (
+        SELECT sh, unnest(hs) AS h, unnest(generate_series(0, 63)) AS seed
+        FROM read_parquet('/tmp/graft_fixture_mhsig_sf0.01/*.parquet')),
+      sig AS (
+        SELECT t.rep, s.seed, min(s.h) AS m
+        FROM tok t JOIN shh s USING (sh)
+        GROUP BY t.rep, s.seed),
+      sigarr AS (SELECT rep, list(m ORDER BY seed ASC) AS sig FROM sig GROUP BY rep),
+      bandrows AS (
+        SELECT rep, b.b,
+               array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bkey
+        FROM sigarr CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      cand AS (
+        SELECT DISTINCT a.rep AS ra, c.rep AS rb
+        FROM bandrows a JOIN bandrows c
+          ON a.b = c.b AND a.bkey = c.bkey AND a.rep < c.rep),
+      ver AS (
+        SELECT v.ra, v.rb,
+               CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)
+               END AS j
+        FROM cand v
+        JOIN shing sa ON sa.rep = v.ra
+        JOIN shing sb ON sb.rep = v.rb),
+      expanded AS (
+        SELECT least(ma.m, mb.m) AS doc_a, greatest(ma.m, mb.m) AS doc_b, v.j AS jaccard
+        FROM ver v
+        JOIN mem ma ON ma.rep = v.ra
+        JOIN mem mb ON mb.rep = v.rb
+        WHERE v.j >= 0.5),
+      intra AS (
+        SELECT a.m AS doc_a, b.m AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m)
+      SELECT doc_a, doc_b, jaccard FROM expanded
+      UNION ALL
+      SELECT doc_a, doc_b, jaccard FROM intra
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
   /** SimHash dedup signature: 64-bit per doc from token hashes; near-dups
     * differ in few bits (Hamming). Oracle: none — LlmOpsSpec asserts mutant
