@@ -25,9 +25,10 @@ object Fixtures {
     * older definition can never serve the new query. */
   private val FixtureVersion = 1
 
-  private def ensure(s: SparkSession, dir: String, name: String)
+  private def ensure(s: SparkSession, dir: String, name: String,
+      srcTable: String = "documents")
       (build: => DataFrame): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
     val sig = s"v$FixtureVersion|${layouts.ZOrder.sourceSig(src)}"
     val base = new java.io.File(dir).getName
     val path = s"/tmp/graft_fixture_${name}_$base"
@@ -175,6 +176,27 @@ object Fixtures {
         .toDF("sh", "hs")
     }
   }
+
+  /** llm_embed_pq model dump: the trained PQ codebooks (8 subspaces × 16
+    * codes) as rows (j, cid, cv, halfcc, cc) with the DRIVER-side derived
+    * literals the encode expression folds in (halfcc = Σcᵢ²/2 summed in
+    * element order, cc = 2·halfcc) — so the oracle's argmin scores are
+    * built from the SAME constants. Model determinism (lowest-id init,
+    * decimal-exact means) is PqSpec-pinned; this fixture treats the
+    * trained model as the declared INPUT and lets SQL recompute encode,
+    * reconstruction statistics, and the member fan-out. Signed by the
+    * embeddings table. */
+  def pqCodebooks(s: SparkSession, dir: String): String =
+    ensure(s, dir, "pqbooks", srcTable = "embeddings") {
+      import s.implicits._
+      val mdl = graft.operators.LlmOps.pqModels(s, dir)
+      mdl.books.zipWithIndex.flatMap { case (book, j) =>
+        book.sortBy(_._1).map { case (cid, cv) =>
+          val halfcc = cv.map(x => x * x).sum / 2.0
+          (j, cid, cv, halfcc, 2.0 * halfcc)
+        }
+      }.toDF("j", "cid", "cv", "halfcc", "cc")
+    }
 
   private def xxSeed(bytes: Array[Byte], seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(

@@ -2247,14 +2247,21 @@ object LlmOps extends QueryGroup {
     * 100 TB shape: dedup-first (codebooks train on DISTINCT vectors,
     * weighted fan-out after); training is Lloyd rounds whose model
     * (m×k×8 doubles) lives on the driver — the Ivf pattern; encode and
-    * decode are pure map-side literal expressions (zero shuffle). Oracle:
-    * none (k-means-based, like llm_ann_ivf); PqSpec pins determinism, a
-    * JVM argmin recompute of the codes, and codebook-beats-global-mean
-    * reconstruction. */
+    * decode are pure map-side literal expressions (zero shuffle).
+    *
+    * Oracled (r6): the trained codebooks are the declared INPUT
+    * (Fixtures.pqCodebooks dumps them with their driver-derived
+    * halfcc/cc literals; training determinism is PqSpec-pinned), and the
+    * oracle recomputes in SQL what the row computes in Catalyst: the
+    * per-subspace argmin of (halfcc − sv·cv) with ties to the lowest
+    * code id, the reconstruction statistics as j-ordered sums, the
+    * guarded cosine, and the dedup-group member fan-out. PqSpec keeps
+    * the JVM argmin recompute and codebook-beats-global-mean pins. */
   private val llmEmbedPq = GraftQuery(
     "llm_embed_pq",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.pqCodebooks(s, dir) // model dump for the DuckDB oracle
       // codebooks from the shared train-once model cache (bench `builds`
       // prewarms it as build_pq_model): the row measures dedup + encode +
       // stats — a serving system's per-run cost — not a quantizer retrain
@@ -2281,7 +2288,45 @@ object LlmOps extends QueryGroup {
           col("recon_cos"))
         .orderBy(col("vec_id").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grp AS (
+        SELECT v, min(vec_id) AS rep FROM emb GROUP BY v),
+      books AS (
+        SELECT j, cid, cv, halfcc, cc
+        FROM read_parquet('/tmp/graft_fixture_pqbooks_sf0.01/*.parquet')),
+      scored AS (
+        SELECT g.rep, b.j, b.cid,
+               b.halfcc - list_sum([g.v[len(b.cv) * b.j + i] * b.cv[i]
+                                    FOR i IN range(1, len(b.cv) + 1)]) AS negscore,
+               list_sum([g.v[len(b.cv) * b.j + i] * b.cv[i]
+                         FOR i IN range(1, len(b.cv) + 1)]) AS dot,
+               b.cc
+        FROM grp g CROSS JOIN books b),
+      best AS (
+        SELECT rep, j, cid, dot, cc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rep, j
+                ORDER BY negscore ASC, cid ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      stats AS (
+        SELECT rep,
+               array_to_string(list(CAST(cid AS VARCHAR) ORDER BY j ASC), ',') AS codes_str,
+               list_sum(list(dot ORDER BY j ASC)) AS recon_dot,
+               list_sum(list(cc ORDER BY j ASC)) AS recon_norm2
+        FROM best GROUP BY rep),
+      vn AS (SELECT rep, list_sum([x * x FOR x IN v]) AS vn2 FROM grp)
+      SELECT e.vec_id, st.codes_str,
+             round(CASE WHEN st.recon_norm2 = 0 OR vn.vn2 = 0 THEN 0.0
+                   ELSE st.recon_dot / (sqrt(vn.vn2) * sqrt(st.recon_norm2))
+                   END, 6) AS recon_cos
+      FROM emb e
+      JOIN grp g ON e.v = g.v
+      JOIN stats st ON st.rep = g.rep
+      JOIN vn ON vn.rep = g.rep
+      ORDER BY vec_id ASC NULLS FIRST"""))
 
   /** Driver-side cosine with dot_fast's element-order accumulation —
     * probe selection over collected centroid model params (bit-matches
@@ -2395,6 +2440,7 @@ object LlmOps extends QueryGroup {
     "llm_ann_pq_adc",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.pqCodebooks(s, dir) // model dump for the DuckDB oracle
       // codebooks from the shared train-once model cache (build_pq_model)
       val mdl = pqModels(s, dir)
       // dedup artifact materialized once (see llm_embed_pq's fusion note)
@@ -2418,7 +2464,51 @@ object LlmOps extends QueryGroup {
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
         .limit(10)
     },
-    None)
+    // Oracled (r6): same declared-model-input pattern as llm_embed_pq —
+    // the oracle rebuilds the ADC lookup table from the codebook fixture
+    // and the query vector IN SQL, re-derives each rep's codes by the
+    // same argmin, and scores codes-only exactly like the row (j-ordered
+    // sums, guarded cosine, (adc_cos DESC, vec_id ASC) top-10).
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grp AS (SELECT v, min(vec_id) AS rep FROM emb GROUP BY v),
+      books AS (
+        SELECT j, cid, cv, halfcc, cc
+        FROM read_parquet('/tmp/graft_fixture_pqbooks_sf0.01/*.parquet')),
+      q AS (SELECT v FROM emb WHERE vec_id = 0),
+      scored AS (
+        SELECT g.rep, b.j, b.cid,
+               b.halfcc - list_sum([g.v[len(b.cv) * b.j + i] * b.cv[i]
+                                    FOR i IN range(1, len(b.cv) + 1)]) AS negscore,
+               b.cc
+        FROM grp g CROSS JOIN books b),
+      best AS (
+        SELECT rep, j, cid, cc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rep, j
+                ORDER BY negscore ASC, cid ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      adct AS (
+        SELECT b.j, b.cid,
+               list_sum([q.v[len(b.cv) * b.j + i] * b.cv[i]
+                         FOR i IN range(1, len(b.cv) + 1)]) AS t
+        FROM books b CROSS JOIN q),
+      stats AS (
+        SELECT best.rep,
+               list_sum(list(a.t ORDER BY best.j ASC)) AS adc_dot,
+               list_sum(list(best.cc ORDER BY best.j ASC)) AS recon_norm2
+        FROM best JOIN adct a ON a.j = best.j AND a.cid = best.cid
+        GROUP BY best.rep),
+      qn AS (SELECT sqrt(list_sum([x * x FOR x IN v])) AS qnorm FROM q)
+      SELECT stats.rep AS vec_id,
+             round(CASE WHEN qn.qnorm = 0 OR stats.recon_norm2 = 0 THEN 0.0
+                   ELSE stats.adc_dot / (qn.qnorm * sqrt(stats.recon_norm2))
+                   END, 6) AS adc_cos
+      FROM stats CROSS JOIN qn
+      ORDER BY adc_cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+      LIMIT 10"""))
 
   /** IVF+PQ ANN — the composed architecture a 100 TB vector store
     * actually serves (Jégou et al. 2011 §V): the IVF coarse quantizer

@@ -158,12 +158,23 @@ object StreamingOps extends QueryGroup {
     * bounded bucket state, ESTIMATED-Jaccard emission. Registered through
     * its batch form (state starts empty; one batch = the corpus); the
     * actual streaming execution — multi-batch delivery, cross-batch pair
-    * discovery, state bound — is asserted in StreamingNearDupSpec. Oracle:
-    * none (the signature estimator is not SQL-expressible); the spec pins
-    * planted-mutant recovery and batch/stream agreement. */
+    * discovery, state bound — is asserted in StreamingNearDupSpec.
+    *
+    * Oracled (r6): the estimator IS SQL-expressible from the
+    * Fixtures.minhashShingleHashes primitive dump — est-Jaccard is the
+    * fraction of agreeing signature components (an exact k/64), bucket
+    * candidacy is band-4-TUPLE equality (⊆ bucket-hash equality;
+    * collisions only add candidate pairs, and a collision pair still
+    * needs ≥32 agreeing components to emit — vanishing), and the
+    * MaxPerBucket=64 arrival cap is ROW_NUMBER ≤ 64 under the sorted
+    * (doc_id-ordered) single-batch delivery the registry row performs.
+    * The corpus equals the neardup fixture corpus deduped to min-id
+    * reps, so the oracle reads that parquet. StreamingNearDupSpec keeps
+    * the genuinely streaming pins. */
   private val streamNeardupLsh = GraftQuery(
     "stream_neardup_lsh",
     (s, dir) => {
+      graft.Fixtures.minhashShingleHashes(s, dir) // primitive dump (also builds the corpus fixture)
       val raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mutants = raw.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -179,7 +190,49 @@ object StreamingOps extends QueryGroup {
         .nearDupPairs(docs.select(col("doc_id"), col("text")), threshold = 0.5)
         .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH docs AS (
+        SELECT id, text
+        FROM read_parquet('/tmp/graft_fixture_neardup_sf0.01/*.parquet')),
+      reps AS (SELECT min(id) AS rep, text FROM docs GROUP BY text),
+      rnrm AS (
+        SELECT rep, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM reps),
+      shing AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM rnrm)),
+      tok AS (SELECT rep, unnest(shs) AS sh FROM shing),
+      shh AS (
+        SELECT sh, unnest(hs) AS h, unnest(generate_series(0, 63)) AS seed
+        FROM read_parquet('/tmp/graft_fixture_mhsig_sf0.01/*.parquet')),
+      sig AS (
+        SELECT t.rep, s.seed, min(s.h) AS m
+        FROM tok t JOIN shh s USING (sh)
+        GROUP BY t.rep, s.seed),
+      sigarr AS (SELECT rep, list(m ORDER BY seed ASC) AS sig FROM sig GROUP BY rep),
+      bandrows AS (
+        SELECT rep, b.b,
+               array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bkey
+        FROM sigarr CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      rown AS (
+        SELECT rep, b, bkey,
+               ROW_NUMBER() OVER (PARTITION BY b, bkey ORDER BY rep ASC) AS rn
+        FROM bandrows),
+      cand AS (
+        SELECT DISTINCT a.rep AS ra, c.rep AS rb
+        FROM rown a JOIN rown c
+          ON a.b = c.b AND a.bkey = c.bkey AND a.rn < c.rn AND a.rn <= 64),
+      est AS (
+        SELECT c.ra, c.rb, SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS agree
+        FROM cand c
+        JOIN sig sa ON sa.rep = c.ra
+        JOIN sig sb ON sb.rep = c.rb AND sb.seed = sa.seed
+        GROUP BY c.ra, c.rb)
+      SELECT ra AS doc_a, rb AS doc_b,
+             round(CAST(agree AS DOUBLE) / 64.0, 4) AS est_jaccard
+      FROM est WHERE agree >= 32
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     streamStreamJoin, streamNeardupLsh,
