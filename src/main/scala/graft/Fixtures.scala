@@ -198,6 +198,29 @@ object Fixtures {
       }.toDF("j", "cid", "cv", "halfcc", "cc")
     }
 
+  /** IVF coarse-centroid model dump (cent_id, cv) — the k=16/iters=2
+    * centroids over the dedup-first embedding reps that llm_ann_ivf /
+    * llm_ann_ivfpq assign and probe against (the pqModels train-once
+    * cache; training determinism is IvfIndexSpec/VectorSpec-pinned).
+    * Signed by the embeddings table. */
+  def ivfCentroids(s: SparkSession, dir: String): String =
+    ensure(s, dir, "ivfcents", srcTable = "embeddings") {
+      import s.implicits._
+      graft.operators.LlmOps.pqModels(s, dir).cents.toDF("cent_id", "cv")
+    }
+
+  /** LSH hyperplane dump (j, h) — the DERIVED (hash-of-(j,i)) planes
+    * llm_ann_lsh (8 bits) and llm_ann_lsh_multiprobe (12 bits) project
+    * against; component(j, i) is independent of the bit count, so the 12
+    * rows cover both geometries. Data-independent, but signed like every
+    * fixture so the staleness machinery stays uniform. */
+  def lshPlanes(s: SparkSession, dir: String): String =
+    ensure(s, dir, "lshplanes", srcTable = "embeddings") {
+      import s.implicits._
+      graft.etl.VectorLsh.hyperplanes(12, 64).zipWithIndex
+        .map { case (h, j) => (j, h) }.toDF("j", "h")
+    }
+
   private def xxSeed(bytes: Array[Byte], seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)

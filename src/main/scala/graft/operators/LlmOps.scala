@@ -670,12 +670,20 @@ object LlmOps extends QueryGroup {
   /** IVF ANN: k-means-trained coarse quantizer (16 centroids, 2
     * deterministic Lloyd iterations — graft.etl.Ivf), nearest-centroid
     * assignment, query probes 4 of 16 buckets, exact rescoring inside the
-    * probed buckets. Oracle: none (approximate); VectorSpec asserts
-    * self-recall + containment in the exact top-50. */
+    * probed buckets.
+    *
+    * Oracled (r6): the trained centroids are the declared model input
+    * (Fixtures.ivfCentroids — identical to this row's own Ivf.train by
+    * determinism, which VectorSpec pins); the oracle recomputes the
+    * rounded-cosine argmax assignment (ties → lowest cent_id), the
+    * rounded top-4 probe choice, the in-cell exact rescoring, and the
+    * member fan-out + re-rank in SQL. VectorSpec keeps self-recall +
+    * exact-top-50 containment. */
   private val llmAnnIvf = GraftQuery(
     "llm_ann_ivf",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.ivfCentroids(s, dir) // model dump for the DuckDB oracle
       val vecs = docVec(s, dir)
       // train/assign/score over distinct vectors (vecGroups scaladoc);
       // the top-10 reps cover the true top-10, re-expanded + re-ranked
@@ -701,7 +709,42 @@ object LlmOps extends QueryGroup {
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(10)
     },
-    None)
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grp AS (SELECT v, min(vec_id) AS rep FROM emb GROUP BY v),
+      cents AS (
+        SELECT cent_id, cv
+        FROM read_parquet('/tmp/graft_fixture_ivfcents_sf0.01/*.parquet')),
+      q AS (SELECT v FROM emb WHERE vec_id = 0),
+      asg AS (
+        SELECT rep, cent_id FROM (
+          SELECT g.rep, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY g.rep
+                   ORDER BY round(list_cosine_similarity(g.v, c.cv), 6) DESC,
+                            c.cent_id ASC) AS rn
+          FROM grp g CROSS JOIN cents c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT cent_id FROM cents CROSS JOIN q
+        ORDER BY round(list_cosine_similarity(cv, q.v), 6) DESC NULLS LAST,
+                 cent_id ASC
+        LIMIT 4),
+      reptop AS (
+        SELECT g.rep, round(list_cosine_similarity(g.v, q.v), 6) AS cos_sim
+        FROM grp g
+        JOIN asg ON asg.rep = g.rep
+        JOIN probes p ON p.cent_id = asg.cent_id
+        CROSS JOIN q
+        ORDER BY cos_sim DESC NULLS LAST, g.rep ASC
+        LIMIT 10)
+      SELECT e.vec_id, rt.cos_sim
+      FROM reptop rt
+      JOIN grp g ON g.rep = rt.rep
+      JOIN emb e ON e.v = g.v
+      ORDER BY cos_sim DESC NULLS LAST, e.vec_id ASC NULLS FIRST
+      LIMIT 10"""))
 
   /** IVF ANN over the PERSISTED index layout (layouts.IvfIndex): the
     * vector table is written partitioned by cent_id ONCE (its resident
@@ -793,12 +836,18 @@ object LlmOps extends QueryGroup {
     * path"): 8-bit random-hyperplane sign buckets, query probes Hamming≤1
     * buckets only (9 of 256), exact cosine top-10 inside the probed set.
     * A perturbed near-duplicate of the query vector is planted and must be
-    * found (sign bits agree w.h.p. for cosine≈0.98 pairs). Oracle: none
-    * (approximate); VectorSpec asserts planted-neighbor recall. */
+    * found (sign bits agree w.h.p. for cosine≈0.98 pairs).
+    *
+    * Oracled (r6): the derived hyperplanes are the declared model input
+    * (Fixtures.lshPlanes — a pure function of (j, i), dumped so SQL can
+    * project); the oracle recomputes every vector's sign-bit bucket, the
+    * Hamming≤1 probe filter (bit_count ∘ xor), and the exact in-probe
+    * rescoring. VectorSpec keeps planted-neighbor recall. */
   private val llmAnnLsh = GraftQuery(
     "llm_ann_lsh",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.lshPlanes(s, dir) // plane dump for the DuckDB oracle
       val base = docVec(s, dir)
       val planted = base.filter(col("vec_id") === 0)
         .select(lit(9000000L).as("vec_id"),
@@ -813,7 +862,35 @@ object LlmOps extends QueryGroup {
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(10)
     },
-    None)
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv0 AS (SELECT v FROM base WHERE vec_id = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT 9000000, list_transform(v, x -> x * 0.9 + 0.02) FROM qv0),
+      planes AS (
+        SELECT j, h
+        FROM read_parquet('/tmp/graft_fixture_lshplanes_sf0.01/*.parquet')
+        WHERE j < 8),
+      bkt AS (
+        SELECT c.vec_id,
+               CAST(SUM(CASE WHEN list_sum([c.v[i] * p.h[i]
+                                            FOR i IN range(1, len(p.h) + 1)]) > 0
+                             THEN (1 << p.j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id),
+      qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0)
+      SELECT c.vec_id,
+             round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+      FROM corpus c
+      JOIN bkt ON bkt.vec_id = c.vec_id
+      CROSS JOIN qb CROSS JOIN qv0 q
+      WHERE bit_count(xor(bkt.bucket, qb.qbucket)) <= 1
+      ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
+      LIMIT 10"""))
 
   /** op 73 — text stats per language: doc/token/char totals + exact mean
     * tokens + top-3 terms. ONE tokenize/explode pass: the (lang, term)
@@ -1817,6 +1894,7 @@ object LlmOps extends QueryGroup {
     "llm_ann_lsh_multiprobe",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.lshPlanes(s, dir) // plane dump for the DuckDB oracle
       val base = docVec(s, dir)
       val planted = base.filter(col("vec_id") === 0)
         .select(lit(9000000L).as("vec_id"),
@@ -1829,7 +1907,37 @@ object LlmOps extends QueryGroup {
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
         .limit(10)
     },
-    None)
+    // Oracled (r6): the mask-join form is ≡ a Hamming≤2 filter on the
+    // 12-bit sign buckets — same plane fixture as llm_ann_lsh, wider
+    // geometry, bit_count(xor) ≤ 2.
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv0 AS (SELECT v FROM base WHERE vec_id = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT 9000000, list_transform(v, x -> x * 0.9 + 0.02) FROM qv0),
+      planes AS (
+        SELECT j, h
+        FROM read_parquet('/tmp/graft_fixture_lshplanes_sf0.01/*.parquet')),
+      bkt AS (
+        SELECT c.vec_id,
+               CAST(SUM(CASE WHEN list_sum([c.v[i] * p.h[i]
+                                            FOR i IN range(1, len(p.h) + 1)]) > 0
+                             THEN (1 << p.j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id),
+      qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0)
+      SELECT c.vec_id,
+             round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+      FROM corpus c
+      JOIN bkt ON bkt.vec_id = c.vec_id
+      CROSS JOIN qb CROSS JOIN qv0 q
+      WHERE bit_count(xor(bkt.bucket, qb.qbucket)) <= 2
+      ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
+      LIMIT 10"""))
 
   /** Scalar int8 EMBEDDING QUANTIZATION — the storage/serving format of a
     * large vector corpus (8× fewer scan bytes for ANN): per-vector min/max
@@ -2526,12 +2634,21 @@ object LlmOps extends QueryGroup {
     * (cent_id, codes, recon_norm2 — no floats) materializes once
     * (localCheckpoint — the same fusion note as llm_embed_pq); the timed
     * query is assign + encode + a pruned scan + m lookups per row +
-    * TakeOrderedAndProject. Oracle: none (k-means ×2); PqSpec pins
+    * TakeOrderedAndProject.
+    *
+    * Oracled (r6): both quantizer models are declared inputs
+    * (Fixtures.ivfCentroids + Fixtures.pqCodebooks); the oracle
+    * recomputes assignment (rounded-cosine argmax), the PQ argmin
+    * encode, the UNROUNDED top-4 probe choice (this row's topProbes
+    * selects on the raw driver cosine, unlike llm_ann_ivf's rounded
+    * column), the cell filter, and the ADC scoring in SQL. PqSpec keeps
     * recall containment vs the exact scan and cell-pruning reality. */
   private val llmAnnIvfPq = GraftQuery(
     "llm_ann_ivfpq",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      graft.Fixtures.ivfCentroids(s, dir) // model dumps for the DuckDB oracle
+      graft.Fixtures.pqCodebooks(s, dir)
       // both quantizers from the shared train-once model cache
       // (build_pq_model): the row measures assign + encode + probed search
       val mdl = pqModels(s, dir)
@@ -2552,7 +2669,64 @@ object LlmOps extends QueryGroup {
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
         .limit(10)
     },
-    None)
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      grp AS (SELECT v, min(vec_id) AS rep FROM emb GROUP BY v),
+      cents AS (
+        SELECT cent_id, cv
+        FROM read_parquet('/tmp/graft_fixture_ivfcents_sf0.01/*.parquet')),
+      books AS (
+        SELECT j, cid, cv, halfcc, cc
+        FROM read_parquet('/tmp/graft_fixture_pqbooks_sf0.01/*.parquet')),
+      q AS (SELECT v FROM emb WHERE vec_id = 0),
+      asg AS (
+        SELECT rep, cent_id FROM (
+          SELECT g.rep, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY g.rep
+                   ORDER BY round(list_cosine_similarity(g.v, c.cv), 6) DESC,
+                            c.cent_id ASC) AS rn
+          FROM grp g CROSS JOIN cents c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT cent_id FROM cents CROSS JOIN q
+        ORDER BY list_cosine_similarity(cv, q.v) DESC NULLS LAST, cent_id ASC
+        LIMIT 4),
+      scored AS (
+        SELECT g.rep, b.j, b.cid,
+               b.halfcc - list_sum([g.v[len(b.cv) * b.j + i] * b.cv[i]
+                                    FOR i IN range(1, len(b.cv) + 1)]) AS negscore,
+               b.cc
+        FROM grp g CROSS JOIN books b),
+      best AS (
+        SELECT rep, j, cid, cc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rep, j
+                ORDER BY negscore ASC, cid ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      adct AS (
+        SELECT b.j, b.cid,
+               list_sum([q.v[len(b.cv) * b.j + i] * b.cv[i]
+                         FOR i IN range(1, len(b.cv) + 1)]) AS t
+        FROM books b CROSS JOIN q),
+      stats AS (
+        SELECT best.rep,
+               list_sum(list(a.t ORDER BY best.j ASC)) AS adc_dot,
+               list_sum(list(best.cc ORDER BY best.j ASC)) AS recon_norm2
+        FROM best JOIN adct a ON a.j = best.j AND a.cid = best.cid
+        GROUP BY best.rep),
+      qn AS (SELECT sqrt(list_sum([x * x FOR x IN v])) AS qnorm FROM q)
+      SELECT stats.rep AS vec_id,
+             round(CASE WHEN qn.qnorm = 0 OR stats.recon_norm2 = 0 THEN 0.0
+                   ELSE stats.adc_dot / (qn.qnorm * sqrt(stats.recon_norm2))
+                   END, 6) AS adc_cos
+      FROM stats
+      JOIN asg ON asg.rep = stats.rep
+      JOIN probes p ON p.cent_id = asg.cent_id
+      CROSS JOIN qn
+      ORDER BY adc_cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+      LIMIT 10"""))
 
   /** The persisted IVF+PQ index the `llm_ann_ivfpq_persisted` row probes —
     * exposed so the bench prewarms it with the IDENTICAL cache key and
