@@ -285,7 +285,13 @@ object Bench {
           "build_fixture_cluster" -> clocked(Fixtures.clusterCorpus(spark, sfDir)),
           "build_fixture_simtok" -> clocked(Fixtures.simhashTokens(spark, sfDir)),
           "build_fixture_fpgrams" -> clocked(Fixtures.fingerprintGrams(spark, sfDir)),
-          "build_fixture_hepairs" -> clocked(Fixtures.hashEmbedPairs(spark, sfDir)))
+          "build_fixture_hepairs" -> clocked(Fixtures.hashEmbedPairs(spark, sfDir)),
+          "build_fixture_mhsig" -> clocked(Fixtures.minhashShingleHashes(spark, sfDir)),
+          "build_fixture_pqbooks" -> clocked(Fixtures.pqCodebooks(spark, sfDir)),
+          "build_fixture_ivfcents" -> clocked(Fixtures.ivfCentroids(spark, sfDir)),
+          "build_fixture_lshplanes" -> clocked(Fixtures.lshPlanes(spark, sfDir)),
+          "build_fixture_sdcents" -> clocked(Fixtures.semdedupCentroids(spark, sfDir)),
+          "build_fixture_cpsig" -> clocked(Fixtures.corpusPrepShingleHashes(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           name -> runRow(name, fn)
         }

@@ -159,22 +159,46 @@ object Fixtures {
     val corpus = neardupCorpus(s, dir)
     ensure(s, dir, "mhsig") {
       import s.implicits._
-      s.read.parquet(corpus).select(col("text")).as[String]
-        .mapPartitions(_.flatMap { text =>
-          val w = jvmNormalize(text).split(" ", -1)
-          val upper = math.max(w.length - 4, 1)
-          (1 to upper).iterator
-            .map(i => w.slice(i - 1, math.min(i + 4, w.length)).mkString(" "))
-        })
-        .distinct()
-        .mapPartitions(_.map { sh =>
-          val b = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val h1 = xxSeed(b, 42L)
-          val h2 = xxSeed(b, 43L) | 1L
-          (sh, Array.tabulate(64)(j => h1 + j.toLong * h2))
-        })
-        .toDF("sh", "hs")
+      shingleSeedRows(s.read.parquet(corpus).select(col("text")).as[String])
     }
+  }
+
+  /** llm_corpus_prep primitive dump: the same Broder seed-family table as
+    * [[minhashShingleHashes]], over the corpus-prep PLANTED corpus (base
+    * + copies + mutants + stitched + contaminated — the same
+    * LlmOps.corpusPrepFixture union the row runs on; the oracle
+    * re-derives the corpus itself in SQL, as the _stages oracle already
+    * proves it can). Powers the full-composite oracle's near-dup
+    * stage. */
+  def corpusPrepShingleHashes(s: SparkSession, dir: String): String =
+    ensure(s, dir, "cpsig") {
+      import s.implicits._
+      val (docs, planted, _) = graft.operators.LlmOps.corpusPrepFixture(s, dir)
+      shingleSeedRows(
+        docs.unionByName(planted).select(col("text")).as[String])
+    }
+
+  /** Distinct 5-word shingles of `texts` (jvmNormalize + the
+    * wordShingles window rule, incl. the short-text partial window) with
+    * their 64-slot seed-family hash arrays. */
+  private def shingleSeedRows(texts: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val s = texts.sparkSession
+    import s.implicits._
+    texts
+      .mapPartitions(_.flatMap { text =>
+        val w = jvmNormalize(text).split(" ", -1)
+        val upper = math.max(w.length - 4, 1)
+        (1 to upper).iterator
+          .map(i => w.slice(i - 1, math.min(i + 4, w.length)).mkString(" "))
+      })
+      .distinct()
+      .mapPartitions(_.map { sh =>
+        val b = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h1 = xxSeed(b, 42L)
+        val h2 = xxSeed(b, 43L) | 1L
+        (sh, Array.tabulate(64)(j => h1 + j.toLong * h2))
+      })
+      .toDF("sh", "hs")
   }
 
   /** llm_embed_pq model dump: the trained PQ codebooks (8 subspaces × 16
@@ -219,6 +243,16 @@ object Fixtures {
       import s.implicits._
       graft.etl.VectorLsh.hyperplanes(12, 64).zipWithIndex
         .map { case (h, j) => (j, h) }.toDF("j", "h")
+    }
+
+  /** Semdedup coarse-centroid model dump (cent_id, cv) — the √N-adaptive
+    * k-means model over the planted semdedup corpus, from the SAME
+    * LlmOps.semdedupGroupsAndCents call the registry row makes (training
+    * determinism makes dump ≡ row model). Signed by the embeddings
+    * table. */
+  def semdedupCentroids(s: SparkSession, dir: String): String =
+    ensure(s, dir, "sdcents", srcTable = "embeddings") {
+      graft.operators.LlmOps.semdedupGroupsAndCents(s, dir)._2
     }
 
   private def xxSeed(bytes: Array[Byte], seed: Long): Long =

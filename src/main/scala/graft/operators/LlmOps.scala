@@ -1180,21 +1180,181 @@ object LlmOps extends QueryGroup {
     * only the decontamination stage can catch it) so every stage has work
     * to do. Registered as its per-stage attrition report — the
     * deterministic corpus-curation summary (docs in/out + surviving token
-    * volume per stage). Oracle: none as a composite (the near-dup stage
-    * rests on minhash_sig) — but the DETERMINISTIC stages are oracled by
-    * the llm_corpus_prep_stages twin, and TrainingDataPrepSpec pins
+    * volume per stage). Oracled IN FULL since r6 (the near-dup stage's
+    * minhash rests on the corpus-prep shingle-hash fixture — the
+    * llm_dedup_minhash pattern); the llm_corpus_prep_stages twin keeps
+    * the approx-stages-disabled variant, and TrainingDataPrepSpec pins
     * stage-by-stage counts, that each planted copy/mutant/stitch/leak
     * dies in its intended stage, and determinism. */
   private val llmCorpusPrep = GraftQuery(
     "llm_corpus_prep",
     (s, dir) => {
+      graft.Fixtures.corpusPrepShingleHashes(s, dir) // primitive dump for the oracle
       val (docs, planted, evalSh) = corpusPrepFixture(s, dir)
       graft.examples.TrainingDataPrep
         .prepare(docs.unionByName(planted), evalNgrams = Some(evalSh))
         .attrition
         .orderBy(col("stage_ord").asc_nulls_first)
     },
-    None)
+    // Oracled (r6): the full composite, assembled from stage oracles each
+    // proven green on its own row — the _stages corpus construction +
+    // stages 1–2, the llm_dedup_minhash banding/verification machinery at
+    // threshold 0.8 (via the corpus-prep shingle-hash fixture), the
+    // llm_chunk_dedup CDC first-occurrence ownership SQL, and the
+    // llm_decontaminate_chunks chunk-leak rule (incl. its pooled
+    // (doc, n_chsh) grouping, mirrored exactly).
+    Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM base),
+      copies AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 50 = 0),
+      mutants AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\w+ ', 'graftmutant ') AS text
+        FROM base WHERE doc_id % 25 = 0),
+      stitched AS (
+        SELECT d.doc_id + 4000000 AS doc_id, d.text || ' ' || n.text AS text
+        FROM base d JOIN base n ON n.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 40 = 0),
+      evalq AS (
+        SELECT doc_id, array_to_string((string_split(t, ' '))[3:22], ' ') AS snip
+        FROM nrm WHERE doc_id % 97 = 0),
+      hosts AS (SELECT doc_id - 1 AS doc_id, string_split(t, ' ') AS hw FROM nrm),
+      contam AS (
+        SELECT e.doc_id + 5000000 AS doc_id,
+               concat(array_to_string([h.hw[i] FOR i IN range(len(h.hw), 0, -1)], ' '),
+                      ' ssentinel ', e.snip) AS text
+        FROM evalq e JOIN hosts h ON e.doc_id = h.doc_id
+        WHERE len(h.hw) >= 80),
+      corpus AS (
+        SELECT * FROM base UNION ALL SELECT * FROM copies UNION ALL
+        SELECT * FROM mutants UNION ALL SELECT * FROM stitched UNION ALL
+        SELECT * FROM contam),
+      s1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+          FROM corpus) WHERE rn = 1),
+      q AS (
+        SELECT doc_id, text,
+               0.4 * (CAST(len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                      / CAST(len(words) AS DOUBLE))
+               + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)) AS quality
+        FROM (SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM s1)),
+      s2 AS (SELECT doc_id, text FROM q WHERE quality >= 0.45),
+      n2 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM s2),
+      g3 AS (SELECT t, min(doc_id) AS rep, list_sort(list(doc_id)) AS members FROM n2 GROUP BY t),
+      mem3 AS (SELECT rep, unnest(members) AS m FROM g3),
+      sh3 AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM g3)),
+      tok3 AS (SELECT rep, unnest(shs) AS sh FROM sh3),
+      shh AS (
+        SELECT sh, unnest(hs) AS h, unnest(generate_series(0, 63)) AS seed
+        FROM read_parquet('/tmp/graft_fixture_cpsig_sf0.01/*.parquet')),
+      sig3 AS (
+        SELECT t.rep, s.seed, min(s.h) AS m
+        FROM tok3 t JOIN shh s USING (sh) GROUP BY t.rep, s.seed),
+      sigarr3 AS (SELECT rep, list(m ORDER BY seed ASC) AS sig FROM sig3 GROUP BY rep),
+      band3 AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bkey
+        FROM sigarr3 CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      cand3 AS (
+        SELECT DISTINCT a.rep AS ra, c.rep AS rb
+        FROM band3 a JOIN band3 c ON a.b = c.b AND a.bkey = c.bkey AND a.rep < c.rep),
+      ver3 AS (
+        SELECT v.ra, v.rb FROM cand3 v
+        JOIN sh3 sa ON sa.rep = v.ra JOIN sh3 sb ON sb.rep = v.rb
+        WHERE CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)
+              END >= 0.8),
+      dup3 AS (
+        SELECT DISTINCT doc_b FROM (
+          SELECT greatest(ma.m, mb.m) AS doc_b
+          FROM ver3 v JOIN mem3 ma ON ma.rep = v.ra JOIN mem3 mb ON mb.rep = v.rb
+          UNION ALL
+          SELECT b.m AS doc_b FROM mem3 a JOIN mem3 b ON a.rep = b.rep AND a.m < b.m)),
+      s3 AS (SELECT doc_id, text FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM dup3)),
+      n4 AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM s3),
+      seg4 AS (
+        SELECT doc_id, words,
+               [0] || [i FOR i IN range(1, len(words)) IF substr(words[i+1], 1, 1) = 's'] AS starts
+        FROM n4),
+      ch4 AS (
+        SELECT doc_id, j - 1 AS chunk_idx,
+               array_to_string(words[starts[j]+1 : coalesce(starts[j+1], len(words))], ' ') AS c
+        FROM seg4, UNNEST(range(1, len(starts)+1)) AS u(j)),
+      own4 AS (
+        SELECT c, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS f
+        FROM ch4 GROUP BY c),
+      stat4 AS (
+        SELECT ch4.doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN (o.f).doc_id = ch4.doc_id AND (o.f).chunk_idx = ch4.chunk_idx
+                        THEN 1 ELSE 0 END) AS n_owned
+        FROM ch4 JOIN own4 o ON ch4.c = o.c GROUP BY ch4.doc_id),
+      boiler4 AS (
+        SELECT doc_id FROM stat4
+        WHERE CAST(n_chunks - n_owned AS DOUBLE) > CAST(n_chunks AS DOUBLE) * 0.6),
+      s4 AS (SELECT doc_id, text FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM boiler4)),
+      ev AS (
+        SELECT DISTINCT array_to_string(sw[i:i+4], ' ') AS sh
+        FROM (SELECT string_split(snip, ' ') AS sw FROM evalq),
+             UNNEST(range(1, greatest(len(sw) - 3, 2))) AS u(i)),
+      chsh5 AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(cw[i:i+4], ' ')
+                 FOR i IN range(1, greatest(len(cw) - 3, 2))]) AS chsh
+        FROM (SELECT doc_id, string_split(c, ' ') AS cw
+              FROM ch4 WHERE doc_id IN (SELECT doc_id FROM s4))),
+      hit5 AS (SELECT doc_id, len(chsh) AS n_chsh, unnest(chsh) AS sh FROM chsh5),
+      contam5 AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT h.doc_id, h.n_chsh, COUNT(*) AS hits
+          FROM hit5 h JOIN ev ON ev.sh = h.sh
+          GROUP BY h.doc_id, h.n_chsh)
+        WHERE CAST(hits AS DOUBLE) >= CAST(n_chsh AS DOUBLE) * 0.5),
+      s5 AS (SELECT doc_id, text FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contam5)),
+      tk AS (
+        SELECT 'corpus' AS k, COUNT(*) AS n, CAST(0 AS BIGINT) AS tok FROM corpus
+        UNION ALL
+        SELECT 's1', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM s1
+        UNION ALL
+        SELECT 's2', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM s2
+        UNION ALL
+        SELECT 's3', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM s3
+        UNION ALL
+        SELECT 's4', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM s4
+        UNION ALL
+        SELECT 's5', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM s5)
+      SELECT CAST(r.ord AS INTEGER) AS stage_ord, r.stage,
+             (SELECT n FROM tk WHERE k = r.kin) AS docs_in,
+             (SELECT n FROM tk WHERE k = r.kout) AS docs_out,
+             (SELECT tok FROM tk WHERE k = r.kout) AS tokens_out
+      FROM (VALUES (1, 'exact_dedup', 'corpus', 's1'),
+                   (2, 'quality_filter', 's1', 's2'),
+                   (3, 'neardup_removal', 's2', 's3'),
+                   (4, 'chunk_boilerplate', 's3', 's4'),
+                   (5, 'decontaminate', 's4', 's5')) AS r(ord, stage, kin, kout)
+      ORDER BY stage_ord ASC NULLS FIRST"""))
 
   /** Oracled twin of the composite row, covering its DETERMINISTIC
     * stages: the same planted corpus runs through the same pipeline with
@@ -2245,30 +2405,43 @@ object LlmOps extends QueryGroup {
     * carry IDS ONLY through the cluster self-join (the embed_neardup
     * lesson); vectors are fetched after pair-dedup by id-keyed joins.
     *
-    * 100 TB shape: k grows with N (clusters stay bounded-size), assignment
-    * is a pure scan against broadcast-literal centroids, the self-join
-    * shuffles on cent_id, and the exact cosine runs only inside clusters.
-    * Oracle: none by construction (k-means is not expressible in the
-    * oracle engine); VectorSpec pins the drop rule against a JVM
-    * recomputation over the library's own deterministic assignment, plus
-    * planted-mutant death and exact-copy death. */
+    * 100 TB shape: k grows as ⌈√N⌉ (see semdedupGroupsAndCents),
+    * assignment is a pure scan against broadcast-literal centroids, the
+    * self-join shuffles on cent_id, and the exact cosine runs only inside
+    * clusters. Oracled (r6) via the declared-model fixture
+    * (Fixtures.semdedupCentroids); VectorSpec additionally pins the drop
+    * rule against a JVM recomputation over the library's own
+    * deterministic assignment, plus planted-mutant death and exact-copy
+    * death. */
+  /** The semdedup corpus's identity groups and trained coarse model —
+    * ONE definition shared by the registry row and
+    * Fixtures.semdedupCentroids, so the oracle's declared model input
+    * cannot drift from what the row assigns against. k from the DISTINCT
+    * count (Ivf.adaptiveK = ⌈√N⌉): balances the within-cell pairwise
+    * (~N²/2k) against assignment/training (~N·k) at O(N^1.5) apiece — a
+    * fixed k was the r5 verdict's quadratic-at-scale residue. One scalar
+    * count of an already-cached set: bounded driver state. */
+  private[graft] def semdedupGroupsAndCents(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val base = docVec(s, dir)
+    val planted = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+    val grouped = vecGroups(base.unionByName(planted))
+    val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
+    val cents = graft.etl.Ivf.train(reps,
+      k = graft.etl.Ivf.adaptiveK(reps.count()), iters = 3)
+    (grouped, cents)
+  }
+
   private val llmSemdedup = GraftQuery(
     "llm_semdedup",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val base = docVec(s, dir)
-      val planted = base.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
-      val all = base.unionByName(planted)
-      val grouped = vecGroups(all)
-      val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
-      // k from the DISTINCT count (Ivf.adaptiveK = ⌈√N⌉): balances the
-      // within-cell pairwise (~N²/2k) against assignment/training (~N·k)
-      // at O(N^1.5) apiece — a fixed k was the r5 verdict's
-      // quadratic-at-scale residue. One scalar count of an
-      // already-cached set: bounded driver state.
-      val cents = graft.etl.Ivf.train(reps, k = graft.etl.Ivf.adaptiveK(reps.count()), iters = 3)
+      graft.Fixtures.semdedupCentroids(s, dir) // model dump for the oracle
+      val (grouped, cents) = semdedupGroupsAndCents(s, dir)
+      val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       val assigned = graft.etl.Ivf.assign(reps, cents)
       val ids = assigned.select(col("cent_id"), col("vec_id"))
       val candIds = ids.as("a").join(ids.as("b"),
@@ -2290,7 +2463,52 @@ object LlmOps extends QueryGroup {
         .withColumn("n_dropped", col("n_vectors") - col("n_kept"))
         .orderBy(col("cent_id").asc_nulls_first)
     },
-    None)
+    // Oracled (r6): the trained centroids are the declared model input
+    // (Fixtures.semdedupCentroids — the SAME semdedupGroupsAndCents call
+    // the row makes); the oracle rebuilds the planted corpus, the
+    // identity groups, the rounded-cosine argmax assignment, the
+    // within-cell lower-id-neighbor drop rule at ≥ 0.9, and the per-cell
+    // attrition counts in SQL. VectorSpec keeps the independent JVM
+    // recompute of the drop rule.
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(v, x -> x * 0.9 + 0.02)
+        FROM base WHERE vec_id % 50 = 0),
+      grp AS (
+        SELECT v, min(vec_id) AS rep, COUNT(*) AS gsz
+        FROM corpus GROUP BY v),
+      cents AS (
+        SELECT cent_id, cv
+        FROM read_parquet('/tmp/graft_fixture_sdcents_sf0.01/*.parquet')),
+      asg AS (
+        SELECT rep, cent_id FROM (
+          SELECT g.rep, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY g.rep
+                   ORDER BY round(list_cosine_similarity(g.v, c.cv), 6) DESC,
+                            c.cent_id ASC) AS rn
+          FROM grp g CROSS JOIN cents c)
+        WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.rep AS rep
+        FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.rep < b.rep
+        JOIN grp ga ON ga.rep = a.rep
+        JOIN grp gb ON gb.rep = b.rep
+        WHERE round(list_cosine_similarity(ga.v, gb.v), 6) >= 0.9)
+      SELECT a.cent_id,
+             CAST(SUM(g.gsz) AS BIGINT) AS n_vectors,
+             CAST(SUM(CASE WHEN d.rep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(g.gsz) - SUM(CASE WHEN d.rep IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM asg a
+      JOIN grp g ON g.rep = a.rep
+      LEFT JOIN dropped d ON d.rep = a.rep
+      GROUP BY a.cent_id
+      ORDER BY a.cent_id ASC NULLS FIRST"""))
 
   /** BPE TOKENIZATION with a tokenizer TRAINED ON THE CORPUS (etl.Bpe —
     * the real Sennrich et al. 2016 merge-learning loop as distributed

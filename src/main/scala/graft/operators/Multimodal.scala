@@ -81,9 +81,12 @@ object Multimodal extends QueryGroup {
       ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** Decode/feature-extract over binary payloads via typed mapPartitions —
-    * the real batch plumbing around the stubbed codec. Deterministic, so
-    * exact outputs are pinned in MultimodalSpec; no SQL oracle (the codec
-    * is not expressible in DuckDB). */
+    * the real batch plumbing around the stubbed codec. Deterministic, and
+    * since r6 DuckDB-oracled: the oracle re-derives the UTF-8 byte stream
+    * by parsing hex(encode(text)), recounts the byte-range histogram, and
+    * replays the wrapping ×31 checksum in HUGEINT arithmetic mod 2^64
+    * (mapped back to the signed Long). MultimodalSpec keeps the exact
+    * output pins. */
   private val mmDecodeFeatures = GraftQuery(
     "mm_decode_features",
     (s, dir) => {
@@ -97,7 +100,34 @@ object Multimodal extends QueryGroup {
         .toDF()
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    None)
+    Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      b AS (
+        SELECT doc_id,
+               [16 * (strpos('0123456789ABCDEF', hx[2*i-1]) - 1)
+                  + (strpos('0123456789ABCDEF', hx[2*i]) - 1)
+                FOR i IN range(1, len(hx) // 2 + 1)] AS bytes
+        FROM h),
+      f AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(len(bytes) AS INTEGER) AS n_bytes,
+               CAST(len(list_filter(bytes, x -> x < 85)) AS INTEGER) AS b_low,
+               CAST(len(list_filter(bytes, x -> x >= 85 AND x < 170)) AS INTEGER) AS b_mid,
+               CAST(len(list_filter(bytes, x -> x >= 170)) AS INTEGER) AS b_high,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                              list_transform(bytes, x -> CAST(x AS HUGEINT))),
+                 (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS chk_u
+        FROM b)
+      SELECT doc_id, mime, n_bytes, b_low, b_mid, b_high,
+             CAST(CASE WHEN chk_u >= 9223372036854775808
+                       THEN chk_u - 18446744073709551616 ELSE chk_u END AS BIGINT)
+               AS checksum
+      FROM f
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, checksum: Long)
 
@@ -131,7 +161,36 @@ object Multimodal extends QueryGroup {
         .toDF()
         .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
     },
-    None)
+    // Oracled (r6): same hex-parse byte stream + HUGEINT wrapping
+    // checksum as mm_decode_features, per 64-byte frame at stride 4.
+    Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      b AS (
+        SELECT doc_id,
+               [16 * (strpos('0123456789ABCDEF', hx[2*i-1]) - 1)
+                  + (strpos('0123456789ABCDEF', hx[2*i]) - 1)
+                FOR i IN range(1, len(hx) // 2 + 1)] AS bytes
+        FROM h),
+      n AS (SELECT doc_id, bytes,
+                   CAST((len(bytes) + 63) // 64 AS INTEGER) AS nf
+            FROM b),
+      fr AS (
+        SELECT n.doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+               CAST(u.i * 64 AS INTEGER) AS "offset",
+               bytes[u.i * 64 + 1 : least(u.i * 64 + 64, len(bytes))] AS fb
+        FROM n, UNNEST(range(0, n.nf, 4)) AS u(i))
+      SELECT doc_id, frame_idx, "offset",
+             CAST(CASE WHEN chk_u >= 9223372036854775808
+                       THEN chk_u - 18446744073709551616 ELSE chk_u END AS BIGINT)
+               AS checksum
+      FROM (
+        SELECT doc_id, frame_idx, "offset",
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                              list_transform(fb, x -> CAST(x AS HUGEINT))),
+                 (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS chk_u
+        FROM fr)
+      ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""))
 
   final case class Resized(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
       resized_checksum: Long)
@@ -158,7 +217,33 @@ object Multimodal extends QueryGroup {
         .toDF()
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    None)
+    // Oracled (r6): the 4:1 downsample is an index-stepped comprehension
+    // over the hex-parsed byte stream; checksum as in mm_decode_features.
+    Some("""
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      b AS (
+        SELECT doc_id,
+               [16 * (strpos('0123456789ABCDEF', hx[2*i-1]) - 1)
+                  + (strpos('0123456789ABCDEF', hx[2*i]) - 1)
+                FOR i IN range(1, len(hx) // 2 + 1)] AS bytes
+        FROM h),
+      r AS (
+        SELECT doc_id, CAST(len(bytes) AS INTEGER) AS orig_bytes,
+               [bytes[i] FOR i IN range(1, len(bytes) + 1) IF (i - 1) % 4 = 0] AS rb
+        FROM b)
+      SELECT doc_id, orig_bytes,
+             CAST(len(rb) AS INTEGER) AS resized_bytes,
+             CAST(CASE WHEN chk_u >= 9223372036854775808
+                       THEN chk_u - 18446744073709551616 ELSE chk_u END AS BIGINT)
+               AS resized_checksum
+      FROM (
+        SELECT doc_id, orig_bytes, rb,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                              list_transform(rb, x -> CAST(x AS HUGEINT))),
+                 (acc, x) -> (acc * 31 + x) % 18446744073709551616) AS chk_u
+        FROM r)
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   override def queries: Seq[GraftQuery] =
     Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmResize)
