@@ -291,7 +291,8 @@ object Bench {
           "build_fixture_ivfcents" -> clocked(Fixtures.ivfCentroids(spark, sfDir)),
           "build_fixture_lshplanes" -> clocked(Fixtures.lshPlanes(spark, sfDir)),
           "build_fixture_sdcents" -> clocked(Fixtures.semdedupCentroids(spark, sfDir)),
-          "build_fixture_cpsig" -> clocked(Fixtures.corpusPrepShingleHashes(spark, sfDir)))
+          "build_fixture_cpsig" -> clocked(Fixtures.corpusPrepShingleHashes(spark, sfDir)),
+          "build_fixture_bpemerges" -> clocked(Fixtures.bpeMerges(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           name -> runRow(name, fn)
         }

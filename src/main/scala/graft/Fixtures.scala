@@ -255,6 +255,25 @@ object Fixtures {
       graft.operators.LlmOps.semdedupGroupsAndCents(s, dir)._2
     }
 
+  /** llm_bpe_tokenize model dump: the 12 learned merge rules in training
+    * order (ord, a, b), from the SAME group-size-weighted word-frequency
+    * table the row trains on (training determinism — argmax with the
+    * count-desc / UTF-8-binary tie-break — is BpeSpec-pinned against a
+    * full JVM reference). The oracle re-derives the word-type table in
+    * SQL and replays the greedy leftmost non-overlapping rewrite fold
+    * per merge. */
+  def bpeMerges(s: SparkSession, dir: String): String =
+    ensure(s, dir, "bpemerges") {
+      import s.implicits._
+      val g = Tables.documents(s, dir)
+        .select(TextOps.normalize(col("text")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("gsz"))
+      val wf = g.select(col("gsz"), explode(split(col("t"), " ")).as("w"))
+        .groupBy(col("w")).agg(sum(col("gsz")).as("cnt"))
+      graft.etl.Bpe.train(wf, nMerges = 12).zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toDF("ord", "a", "b")
+    }
+
   private def xxSeed(bytes: Array[Byte], seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)

@@ -2537,6 +2537,7 @@ object LlmOps extends QueryGroup {
       // run over the word-TYPE table as before. On the 30× replica
       // corpora this drops every explode/join from corpus-sized to
       // distinct-sized (9.2 s → the distinct corpus cost at sf3).
+      graft.Fixtures.bpeMerges(s, dir) // model dump for the DuckDB oracle
       val g = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
         .groupBy(col("t"))
@@ -2561,7 +2562,48 @@ object LlmOps extends QueryGroup {
           round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens").cast(DoubleType), 4))
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    None)
+    // Oracled (r6): the learned merges are the declared model input
+    // (Fixtures.bpeMerges; training determinism BpeSpec-pinned); the
+    // oracle re-derives the distinct word types in SQL and SEGMENTS each
+    // one by replaying the greedy leftmost non-overlapping rewrite — an
+    // outer fold over the ordered merge list whose inner fold carries the
+    // emitted symbols and fuses (a, b) when the carry's last symbol is
+    // `a` and the incoming one is `b` (a fresh fusion cannot re-combine
+    // in the same round, exactly the Bpe.mergeStep contract) — then
+    // rolls up per doc and fans out identity groups.
+    Some("""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      g AS (SELECT t, min(doc_id) AS rep FROM d GROUP BY t),
+      rw AS (SELECT rep, unnest(string_split(t, ' ')) AS w FROM g),
+      dw AS (SELECT DISTINCT w FROM rw),
+      m AS (
+        SELECT list([a, b] ORDER BY ord ASC) AS ml
+        FROM read_parquet('/tmp/graft_fixture_bpemerges_sf0.01/*.parquet')),
+      seg AS (
+        SELECT dw.w,
+               len(list_reduce(
+                 list_prepend([dw.w[i] FOR i IN range(1, len(dw.w) + 1)], m.ml),
+                 (acc, mm) -> list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]), list_transform(acc, x -> [x])),
+                   (acc2, x) -> CASE WHEN len(acc2) > 0 AND acc2[-1] = mm[1]
+                                          AND x[1] = mm[2]
+                                     THEN acc2[:len(acc2)-1] || [mm[1] || mm[2]]
+                                     ELSE acc2 || x END))) AS n_sub,
+               length(dw.w) AS n_chr
+        FROM dw CROSS JOIN m),
+      stat AS (
+        SELECT rw.rep, COUNT(*) AS n_words,
+               CAST(SUM(s.n_chr) AS BIGINT) AS n_chars,
+               CAST(SUM(s.n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM rw JOIN seg s ON s.w = rw.w
+        GROUP BY rw.rep)
+      SELECT d.doc_id, st.n_words, st.n_chars, st.n_bpe_tokens,
+             round(CAST(st.n_chars AS DOUBLE) / CAST(st.n_bpe_tokens AS DOUBLE), 4)
+               AS compression
+      FROM d JOIN g ON d.t = g.t JOIN stat st ON st.rep = g.rep
+      ORDER BY doc_id ASC NULLS FIRST"""))
 
   /** PRODUCT-QUANTIZATION encode (etl.Pq — Jégou et al. 2011): each
     * embedding compresses to m=8 sub-codes from per-subspace L2 k-means
