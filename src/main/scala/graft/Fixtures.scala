@@ -22,14 +22,49 @@ import org.apache.spark.sql.functions._
 object Fixtures {
 
   /** Bump when a fixture's DERIVATION changes, so cached parquet from an
-    * older definition can never serve the new query. */
-  private val FixtureVersion = 1
+    * older definition can never serve the new query. (v2: semdedup cells
+    * moved to ⌈N^(1/3)⌉ + LSH pruning — sdcents content changed; and the
+    * signature scheme moved to content hashing, below.) */
+  private val FixtureVersion = 2
+
+  /** CONTENT signature of a source parquet (r6 verdict item 7): the
+    * size+mtime sourceSig rotated on every driver testdata regeneration
+    * even when the bytes were identical, and the two expensive model
+    * fixtures (cpsig ~3 s, sdcents ~3 s) dominate fixture builds — so an
+    * unchanged-content vintage rebuilt them for nothing. Hashing the
+    * actual bytes makes reuse follow the DATA: same bytes ⇒ same fixture,
+    * regardless of mtime. Cost: one MD5 pass over the source file per
+    * (size, mtime) observation — memoized below, and tens of ms at sf0.1
+    * against multi-second builds. Directories hash per-file in sorted
+    * name order. */
+  private val contentSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def contentSig(f: java.io.File): String = {
+    def fileMd5(p: java.io.File): String = {
+      val key = s"${p.getAbsolutePath}:${p.length}:${p.lastModified}"
+      contentSigCache.computeIfAbsent(key, _ => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = new java.io.FileInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        md.digest().map("%02x".format(_)).mkString
+      })
+    }
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(p => p.isFile && !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .sortBy(_.getName).map(p => s"${p.getName}=${fileMd5(p)}").mkString(",")
+    else fileMd5(f)
+  }
 
   private def ensure(s: SparkSession, dir: String, name: String,
       srcTable: String = "documents")
       (build: => DataFrame): String = {
     val src = new java.io.File(s"$dir/$srcTable.parquet")
-    val sig = s"v$FixtureVersion|${layouts.ZOrder.sourceSig(src)}"
+    val sig = s"v$FixtureVersion|${contentSig(src)}"
     val base = new java.io.File(dir).getName
     val path = s"/tmp/graft_fixture_${name}_$base"
     val sigFile = java.nio.file.Paths.get(s"$path/_graft_sig")
@@ -253,6 +288,28 @@ object Fixtures {
   def semdedupCentroids(s: SparkSession, dir: String): String =
     ensure(s, dir, "sdcents", srcTable = "embeddings") {
       graft.operators.LlmOps.semdedupGroupsAndCents(s, dir)._2
+    }
+
+  /** Semdedup LSH hyperplane dump (band, weight, h) — the derived planes
+    * of the within-cell candidate pruning (r7), at the geometry
+    * adaptiveBandParams sizes from the corpus's DISTINCT rep count: for
+    * band k, bit r the row carries weight 1 << r and plane
+    * hyperplanes(bands·bits)(k·bits + r) — exactly VectorLsh
+    * .withBandBuckets's composition, so the oracle's SQL bucket recompute
+    * (sum of weights where dot > 0) is geometry-agnostic. Signed by the
+    * embeddings table: the plane FAMILY is data-independent, but the
+    * bands×bits SIZING is a function of the rep count, so the dump must
+    * rotate with the corpus. */
+  def semdedupPlanes(s: SparkSession, dir: String): String =
+    ensure(s, dir, "sdplanes", srcTable = "embeddings") {
+      import s.implicits._
+      val n = graft.operators.LlmOps.semdedupGrouped(s, dir).count()
+      val (nBands, nBits) =
+        graft.etl.VectorLsh.adaptiveBandParams(n, simThreshold = 0.9)
+      val planes = graft.etl.VectorLsh.hyperplanes(nBands * nBits, 64)
+      (0 until nBands).flatMap { k =>
+        (0 until nBits).map(r => (k, 1 << r, planes(k * nBits + r)))
+      }.toDF("band", "weight", "h")
     }
 
   /** llm_bpe_tokenize model dump: the 12 learned merge rules in training

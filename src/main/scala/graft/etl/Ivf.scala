@@ -19,44 +19,88 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Ivf {
 
-  /** Nearest-centroid assignment (ties broken by cent_id) — MAP-SIDE ONLY.
-    * Centroids are k×dims model parameters, so they ride into the row
-    * expression as array literals (one `typedlit` per centroid — the
-    * VectorLsh codegen lesson) and the argmax is an `array_max` over
-    * struct(cos, −cent_id): max cosine first, then smallest cent_id, the
-    * same total order the previous window formulation used. Zero shuffle,
-    * zero broadcast-join: at 100 TB assignment is a pure scan, and the
-    * earlier crossJoin+window shape (k·N rows through a per-vector window)
-    * disappears from every Lloyd iteration and every index build. */
+  /** Past this k the literal-argmax expression stops being the right
+    * shape (codegen unit size, task-binary bloat) and [[assign]] switches
+    * to the broadcast-join form. */
+  private[graft] val LiteralArgmaxMaxK = 4096
+
+  /** Nearest-centroid assignment (ties broken by cent_id): max rounded
+    * cosine first, then smallest cent_id — one total order, two physical
+    * forms switched on k:
+    *
+    *  - k ≤ 4096 — MAP-SIDE ONLY: centroids are k×dims model parameters,
+    *    so they ride into the row expression as array literals (one
+    *    `typedlit` per centroid — the VectorLsh codegen lesson) and the
+    *    argmax is an `array_max` over struct(cos, −cent_id). Zero
+    *    shuffle, zero broadcast-join: assignment is a pure scan, and the
+    *    earlier crossJoin+window shape (k·N rows through a per-vector
+    *    window) disappears from every Lloyd iteration and index build.
+    *  - k > 4096 — BROADCAST JOIN ([[assignJoin]]): the literal form's
+    *    codegen unit and task binary grow with k, so past the cap the
+    *    centroids ship once as a broadcast relation instead of inside
+    *    every task's expression tree. One shuffle of N id+v rows (the
+    *    map-side partial argmax collapses the k-fan-out before it), the
+    *    price of unbounded k.
+    *
+    * Both branches produce identical assignments (the same rounded-cosine
+    * total order — VectorSpec pins the equivalence and exercises the join
+    * branch at k > 4096). */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val scored = cl.map { case (cid, cv) =>
-      struct(
-        round(call_function("cosine_fast", col("v"), typedlit(cv)), 6).as("c"),
-        lit(-cid).as("negid"))
+    if (cl.length <= LiteralArgmaxMaxK) {
+      val scored = cl.map { case (cid, cv) =>
+        struct(
+          round(call_function("cosine_fast", col("v"), typedlit(cv)), 6).as("c"),
+          lit(-cid).as("negid"))
+      }
+      vecs.withColumn("best", array_max(array(scored.toSeq: _*)))
+        .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
+    } else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      assignJoin(vecs, cl.toSeq.toDF("cent_id", "cv"))
     }
-    vecs.withColumn("best", array_max(array(scored.toSeq: _*)))
+  }
+
+  /** The k > 4096 assignment form: centroids as a BROADCAST relation, the
+    * per-vector argmax as a max-of-struct aggregation. The crossJoin fans
+    * each vector out to k scored rows, but the partial (map-side)
+    * aggregation collapses them back to one row per vec_id before the
+    * exchange — the only shuffle is N singleton groups. `first(v)` inside
+    * the group is deterministic: every fanned-out row of a vec_id carries
+    * the SAME v (vec_id is the vecs key), so any representative is the
+    * value. Package-visible so VectorSpec can pin branch equivalence at
+    * small k. */
+  private[graft] def assignJoin(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    vecs.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(
+          round(call_function("cosine_fast", col("v"), col("cv")), 6).as("c"),
+          (-col("cent_id")).as("negid"))).as("best"),
+        first(col("v")).as("v"))
       .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
   }
 
-  /** Cluster count for the cluster-scoped pairwise pass (SemDeDup):
-    * k = ⌈√N⌉, the BALANCE POINT of the two costs that pull k in
-    * opposite directions — within-cell all-pairs is ~N²/(2k) (wants k
-    * large; any FIXED k leaves it quadratic, the r5 scale-killer on
-    * llm_semdedup) while centroid assignment/training is ~N·k per pass
-    * (wants k small; k ∝ N would just move the quadratic there). At
-    * k = √N both terms are O(N^1.5) — the standard SemDeDup compromise
-    * (the paper's own configs sit near √N cells for corpus sizes in the
-    * millions). Truly linear scaling needs candidate pruning INSIDE
-    * cells (the VectorLsh band machinery at the drop threshold) — the
-    * named next increment, not a k choice. Floor 16 keeps the historical
-    * geometry on small corpora; cap 4096 bounds [[assign]]'s
-    * literal-centroid argmax expression — past ~16 M distinct vectors
-    * swap assign's typedlit argmax for a broadcast join before raising
-    * the cap. */
+  /** Cluster count for the cluster-scoped near-dup pass (SemDeDup):
+    * k = ⌈N^(1/3)⌉. Since r7 the within-cell candidate generation is LSH
+    * (VectorLsh bands at the drop threshold — llm_semdedup), so k no
+    * longer has to bound an all-pairs join: the r6 √N balance point
+    * existed to split two O(N^1.5) costs (within-cell pairwise ~N²/2k vs
+    * train/assign ~N·k), and with the pairwise side now ~N^(1+ρ)
+    * (ρ ≈ 0.22, the LSH exponent at 0.9) a √N k would leave TRAINING as
+    * the lone O(N^1.5) kernel. k is now the SEMANTIC granularity knob
+    * (SemDeDup drops only within-cluster), and ⌈N^(1/3)⌉ keeps the
+    * train/assign term at N^(4/3) — sub-dominant to the linear scan
+    * costs at every measured scale, while cluster count still grows with
+    * the corpus as the paper's configs do. Floor 16 keeps small-corpus
+    * geometry; the 4096 cap now only marks where [[assign]] switches to
+    * its broadcast-join branch (N^(1/3) reaches it at ~7e10 vectors). */
   def adaptiveK(n: Long): Int =
-    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.min(4096, math.max(16, math.ceil(math.cbrt(n.toDouble)).toInt))
 
   /** k-means training over a (vec_id, v: array<double>) DataFrame.
     * Centroids are MODEL PARAMETERS (k×dims doubles): each iteration

