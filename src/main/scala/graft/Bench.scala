@@ -102,9 +102,41 @@ object Bench {
       .limit(10)
   }
 
-  /** q5: 5-table star join + agg (revenue per nation). The fact⋈orders
-    * join strategy is size-driven (see q3); the three true dims broadcast. */
-  private def q5(s: SparkSession, dir: String): DataFrame =
+  /** q5 headline: the star shape over the CO-LOCATED layouts (r6 verdict
+    * item 2). The classic broadcast plan was the pinned sf12 gap vs the
+    * baseline (8.1–8.5 s of its 22 s total — dominated by building and
+    * shipping the 1.8 M-row customer broadcast), while the repo's own
+    * join-index layout ran the same query in 4.81 s (r4, same hour): at
+    * sf12 customer stops being broadcast-sized and the engine's answer is
+    * its resident format, not a per-query hash build. lineitem_b ⋈
+    * orders_cust_b is a zero-exchange SMJ (both bucketed+sorted on
+    * orderkey; the customer attribute rides in the join index), only the
+    * two genuinely tiny dims broadcast, and the one-time layout build is
+    * a separate `builds` line item (prewarmed before the headline pass —
+    * the same contract as every other resident format). Same result set
+    * as [[q5Classic]], which stays timed as the contrast entry. */
+  private[graft] def q5(s: SparkSession, dir: String): DataFrame = {
+    val Seq(_, lineitemB) = operators.Joins.bucketedFacts(s, dir)
+    val Seq(_, _, ordersCustB) = operators.Joins.bucketedDims(s, dir)
+    s.table(lineitemB)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .hint("merge")
+      .join(s.table(ordersCustB), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** q5 contrast entry: the classic 5-table broadcast star join + agg
+    * (revenue per nation) over the raw tables. The fact⋈orders join
+    * strategy is size-driven (see q3); the three true dims broadcast.
+    * Kept timed (outside the 12-query total) so the layout plan's win
+    * stays attributable round over round. */
+  private def q5Classic(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(sizedOrders(Tables.orders(s, dir).select("o_orderkey", "o_custkey"), dir),
         col("l_orderkey") === col("o_orderkey"))
@@ -216,6 +248,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the q5 headline reads the bucketed layouts — build them BEFORE the
+    // headline pass so the one-time cost lands in the `builds` record,
+    // not in q5's first warmup (the same prewarm-with-identical-cache-key
+    // contract the registry phase applies to every resident format)
+    val preBuilds: Seq[(String, (Double, Option[String]))] = Seq(
+      "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
+      "build_bucketed_dims" -> clocked(operators.Joins.bucketedDims(spark, sfDir)))
+
     val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q1_pricing_summary" -> (q1 _),
       "q3_join3_topk"      -> (q3 _),
@@ -227,7 +267,8 @@ object Bench {
       "tumbling_window"    -> (tumbling _),
       "text_tokens"        -> (textTokens _),
       "dedup_exact"        -> (dedupExact _)) ++
-      fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) }
+      fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) } :+
+      ("q5_join5_classic"  -> (q5Classic _))
 
     val timed = headline.map { case (name, fn) =>
       fn(spark, sfDir).count() // warmup: plan + codegen + footers
@@ -254,8 +295,10 @@ object Bench {
     // neighborhood-GC error bars (r4 verdict item 7): re-run once after
     // the full pass and publish min-of-2 alongside, the CROSSOVER
     // convention for heavy-row claims
+    // + llm_semdedup / llm_dedup_clusters (r6 verdict item 5): ranks 1
+    // and 4 by in-pass cost, both cache-state noisy single-shot
     val heavyRows = Seq("llm_bigram_lm_score", "llm_embed_neardup", "llm_embed_pq",
-      "llm_corpus_prep", "llm_corpus_prep_stages")
+      "llm_corpus_prep", "llm_corpus_prep_stages", "llm_semdedup", "llm_dedup_clusters")
 
     def runRow(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       // free the row's OWN persisted/checkpointed RDDs when it finishes:
@@ -273,11 +316,9 @@ object Bench {
     }
 
     val (buildTimes, rowTimes, heavyMin2) =
-      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (Nil, Nil, Nil) else {
-        val builds: Seq[(String, (Double, Option[String]))] = Seq(
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (preBuilds, Nil, Nil) else {
+        val builds: Seq[(String, (Double, Option[String]))] = preBuilds ++ Seq(
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
-          "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
-          "build_bucketed_dims" -> clocked(operators.Joins.bucketedDims(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),
@@ -291,6 +332,7 @@ object Bench {
           "build_fixture_ivfcents" -> clocked(Fixtures.ivfCentroids(spark, sfDir)),
           "build_fixture_lshplanes" -> clocked(Fixtures.lshPlanes(spark, sfDir)),
           "build_fixture_sdcents" -> clocked(Fixtures.semdedupCentroids(spark, sfDir)),
+          "build_fixture_sdplanes" -> clocked(Fixtures.semdedupPlanes(spark, sfDir)),
           "build_fixture_cpsig" -> clocked(Fixtures.corpusPrepShingleHashes(spark, sfDir)),
           "build_fixture_bpemerges" -> clocked(Fixtures.bpeMerges(spark, sfDir)))
         val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -314,15 +356,24 @@ object Bench {
     def objErrs(kvs: Seq[(String, (Double, Option[String]))]): String =
       kvs.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
         .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
+    // the 12-query total compares 1:1 against BASELINE.md's 12 names —
+    // contrast entries (q5_join5_classic) are timed but excluded
+    val total = timed.filterNot(_._1 == "q5_join5_classic").map(_._2).sum
+    // testdata-vintage signature (r6 verdict item 6): the r6 regeneration
+    // moved untouched-row floors 10–45% and the cross-round comparison
+    // was only interpretable via prose; stamping the content signature of
+    // the sf dir makes "same code, different vintage" machine-checkable
+    val dataSig = layouts.LayoutUtil.dataSig(sfDir)
     val qs = obj(timed :+ ("all_queries_once" -> allOnce))
     val headlineLine =
-      s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""data_sig":"$dataSig","sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +
         s""""builds":${objT(buildTimes)},"registry_rows":${objT(rowTimes)},""" +
         s""""heavy_min2":${objT(heavyMin2)},""" +
-        s""""errors":${objErrs(buildTimes ++ rowTimes)},"sf":"$sfDir"}"""
+        s""""errors":${objErrs(buildTimes ++ rowTimes)},""" +
+        s""""data_sig":"$dataSig","sf":"$sfDir"}"""
     // full record FIRST (and mirrored to a repo file — the r4 driver tail
     // capture truncated the single giant line and lost the headline), the
     // compact parseable headline line LAST

@@ -52,6 +52,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
   }
 
+  test("bench q5 headline: the co-located star plan — zero join-key exchange, " +
+      "no customer scan, only the two tiny dims broadcast") {
+    // the r6 verdict's flagship item 2: the headline q5_join5 must run
+    // the layout-aware plan whose sf12 win (4.81 vs 7.11 s) the classic
+    // broadcast row under-represented; same pins as join_star_colocated
+    val p = Bench.q5(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "bench q5 still shuffles a join key:\n" + p)
+    assert(!p.contains("customer.parquet"), "customer scanned at query time:\n" + p)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
+  }
+
   test("join_custkey_colocated: custkey agg and customer join both ride the " +
       "bucketing — zero custkey exchange") {
     val p = plan("join_custkey_colocated")
