@@ -123,6 +123,14 @@ object TextDedup {
     * Deterministic: labels are ids, min is order-free, and the iteration
     * count depends only on the graph. `nodes` must have column `id`;
     * `edges` columns (`a`, `b`). */
+  /** Rounds the last [[connectedComponents]] call took to converge
+    * (includes the final no-change round) — PROBE TELEMETRY ONLY: the
+    * scaling probes record it next to the wall time because the loop's
+    * cost is rounds × per-round join, and "the data doubled but the
+    * chain diameter did not" is the claim that makes the clusters row's
+    * near-flat scaling interpretable. Driver-side single-threaded use. */
+  @volatile private[graft] var lastIters: Int = -1
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
     // Materialize the symmetric edge set ONCE: `edges` is typically an
@@ -163,6 +171,7 @@ object TextDedup {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    lastIters = i // probe telemetry (see field scaladoc)
     // isolated nodes rejoin as singleton components
     nodes.select(col("id")).join(active, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))

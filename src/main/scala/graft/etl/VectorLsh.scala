@@ -148,13 +148,17 @@ object VectorLsh {
     * is adaptiveBandParams's job. */
   def withBandBuckets(vecs: DataFrame, nBands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
-    val planes = hyperplanes(nBands * bitsPerBand, dims)
-    val buckets: Seq[Column] = (0 until nBands).map { k =>
-      (0 until bitsPerBand).map { r =>
-        signBit(col("v"), planes(k * bitsPerBand + r), 1 << r)
-      }.reduce(_ + _)
-    }
-    vecs.withColumn("band_buckets", array(buckets: _*))
+    // ONE native expression for the whole bands×bits projection sweep
+    // (functions.BandBuckets): the per-bit dot_fast/when/sum composition
+    // paid ~0.5 µs of expression overhead per projection, which at
+    // adaptive geometry (1350 projections/vector at 245 k distinct) made
+    // the banding scan 118 s where the raw flops are ~5 s. Bit-identical
+    // buckets (sequential-sum dots, strict > 0, null ⇒ bucket 0) —
+    // NativeExprSpec pins the equivalence against the composed form.
+    val flat = hyperplanes(nBands * bitsPerBand, dims).flatten
+    vecs.withColumn("band_buckets",
+        call_function("band_buckets", col("v"), typedlit(flat),
+          lit(nBands), lit(bitsPerBand)))
       .select(col("*"), posexplode(col("band_buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .drop("band_buckets")

@@ -161,6 +161,39 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("band_buckets: bit-identical to the per-bit dot_fast/when/sum composition " +
+      "it replaced; null and length-mismatch vectors bucket to 0") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val (nBands, nBits, dims) = (7, 5, 16)
+    val planes = graft.etl.VectorLsh.hyperplanes(nBands * nBits, dims)
+    val flat = planes.flatten
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, (0 until dims).map(d => math.sin(i * 1.7 + d * 0.61) - 0.1)))
+      .toDF("vec_id", "v")
+    // the composed form, exactly as withBandBuckets built it pre-r7
+    val composed: Seq[org.apache.spark.sql.Column] = (0 until nBands).map { k =>
+      (0 until nBits).map { r =>
+        when(call_function("dot_fast", col("v"),
+          typedlit(planes(k * nBits + r))) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val both = vecs
+      .withColumn("fast", call_function("band_buckets", col("v"), typedlit(flat),
+        lit(nBands), lit(nBits)))
+      .withColumn("slow", array(composed: _*))
+      .select("fast", "slow").collect()
+    both.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // null vector and wrong-length vector: every per-plane dot was null in
+    // the composed form, so every bucket was 0 — the native form must agree
+    val edge = Seq((1L, null: Seq[Double]), (2L, Seq(1.0, 2.0)))
+      .toDF("vec_id", "v")
+      .select(call_function("band_buckets", col("v"), typedlit(flat),
+        lit(nBands), lit(nBits)).as("b"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Int](0) == Seq.fill(nBands)(0)))
+  }
+
   test("minhash_sig: signature entries are minima of the derived hash family") {
     GraftFunctions.register(spark)
     import spark.implicits._
