@@ -60,5 +60,6 @@ object GraftExtensions {
     ("shingle_rows", 2, e => ShingleRows(e(0), e(1))),
     ("hash_embed", 2, e => HashEmbed(e(0), e(1))),
     ("cdc_chunks", 1, e => CdcChunks(e(0))),
-    ("band_buckets", 4, e => BandBuckets(e(0), e(1), e(2), e(3))))
+    ("band_buckets", 4, e => BandBuckets(e(0), e(1), e(2), e(3))),
+    ("nearest_centroid", 3, e => NearestCentroid(e(0), e(1), e(2))))
 }

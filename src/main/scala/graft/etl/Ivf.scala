@@ -29,18 +29,20 @@ object Ivf {
     * forms switched on k:
     *
     *  - k ≤ 4096 — MAP-SIDE ONLY: centroids are k×dims model parameters,
-    *    so they ride into the row expression as array literals (one
-    *    `typedlit` per centroid — the VectorLsh codegen lesson) and the
-    *    argmax is an `array_max` over struct(cos, −cent_id). Zero
-    *    shuffle, zero broadcast-join: assignment is a pure scan, and the
-    *    earlier crossJoin+window shape (k·N rows through a per-vector
-    *    window) disappears from every Lloyd iteration and index build.
-    *  - k > 4096 — BROADCAST JOIN ([[assignJoin]]): the literal form's
-    *    codegen unit and task binary grow with k, so past the cap the
-    *    centroids ship once as a broadcast relation instead of inside
-    *    every task's expression tree. One shuffle of N id+v rows (the
-    *    map-side partial argmax collapses the k-fan-out before it), the
-    *    price of unbounded k.
+    *    so they ride into the row expression as ONE flat-matrix literal
+    *    and the argmax is the native `nearest_centroid` expression
+    *    (functions.NearestCentroid — the per-centroid
+    *    struct(round(cosine_fast), −cid)/array_max composition this
+    *    replaces fell off a codegen/JIT cliff between k = 16 and k = 50:
+    *    0.39 s → 25.5 s for the same 122 k-vector scan). Zero shuffle,
+    *    zero broadcast-join: assignment is a pure scan, and the earlier
+    *    crossJoin+window shape (k·N rows through a per-vector window)
+    *    stays out of every Lloyd iteration and index build.
+    *  - k > 4096 — BROADCAST JOIN ([[assignJoin]]): past the cap the
+    *    per-task literal matrix stops being the right shape, so the
+    *    centroids ship once as a broadcast relation instead. One shuffle
+    *    of N id+v rows (the map-side partial argmax collapses the
+    *    k-fan-out before it), the price of unbounded k.
     *
     * Both branches produce identical assignments (the same rounded-cosine
     * total order — VectorSpec pins the equivalence and exercises the join
@@ -49,13 +51,12 @@ object Ivf {
     GraftFunctions.register(vecs.sparkSession)
     val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     if (cl.length <= LiteralArgmaxMaxK) {
-      val scored = cl.map { case (cid, cv) =>
-        struct(
-          round(call_function("cosine_fast", col("v"), typedlit(cv)), 6).as("c"),
-          lit(-cid).as("negid"))
-      }
-      vecs.withColumn("best", array_max(array(scored.toSeq: _*)))
-        .select(col("vec_id"), (-col("best.negid")).as("cent_id"), col("v"))
+      val flat = cl.flatMap(_._2).toSeq
+      val cids = cl.map(_._1).toSeq
+      vecs.select(col("vec_id"),
+        call_function("nearest_centroid", col("v"), typedlit(flat), typedlit(cids))
+          .as("cent_id"),
+        col("v"))
     } else {
       val spark = vecs.sparkSession
       import spark.implicits._

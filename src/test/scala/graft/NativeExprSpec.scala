@@ -194,6 +194,32 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     edge.foreach(r => assert(r.getSeq[Int](0) == Seq.fill(nBands)(0)))
   }
 
+  test("nearest_centroid: bit-identical to the struct/array_max literal-argmax " +
+      "composition it replaced, ties to the lowest cent_id") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dims = 16
+    val cents = (0 until 12).map(c =>
+      (c.toLong, (0 until dims).map(d => math.cos(c * 1.9 + d * 0.37))))
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, (0 until dims).map(d => math.sin(i * 0.83 + d * 0.51))))
+      .toDF("vec_id", "v")
+    // duplicate centroid vectors force rounded-cosine TIES: 10 and 11
+    // repeat 0 and 1, so the winner must be the lowest cent_id
+    val tied = cents.take(10) ++ Seq((10L, cents(0)._2), (11L, cents(1)._2))
+    val composed = tied.map { case (cid, cv) =>
+      struct(
+        round(call_function("cosine_fast", col("v"), typedlit(cv)), 6).as("c"),
+        lit(-cid).as("negid"))
+    }
+    val both = vecs
+      .withColumn("fast", call_function("nearest_centroid", col("v"),
+        typedlit(tied.flatMap(_._2)), typedlit(tied.map(_._1))))
+      .withColumn("slow", -array_max(array(composed: _*)).getField("negid"))
+      .select("fast", "slow").collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("minhash_sig: signature entries are minima of the derived hash family") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -75,18 +75,33 @@ for i in range(REPL):
 pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet",
                row_group_size=122880)
 print("events:", sum(c.num_rows for c in chunks), "rows (ns preserved)")
-if MODE == "distinct":
+if MODE in ("distinct", "spread"):
     # {rep} is the replica index: a unique trailing token per replica makes
     # every text distinct (shingle/trigram sets shift by a few grams); a
     # per-replica epsilon on every embedding dimension makes vectors
     # distinct while preserving the near-uniform cosine structure.
+    #
+    # "distinct" keeps epsilon tiny (1e-4/dim): cross-replica twins stay at
+    # cosine ~0.999999, so the TRUE near-dup pair count grows as
+    # N_base * C(R, 2) — QUADRATIC in the replica factor. That makes the
+    # d-corpora an adversarial OUTPUT-scaling probe for near-dup operators
+    # (any witness-enumerating algorithm pays the pair mass). "spread"
+    # instead modulates each element by a value-dependent per-replica sine
+    # (x * (1 + sin(x * 7919 * (rep+1)))): deterministic, index-free, and
+    # direction-DIVERSE (an additive constant offset would re-correlate
+    # high replicas toward the all-ones direction), pushing cross-replica
+    # cosine to ~0.65; the only >= 0.9 pairs are the operators' own
+    # planted mutants — pair count proportional to N, the bounded-
+    # duplication profile of a real corpus, isolating INPUT scaling.
+    emb = ("list_transform(embedding, x -> CAST(x + {rep} * 1e-4 AS FLOAT))"
+           if MODE == "distinct" else
+           "list_transform(embedding, x -> CAST(x * (1 + sin(x * 7919 * ({rep} + 1))) AS FLOAT))")
     gen("documents",
         f"SELECT doc_id + {{off}} AS doc_id, text || ' rep{{rep}}tok' AS text, "
         f"lang, source, n_chars "
         f"FROM '{SRC}/documents.parquet'")
     gen("embeddings",
-        f"SELECT vec_id + {{off}} AS vec_id, "
-        f"list_transform(embedding, x -> CAST(x + {{rep}} * 1e-4 AS FLOAT)) AS embedding, "
+        f"SELECT vec_id + {{off}} AS vec_id, {emb} AS embedding, "
         f"label FROM '{SRC}/embeddings.parquet'")
 else:
     gen("documents",
