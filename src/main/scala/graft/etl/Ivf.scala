@@ -109,7 +109,31 @@ object Ivf {
     * otherwise the lazy plan nests every previous iteration's full subtree
     * (the standard iterative-algorithm pitfall; MLlib keeps centers on the
     * driver for the same reason). */
-  def train(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    train(vecs, k, iters, Int.MaxValue)
+
+  /** The standard training-subset size for a k-cluster coarse quantizer:
+    * ~256 points per centroid (the convention FAISS documents as
+    * `max_points_per_centroid`), floored at 16 Ki so small corpora never
+    * sample. Lloyd centroids are per-cell MEANS — a uniform subsample's
+    * means converge at 1/√m per cell, and a coarse partitioner needs cell
+    * placement, not precision — so past this budget more training points
+    * buy nothing while keeping training O(N·k) = O(N^(4/3)) at the
+    * adaptiveK geometry. With the cap, training cost is O(cap·k) = O(k²)
+    * — flat in the corpus — and the full corpus pays exactly ONE
+    * assignment scan (the caller's), which is the irreducible linear
+    * pass. */
+  def trainSampleCap(k: Int): Int = math.max(256 * k, 1 << 14)
+
+  /** As [[train]], but Lloyd iterations run over a DETERMINISTIC
+    * arithmetic-hash subsample of at most ~`sampleCap` vectors when the
+    * input is larger (`xxhash64(vec_id) mod 2^20` under a threshold —
+    * partition-count-independent and reproducible, the [[Ivf]]
+    * determinism contract). Initialization (k lowest vec_ids) and the
+    * per-iteration decimal-exact means are computed over the subsample;
+    * callers that pin exact-recall oracles against specific centroids
+    * (the k = 16 ANN rows) use the uncapped overload. */
+  def train(vecs: DataFrame, k: Int, iters: Int, sampleCap: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -123,19 +147,29 @@ object Ivf {
     // plan (e.g. the dedup-to-representatives shuffle) from the scan.
     val input = vecs.persist()
     try {
-      var cents = input.orderBy(col("vec_id").asc).limit(k)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      for (_ <- 1 to iters) {
-        cents = materialize(assign(input, cents)
-          .select(col("cent_id"), posexplode(col("v")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType)).as("m"))
-          .groupBy(col("cent_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cv")))
-      }
-      cents
+      val full = input.count()
+      val trainSet =
+        if (full <= sampleCap) input
+        else {
+          val den = 1L << 20
+          val num = math.min(den, den * sampleCap / full + 1)
+          input.filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num)).persist()
+        }
+      try {
+        var cents = trainSet.orderBy(col("vec_id").asc).limit(k)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        for (_ <- 1 to iters) {
+          cents = materialize(assign(trainSet, cents)
+            .select(col("cent_id"), posexplode(col("v")))
+            .groupBy(col("cent_id"), col("pos"))
+            .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("m"))
+            .groupBy(col("cent_id"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => x.getField("m")).as("cv")))
+        }
+        cents
+      } finally if (!(trainSet eq input)) trainSet.unpersist(blocking = false)
     } finally input.unpersist(blocking = false)
   }
 }

@@ -2413,10 +2413,12 @@ object LlmOps extends QueryGroup {
     * carry IDS ONLY through the band join (the embed_neardup lesson);
     * vectors are fetched after pair-dedup by id-keyed joins.
     *
-    * 100 TB shape: every term is now sub-O(N^1.5) — training/assignment
-    * ~N·k at k = ⌈N^(1/3)⌉ (Ivf.adaptiveK), bucketing ~N·bands·bits
-    * (bands·bits grows ~log N), the band join ~N^(1+ρ) with ρ ≈ 0.22,
-    * and exact cosine only on surviving candidates. Oracled via the
+    * 100 TB shape: every term is now sub-O(N^1.5) — training is O(k²)
+    * flat in the corpus (Lloyd on the ~256·k deterministic subsample,
+    * Ivf.trainSampleCap), assignment one ~N·k scan at k = ⌈N^(1/3)⌉
+    * (Ivf.adaptiveK), bucketing ~N·bands·bits (bands·bits grows ~log N),
+    * the band join ~N^(1+ρ) with ρ ≈ 0.22, and exact cosine only on
+    * surviving candidates. Oracled via the
     * declared-model fixtures (Fixtures.semdedupCentroids +
     * Fixtures.semdedupPlanes): the oracle recomputes buckets from the
     * dumped hyperplanes and replays the pruned candidate set in SQL. */
@@ -2445,7 +2447,13 @@ object LlmOps extends QueryGroup {
     val grouped = semdedupGrouped(s, dir)
     val reps = grouped.select(col("rep_id").as("vec_id"), col("v")).cache()
     val n = reps.count()
-    val cents = graft.etl.Ivf.train(reps, k = graft.etl.Ivf.adaptiveK(n), iters = 3)
+    val k = graft.etl.Ivf.adaptiveK(n)
+    // Lloyd on the standard ~256·k deterministic subsample (r7): training
+    // cost is O(k²), flat in the corpus; the full set pays exactly one
+    // assignment scan. The dumped-model oracle replays whatever centroids
+    // come out, so the declared-model contract is unchanged.
+    val cents = graft.etl.Ivf.train(reps, k = k, iters = 3,
+      sampleCap = graft.etl.Ivf.trainSampleCap(k))
     (grouped, cents, n)
   }
 

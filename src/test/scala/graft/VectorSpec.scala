@@ -214,4 +214,38 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == want, "join-branch assignment != JVM argmax at k > 4096")
   }
+
+  test("Ivf.train sampleCap: no-op when cap ≥ N; capped training is deterministic, " +
+      "partitioning-independent, and still separates well-separated clusters") {
+    import spark.implicits._
+    // two orthogonal-ish prototype directions, 400 points each with a tiny
+    // deterministic wobble on a non-defining dimension
+    def pt(cluster: Int, i: Int): (Long, Seq[Double]) = {
+      val base = if (cluster == 0) Seq(1.0, 0.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0, 0.0)
+      ((cluster * 1000 + i).toLong, base.updated(2 + cluster, 0.01 * (i % 7)))
+    }
+    val rows = (0 until 400).flatMap(i => Seq(pt(0, i), pt(1, i)))
+    val vecs = rows.toDF("vec_id", "v")
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // cap ≥ N: byte-identical to the uncapped overload
+    val uncapped = centMap(graft.etl.Ivf.train(vecs, k = 2, iters = 2))
+    val wideCap = centMap(graft.etl.Ivf.train(vecs, k = 2, iters = 2, sampleCap = 10000))
+    assert(uncapped == wideCap, "cap ≥ N must be the identity on training")
+    // cap < N: the xxhash64 sample is a pure function of vec_id, so the
+    // result must not depend on physical partitioning, and re-runs agree
+    val capped1 = centMap(graft.etl.Ivf.train(vecs, k = 2, iters = 2, sampleCap = 100))
+    val capped2 = centMap(
+      graft.etl.Ivf.train(vecs.repartition(7), k = 2, iters = 2, sampleCap = 100))
+    assert(capped1 == capped2, "capped training depends on partitioning or run")
+    assert(capped1.keySet.size == 2)
+    // sample-trained centroids still partition the two planted clusters
+    val asg = graft.etl.Ivf.assign(vecs, capped1.toSeq.toDF("cent_id", "cv"))
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = asg.groupBy(_._1 / 1000).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    assert(byCluster(0L).size == 1 && byCluster(1L).size == 1 &&
+      byCluster(0L) != byCluster(1L),
+      s"sample-trained centroids failed to separate planted clusters: $byCluster")
+  }
 }
