@@ -118,16 +118,31 @@ object Bench {
   private[graft] def q5(s: SparkSession, dir: String): DataFrame = {
     val Seq(_, lineitemB) = operators.Joins.bucketedFacts(s, dir)
     val Seq(_, _, ordersCustB) = operators.Joins.bucketedDims(s, dir)
+    // EAGER AGGREGATION below the dim joins (Yan & Larson's group-by
+    // pushdown): the fact stream collapses to (l_suppkey, c_nationkey)
+    // partial revenues straight off the exchange-free SMJ — ~25 k groups
+    // — and supplier/nation join the AGGREGATE, not the 72 M-row stream.
+    // Equivalent because s_suppkey is the supplier primary key (each
+    // group matches ≤1 supplier row) and the nationkey condition drops
+    // whole groups; sums/counts are additive over the partial groups.
+    // Measured at sf12: any 72 M-row broadcast probe placed downstream of
+    // the SMJ pipeline ran at ~2 µs/row (5–7 s; both composite and
+    // single-long-key probes — Q5Probe2, jstack shows the time in
+    // bhj_doConsume inside the SMJ codegen stage), while this shape runs
+    // the same semantics in 1.2 s.
     s.table(lineitemB)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .hint("merge")
       .join(s.table(ordersCustB), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), col("c_nationkey"))
+      .agg(sum(rev).as("partial_rev"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(rev).as("revenue"))
+      .agg(sum(col("partial_rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -245,6 +260,11 @@ object Bench {
       // beats sort-merge at these scales (measured: 0.96 vs 1.40 s at sf1)
       .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024 * 1024).toString)
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // trust the bucketBy+sortBy order of the one-file-per-bucket layouts
+      // (Bucketed.ensure guarantees it; Spark re-verifies the file count):
+      // without this every co-located SMJ pays a per-query re-sort of both
+      // fact sides — measured 5+ s of SortExec at sf12 (jstack, r7)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

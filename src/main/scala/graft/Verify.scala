@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same bucketed-scan ordering trust as the bench session, so the
+      // verified plan is the benched plan (safe: Bucketed.ensure writes
+      // one file per bucket and Spark re-checks the count at planning)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

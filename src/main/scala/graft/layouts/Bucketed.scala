@@ -29,6 +29,29 @@ object Bucketed {
       if (srcTables.nonEmpty) srcTables else Seq(name.stripSuffix("_b"))
   }
 
+  /** Size-driven bucket count for `dir`'s layouts: one bucket per ~32 MB
+    * of the LARGEST fact file (lineitem — every layout family of a dir
+    * must agree on the count or the co-located join degrades to a
+    * shuffle), rounded up to a power of two, floored at 8. A bucketed
+    * scan schedules ONE task per bucket, so the r6 fixed 8 — tuned at
+    * sf0.1 — capped the sf12 fact⋈fact SMJ at 8 of 32 cores (measured
+    * 6.95 s vs 4.3 s at 64 buckets, CROSSOVER.md r7); size-driving keeps
+    * bucket files ~32 MB at any scale, the same per-task target the
+    * shuffle-partition sizing uses. The count participates in the ensure()
+    * cache tag, so a dir re-laid-out under a different count can never be
+    * served a stale mixed layout. */
+  def defaultBuckets(dir: String): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length
+    val fact = bytes(new java.io.File(s"$dir/lineitem.parquet"))
+    val want = math.max(8L, fact / (32L << 20))
+    Integer.highestOneBit(math.min(want, 1024L).toInt) match {
+      case b if b.toLong < want => b * 2
+      case b => b
+    }
+  }
+
   /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
     * the fully qualified table names in input order. Idempotent and cheap
     * after the first call (a catalog existence check per table). */

@@ -287,7 +287,8 @@ object Joins extends QueryGroup {
   def bucketedFacts(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
     graft.layouts.Bucketed.ensure(s, dir, Seq(
       graft.layouts.Bucketed.Spec("orders_b", Tables.orders(s, dir), "o_orderkey"),
-      graft.layouts.Bucketed.Spec("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")))
+      graft.layouts.Bucketed.Spec("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")),
+      buckets = graft.layouts.Bucketed.defaultBuckets(dir))
 
   private val joinBucketedColocated = GraftQuery(
     "join_bucketed_colocated",
@@ -329,7 +330,11 @@ object Joins extends QueryGroup {
     * The cache signature covers BOTH source tables (Spec.srcTables), so
     * regenerating either orders or customer rotates the layout. */
   def bucketedDims(s: org.apache.spark.sql.SparkSession, dir: String,
-      buckets: Int = 8): Seq[String] = {
+      buckets: Int = -1): Seq[String] = {
+    // default: the dir's size-driven count — MUST match bucketedFacts'
+    // (lineitem_b ⋈ orders_cust_b co-locates only at equal bucket counts)
+    val nBuckets =
+      if (buckets > 0) buckets else graft.layouts.Bucketed.defaultBuckets(dir)
     val enriched = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
@@ -339,7 +344,7 @@ object Joins extends QueryGroup {
       graft.layouts.Bucketed.Spec("orders_bc", Tables.orders(s, dir), "o_custkey",
         srcTables = Seq("orders")),
       graft.layouts.Bucketed.Spec("orders_cust_b", enriched, "o_orderkey",
-        srcTables = Seq("orders", "customer"))), buckets = buckets)
+        srcTables = Seq("orders", "customer"))), buckets = nBuckets)
   }
 
   /** q5's star shape over the CO-LOCATED layouts: lineitem_b ⋈
@@ -357,19 +362,34 @@ object Joins extends QueryGroup {
     (s, dir) => {
       val Seq(_, lineitemB) = bucketedFacts(s, dir)
       val Seq(_, _, ordersCustB) = bucketedDims(s, dir)
+      // EAGER AGGREGATION below the dim joins (r7; see Bench.q5): the
+      // fact stream collapses to (l_suppkey, c_nationkey) partials off
+      // the exchange-free SMJ, and supplier/nation join the ~25 k-row
+      // aggregate instead of the fact stream (a 72 M-row broadcast probe
+      // downstream of the SMJ pipeline measured ~2 µs/row at sf12).
+      // Bit-exact vs the flat oracle: the partial revenue stays in the
+      // DECIMAL sum domain (sum of decimal(18,4) casts) and only the
+      // final re-aggregated sum is cast to double, so the two-level sum
+      // is the same exact decimal total Det.dsum computes in one level;
+      // counts re-aggregate by summation. Equivalent join-wise because
+      // s_suppkey is the supplier primary key and the nationkey equality
+      // drops whole (l_suppkey, c_nationkey) groups.
       s.table(lineitemB)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .hint("merge")
         .join(s.table(ordersCustB), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"), col("c_nationkey"))
+        .agg(count(lit(1)).as("pn"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(Det.Money)).as("prev"))
         .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_lines"),
-          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+        .agg(sum(col("pn")).cast(org.apache.spark.sql.types.LongType).as("n_lines"),
+          sum(col("prev")).cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
         .orderBy(col("n_name").asc_nulls_first)
     },
     Some(s"""

@@ -50,6 +50,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "customer scanned at query time:\n" + p)
     // exactly the two genuinely tiny dims (supplier, nation) broadcast
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
+    // the one-file-per-bucket sort order is trusted (r7): the SMJ inputs
+    // must come straight off the bucketed scans with no per-query re-sort
+    assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
+      "bucketed sort order not trusted — per-query re-sort of a fact side:\n" + p)
   }
 
   test("bench q5 headline: the co-located star plan — zero join-key exchange, " +
@@ -66,6 +70,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bench q5 still shuffles a join key:\n" + p)
     assert(!p.contains("customer.parquet"), "customer scanned at query time:\n" + p)
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
+      "bucketed sort order not trusted — per-query re-sort of a fact side:\n" + p)
   }
 
   test("join_custkey_colocated: custkey agg and customer join both ride the " +

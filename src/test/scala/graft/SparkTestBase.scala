@@ -16,6 +16,11 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // trust bucketBy+sortBy sort order on single-file-per-bucket scans
+      // (Bucketed.ensure guarantees one file per bucket; Spark still
+      // verifies the file count before reporting the ordering) — without
+      // it every co-located SMJ re-sorts both sides per query
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
