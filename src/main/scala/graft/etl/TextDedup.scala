@@ -109,14 +109,18 @@ object TextDedup {
     * actually needs (a~b and b~c must collapse to ONE keep decision even
     * when a≁c directly; the pairwise keep-first rule cannot see the chain).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds, checked by an exact changed-count
-    * and capped at `maxIters` (near-dup components are shallow — chains of
-    * revisions — so the diameter is small in practice; for adversarial
+    * Algorithm: iterative min-label propagation over the self-looped
+    * symmetric edge set — each round every node takes the min of its
+    * closed neighborhood's labels; converges in O(component diameter)
+    * rounds, checked by an exact monotone-mass test (labels only ever
+    * decrease, so sum(lbl) is strictly decreasing until the fixpoint)
+    * and capped at `maxIters` (near-dup components are shallow — chains
+    * of revisions — so the diameter is small in practice; for adversarial
     * web-scale graphs the alternating large-star/small-star formulation
     * bounds rounds at O(log n) with the same per-round join shape).
-    * Each round is one shuffle join + one aggregation; `localCheckpoint`
+    * Round 1 is join-free (initial labels are the ids, so the first
+    * neighborhood min is a plain groupBy-min over the edges); every later
+    * round is ONE shuffle join + ONE aggregation; `localCheckpoint`
     * truncates the lineage so the plan does not nest per iteration (the
     * Ivf.train lesson, applied to data too big to collect).
     *
@@ -149,25 +153,41 @@ object TextDedup {
     // corpus-sized to duplicate-subgraph-sized). `sym` holds both
     // directions, so the `a` side alone covers every incident node.
     val active = sym.select(col("a").as("id")).distinct().localCheckpoint()
-    var labels = active.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // SELF-LOOPS fold each node's own label into the neighbor min, so a
+    // propagation round is ONE join + ONE aggregation — the old shape's
+    // second join (recombining least(own, nbrMin) against the previous
+    // labels) is gone. Both inputs are checkpointed, so referencing the
+    // union per round re-reads cached blocks, never the edge subtree.
+    val symSelf = sym
+      .unionByName(active.select(col("id").as("a"), col("id").as("b")))
+    // Round 1 needs NO join at all: the initial label of node b IS b, so
+    // the first neighborhood min is just min(b) per a over symSelf.
+    var labels = symSelf.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl"))
+      .localCheckpoint()
+    // Convergence by monotone label mass: min-propagation only ever
+    // DECREASES a label (the self-loop keeps the own label in the min),
+    // so a round changed something iff sum(lbl) strictly dropped. The
+    // test is exact — Decimal(38,0) sums any Long id set without
+    // overflow — and costs one scan of the just-checkpointed labels
+    // instead of the old join + count against the previous round.
+    def mass(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevMass = mass(labels)
     var converged = false
-    var i = 0
+    var i = 1 // the join-free init above is round 1
     while (!converged && i < maxIters) {
-      val nbrMin = sym
+      val next = symSelf
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("lbl"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      // `next` is eagerly materialized and `changed` consumed the old
-      // labels — release the superseded round's blocks before looping
+      val m = mass(next)
+      // `next` is eagerly materialized — release the superseded round's
+      // blocks before looping
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = m.compareTo(prevMass) == 0
+      prevMass = m
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

@@ -208,6 +208,11 @@ object LlmOps extends QueryGroup {
       // a group's docs are pairwise J=1 (connected through their rep), and
       // the component min over reps IS the overall min because every rep
       // is its group's min member. The oracle stays the per-doc closure.
+      // localCheckpoint: `groups` feeds THREE consumers (the edge
+      // generation, the component node set, and the final members join) —
+      // without the cut the cappedBlocks window + normalize + shingle
+      // kernel re-ran per consumer (the corpus-prep stage-boundary
+      // lesson, NOTES_r6 §2, applied to a fan-out within one query).
       val groups = graft.etl.TextDedup.cappedBlocks(docs, "source", "doc_id", BLOCK_CAP)
         .groupBy(col("source"), col("text"))
         .agg(min(col("doc_id")).as("rep"),
@@ -215,31 +220,21 @@ object LlmOps extends QueryGroup {
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
         .select(col("source"), col("rep"), col("members"), col("sh"))
+        .localCheckpoint()
       // In-group pair expansion instead of a blocked self-join: collect
-      // each (cap-bounded) block once and evaluate the Jaccard INSIDE the
-      // pair-generating lambdas, emitting only passing edges — the
-      // self-join materialized ~10^6 joined rows each carrying BOTH
-      // shingle arrays before the filter ran (measured: 12 s of the row's
-      // 15 s at sf0.1; this shape does the identical pair set in-row).
-      // Pair order within the collected list is irrelevant: least/greatest
-      // canonicalize (a, b) and Jaccard is symmetric, so the edge SET is
-      // deterministic even though collect_list order is not.
-      // Exact LENGTH prefilter before the Jaccard kernel (the standard
-      // set-similarity length bound): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-      // so a pair with 2·min < max can never reach 0.5 — pruned without
-      // building either hash set. word_shingles is distinct, so size(sh)
-      // IS the set size and the bound is exact, not heuristic.
+      // each (cap-bounded) block once and generate edges INSIDE one
+      // native expression call per block — the self-join materialized
+      // ~10^6 joined rows each carrying BOTH shingle arrays before the
+      // filter ran (measured: 12 s of the row's 15 s at sf0.1), and the
+      // SQL-lambda sweep that replaced it still rebuilt both hash sets
+      // per pair (2.0 s of 3.8 s warm). block_jaccard_edges builds each
+      // element's set once and turns the exact length bound into a break
+      // over the size-sorted order (scaladoc: BlockJaccardEdges) —
+      // identical edge set, least/greatest-canonicalized.
       val edges = groups
         .groupBy(col("source"))
-        .agg(collect_list(struct(col("rep"), col("sh"), size(col("sh")).as("n"))).as("g"))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(g) - 2), i ->
-               filter(transform(filter(sequence(i + 1, size(g) - 1), j ->
-                   least(g[i].n, g[j].n) * 2 >= greatest(g[i].n, g[j].n)),
-                 j -> struct(least(g[i].rep, g[j].rep) AS a,
-                        greatest(g[i].rep, g[j].rep) AS b,
-                        jaccard_sim(g[i].sh, g[j].sh) AS jac)),
-                 p -> p.jac >= 0.5D)))""")).as("p"))
+        .agg(collect_list(struct(col("rep"), col("sh"))).as("g"))
+        .select(explode(expr("block_jaccard_edges(g, 0.5D)")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
       graft.etl.TextDedup.connectedComponents(
           groups.select(col("rep").as("id")), edges)

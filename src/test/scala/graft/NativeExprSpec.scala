@@ -232,4 +232,34 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     val again = df.select(col("sig")).head().getSeq[Long](0)
     assert(r.getSeq[Long](1) == again)
   }
+
+  test("block_jaccard_edges: identical edge SET to the SQL-lambda pair sweep " +
+      "it replaced (length-bound filter + jaccard_sim per pair)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // real corpus text, grouped into a few blocks; includes near-dup
+    // mutants (documents carries planted ones) and wildly varying lengths
+    // so the length bound actually prunes
+    val docs = Tables.documents(spark, sf)
+      .select((col("doc_id") % 7).as("blk"), col("doc_id").as("rep"),
+        expr("word_shingles(lower(text), 3)").as("sh"))
+    val g = docs.groupBy(col("blk"))
+      .agg(collect_list(struct(col("rep"), col("sh"))).as("g"),
+        collect_list(struct(col("rep"), col("sh"), size(col("sh")).as("n"))).as("gn"))
+    def edgeSet(c: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      g.select(explode(c).as("p")).select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = edgeSet(expr("block_jaccard_edges(g, 0.35D)"))
+    val slow = edgeSet(expr(
+      """transform(filter(flatten(transform(sequence(0, size(gn) - 2), i ->
+           filter(transform(filter(sequence(i + 1, size(gn) - 1), j ->
+               least(gn[i].n, gn[j].n) >= 0.35D * greatest(gn[i].n, gn[j].n)),
+             j -> struct(least(gn[i].rep, gn[j].rep) AS a,
+                    greatest(gn[i].rep, gn[j].rep) AS b,
+                    jaccard_sim(gn[i].sh, gn[j].sh) AS jac)),
+             p -> p.jac >= 0.35D))),
+           p -> p.jac >= 0.35D), p -> struct(p.a AS a, p.b AS b))"""))
+    assert(fast.nonEmpty, "degenerate test: no edges at all")
+    assert(fast == slow)
+  }
 }
