@@ -365,8 +365,14 @@ object Joins extends QueryGroup {
       // EAGER AGGREGATION below the dim joins (r7; see Bench.q5): the
       // fact stream collapses to (l_suppkey, c_nationkey) partials off
       // the exchange-free SMJ, and supplier/nation join the ~25 k-row
-      // aggregate instead of the fact stream (a 72 M-row broadcast probe
-      // downstream of the SMJ pipeline measured ~2 µs/row at sf12).
+      // aggregate instead of the fact stream. Root cause of the original
+      // slowness (Q5Probe4, r7): the post-join filter c_nationkey =
+      // s_nationkey folds into the broadcast join's key list, turning the
+      // single-long-key LongHashedRelation probe (~12 ns/row dense array
+      // lookup) into a COMPOSITE-key UnsafeHashedRelation probe (~80
+      // ns/row: per-row UnsafeRow key build + byte-map lookup) on the
+      // full fact stream — ~5 s at sf12's 72 M rows. Aggregating first
+      // shrinks the probe input 3000×, making the key shape irrelevant.
       // Bit-exact vs the flat oracle: the partial revenue stays in the
       // DECIMAL sum domain (sum of decimal(18,4) casts) and only the
       // final re-aggregated sum is cast to double, so the two-level sum

@@ -5,7 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only: the supplier-join step of q5 in isolation, many repeats, to
-  * pin the per-row cost of the broadcast probe variants at a scaled dir. */
+  * pin the per-row cost of the broadcast probe variants at a scaled dir.
+  *
+  * RESOLVED by Q5Probe4 (r7): the "~2 µs/row SMJ→BHJ composition" this
+  * probe measured is not an SMJ interaction at all — it is the
+  * composite-key broadcast probe. Folding the cross-side equality
+  * (c_nationkey = s_nationkey) into the join keys switches the hashed
+  * relation from LongHashedRelation (single bigint key, dense array
+  * probe) to UnsafeHashedRelation (UnsafeRow key build + byte-map lookup
+  * per probe row), ~6× per-row cost, WSCG on or off. The single-key
+  * variant this probe timed was rewritten by the optimizer into the
+  * composite form whenever the filter was present, which is why "both"
+  * looked slow. */
 object Q5Probe2 {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf12"
