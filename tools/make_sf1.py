@@ -75,7 +75,7 @@ for i in range(REPL):
 pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet",
                row_group_size=122880)
 print("events:", sum(c.num_rows for c in chunks), "rows (ns preserved)")
-if MODE in ("distinct", "spread"):
+if MODE in ("distinct", "spread", "textspread"):
     # {rep} is the replica index: a unique trailing token per replica makes
     # every text distinct (shingle/trigram sets shift by a few grams); a
     # per-replica epsilon on every embedding dimension makes vectors
@@ -96,8 +96,21 @@ if MODE in ("distinct", "spread"):
     emb = ("list_transform(embedding, x -> CAST(x + {rep} * 1e-4 AS FLOAT))"
            if MODE == "distinct" else
            "list_transform(embedding, x -> CAST(x * (1 + sin(x * 7919 * ({rep} + 1))) AS FLOAT))")
+    # TEXT spreading (mode "textspread", r7): the suffix-token trick used
+    # by "distinct"/"spread" leaves cross-replica word-shingle Jaccard at
+    # ~(n-k)/n, so every base text's R replicas form a TRUE near-dup
+    # family and text near-dup operators face N_base * C(R, 2) output
+    # pairs — quadratic in the replica factor, the text twin of the
+    # d-corpora's embedding pathology. Inserting a replica-specific token
+    # after every 7th word breaks ~all 5-word shingles that straddle an
+    # insertion point: cross-replica Jaccard drops to ~0.2, below every
+    # near-dup threshold in the registry, so only each replica's own
+    # planted mutants remain near-dup pairs — pair count proportional to
+    # N, isolating INPUT scaling for the TEXT operator family.
+    text = (r"regexp_replace(text, '((\S+ ){6}\S+)', '\1 xr{rep}q', 'g')"
+            if MODE == "textspread" else "text || ' rep{rep}tok'")
     gen("documents",
-        f"SELECT doc_id + {{off}} AS doc_id, text || ' rep{{rep}}tok' AS text, "
+        f"SELECT doc_id + {{off}} AS doc_id, {text} AS text, "
         f"lang, source, n_chars "
         f"FROM '{SRC}/documents.parquet'")
     gen("embeddings",
