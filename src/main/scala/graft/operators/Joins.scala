@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -124,6 +125,62 @@ object Joins extends QueryGroup {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name ASC NULLS FIRST"""))
+
+  /** Single-long-key broadcast lookup with RESIDUAL cross-side
+    * equalities — the codified fix for the composite-key probe tax
+    * root-caused this round (tools.Q5Probe4 / NOTES_r7 §6). Catalyst
+    * lifts EVERY cross-side equality in a join condition into the
+    * equi-key list, which silently switches the broadcast hashed
+    * relation from LongHashedRelation (single bigint key — a dense
+    * long-indexed probe, ~12 ns/row) to UnsafeHashedRelation (composite
+    * key — per-probe-row UnsafeRow construction + byte-map lookup,
+    * ~80 ns/row; 3–5× on the whole join stage at sf1, ~5 s on sf12's
+    * fact stream). Expressing the extra equality as (a − b) = 0 defeats
+    * the key extraction — the expression references both sides, so it
+    * cannot split into an (left expr, right expr) key pair and stays a
+    * residual predicate evaluated per matched row. Row semantics are
+    * identical to the equality (for numeric operands: equal ⟺
+    * difference 0; a null on either side nulls the difference and the
+    * predicate, exactly like EqualTo). Numeric residuals only — exactly
+    * the dim-key shape the tax bites. PlanSpec pins the single-key form.
+    *
+    * WHEN to reach for it: the long key is selective on the build side
+    * (a PK lookup). If the retained key had huge build-side groups the
+    * probe would scan them per row — that pathology is why this is an
+    * explicit helper, not a blanket optimizer rule. */
+  def broadcastLookupResidual(stream: DataFrame, dim: DataFrame,
+      streamKey: Column, dimKey: Column,
+      residual: Seq[(Column, Column)]): DataFrame = {
+    val cond = residual.foldLeft(streamKey === dimKey) {
+      case (c, (a, b)) => c && ((a - b) === lit(0))
+    }
+    stream.join(broadcast(dim), cond)
+  }
+
+  /** The residual-lookup demonstration row: a fact⋈dim broadcast lookup
+    * whose join carries a second, cross-side equality. The Spark side
+    * routes it through [[broadcastLookupResidual]] so the hashed relation
+    * stays single-long-key; the oracle states the SAME join as the plain
+    * two-equality SQL — identical rows, different physical probe. */
+  private val joinBroadcastResidual = GraftQuery(
+    "join_broadcast_residual",
+    (s, dir) =>
+      broadcastLookupResidual(
+        Tables.lineitem(s, dir)
+          .select("l_suppkey", "l_linenumber", "l_extendedprice"),
+        Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey"), col("s_suppkey"),
+        Seq((col("l_linenumber") % 25, col("s_nationkey"))))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("s_nationkey").asc_nulls_first),
+    Some(s"""
+      SELECT s_nationkey, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN supplier
+        ON l_suppkey = s_suppkey AND (l_linenumber % 25) = s_nationkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey ASC NULLS FIRST"""))
 
   /** op 22 — comma-list without ON: cartesian product (region × nation). */
   private val joinCross = GraftQuery(
@@ -499,7 +556,7 @@ object Joins extends QueryGroup {
 
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
-    joinBroadcastHash, joinCross, joinThetaRange, joinLookupFormat,
+    joinBroadcastHash, joinBroadcastResidual, joinCross, joinThetaRange, joinLookupFormat,
     joinAsof, joinAsofNative, joinInterval, joinBucketedColocated,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }

@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("join_broadcast_residual: hashed relation stays SINGLE-long-key — the " +
+      "extra cross-side equality is a residual predicate, not a join key") {
+    val p = plan("join_broadcast_residual")
+    // single-key form prints one attribute per key list; the composite
+    // form this guards against prints [l_suppkey#N, (l_linenumber#M % 25)]
+    assert("BroadcastHashJoin \\[l_suppkey#\\d+L?\\], \\[s_suppkey#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      "broadcast keys are not the single long key:\n" + p)
+    // and the equality actually survives as a residual condition
+    assert(p.contains("% 25"), "residual predicate missing from the plan:\n" + p)
+  }
+
   test("join_lookup_format: tiny VALUES dim broadcast") {
     val p = plan("join_lookup_format")
     assert(p.contains("BroadcastHashJoin"), p)
