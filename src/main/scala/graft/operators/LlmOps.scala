@@ -176,6 +176,131 @@ object LlmOps extends QueryGroup {
       SELECT doc_a, doc_b, jaccard FROM intra
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
+  /** INCREMENTAL near-dup against a PERSISTED LSH index
+    * (layouts.MinHashIndex) — the 100 TB ingest shape: the corpus's
+    * banded signatures are indexed ONCE (bucketed by band key, IDs-only,
+    * dedup-first), and each new crawl batch deduplicates against it by
+    * computing its own signatures map-side, joining the band table
+    * (zero index-side shuffle — the bucketed scan satisfies the join's
+    * clustering), and verifying candidates with exact Jaccard against
+    * ONLY the touched reps' texts fetched by id from the rep table —
+    * the corpus itself is never rescanned or re-hashed. The batch here
+    * is the fixture corpus's planted mutants plus exact copies of every
+    * 40th corpus doc; output = (batch doc, corpus rep, jaccard ≥ 0.5).
+    *
+    * Oracle: full SQL recompute (the llm_dedup_minhash JVM-twin
+    * pattern) — signatures for BOTH sides from the primitive
+    * per-shingle hash dump, banding as the sig-slice string (the
+    * index's stored bkey is exactly that string, so the oracle's band
+    * join is byte-identical to the probe join), candidate set, exact
+    * Jaccard, member expansion. */
+  private val llmDedupMinhashIncremental = GraftQuery(
+    "llm_dedup_minhash_incremental",
+    (s, dir) => {
+      val path = graft.Fixtures.neardupCorpus(s, dir)
+      graft.Fixtures.minhashShingleHashes(s, dir) // primitive dump for the oracle
+      val all = s.read.parquet(path)
+      val corpus = all.filter(col("id") < 1000000L)
+      val batch = all.filter(col("id") >= 1000000L)
+        .unionByName(corpus.filter(col("id") % 40 === 0)
+          .select((col("id") + 2000000L).as("id"), col("text")))
+      val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+        s, dir, corpus, "neardup", shingleWords = 5, nHashes = SIG_HASHES,
+        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
+      val (bBandsRaw, bReps) = graft.layouts.MinHashIndex.bandRows(
+        batch, shingleWords = 5, nHashes = SIG_HASHES,
+        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS)
+      // localCheckpoint: the candidate set feeds THREE consumers (the
+      // corpus-shingle fetch, the verify join, and transitively the
+      // output) — without the cut the index band join re-executes per
+      // consumer (the groups-fan-out lesson, llm_dedup_clusters)
+      val cand = bBandsRaw.withColumnRenamed("rep", "brep")
+        .join(s.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
+        .select(col("brep"), col("crep")).distinct()
+        .localCheckpoint()
+      // corpus shingles ONLY for candidate reps, by id from the rep table
+      val cSh = cand.select(col("crep")).distinct()
+        .join(s.table(repsT), col("crep") === col("rep"))
+        .select(col("crep"), expr("word_shingles(norm, 5)").as("csh"))
+      val bSh = bReps.select(col("rep").as("brep"),
+        expr("word_shingles(norm, 5)").as("bsh"))
+      val ver = cand.join(bSh, "brep").join(cSh, "crep")
+        .withColumn("jaccard", expr("jaccard_sim(bsh, csh)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("brep"), col("crep"), col("jaccard"))
+      // expand batch dedup groups back to member doc ids
+      val bMembers = batch
+        .withColumn("norm", TextOps.normalize(col("text")))
+        .join(bReps.withColumnRenamed("rep", "brep"), "norm")
+        .select(col("brep"), col("id"))
+      ver.join(bMembers, "brep")
+        .select(col("id").as("doc_id"), col("crep").as("corpus_id"), col("jaccard"))
+        .orderBy(col("doc_id").asc_nulls_first, col("corpus_id").asc_nulls_first)
+    },
+    Some("""
+      WITH all0 AS (
+        SELECT id, text
+        FROM read_parquet('/tmp/graft_fixture_neardup_sf0.01/*.parquet')),
+      corpus AS (SELECT id, text FROM all0 WHERE id < 1000000),
+      batch AS (
+        SELECT id, text FROM all0 WHERE id >= 1000000
+        UNION ALL
+        SELECT id + 2000000 AS id, text FROM corpus WHERE id % 40 = 0),
+      crep AS (
+        SELECT t, min(id) AS rep
+        FROM (SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM corpus)
+        GROUP BY t),
+      brep AS (
+        SELECT t, min(id) AS rep, list_sort(list(id)) AS members
+        FROM (SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM batch)
+        GROUP BY t),
+      cs AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM crep)),
+      bs AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM brep)),
+      shh AS (
+        SELECT sh, unnest(hs) AS h, unnest(generate_series(0, 63)) AS seed
+        FROM read_parquet('/tmp/graft_fixture_mhsig_sf0.01/*.parquet')),
+      csig AS (
+        SELECT rep, list(m ORDER BY seed ASC) AS sig
+        FROM (SELECT t.rep, s.seed, min(s.h) AS m
+              FROM (SELECT rep, unnest(shs) AS sh FROM cs) t
+              JOIN shh s USING (sh) GROUP BY t.rep, s.seed)
+        GROUP BY rep),
+      bsig AS (
+        SELECT rep, list(m ORDER BY seed ASC) AS sig
+        FROM (SELECT t.rep, s.seed, min(s.h) AS m
+              FROM (SELECT rep, unnest(shs) AS sh FROM bs) t
+              JOIN shh s USING (sh) GROUP BY t.rep, s.seed)
+        GROUP BY rep),
+      cbands AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bk
+        FROM csig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      bbands AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bk
+        FROM bsig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      cand AS (
+        SELECT DISTINCT bb.rep AS brep_, cb.rep AS crep_
+        FROM bbands bb JOIN cbands cb ON bb.b = cb.b AND bb.bk = cb.bk),
+      ver AS (
+        SELECT v.brep_, v.crep_,
+               CASE WHEN len(list_distinct(list_concat(sb.shs, sc.shs))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(sb.shs, sc.shs)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(sb.shs, sc.shs))) AS DOUBLE)
+               END AS j
+        FROM cand v
+        JOIN bs sb ON sb.rep = v.brep_
+        JOIN cs sc ON sc.rep = v.crep_)
+      SELECT m.m AS doc_id, v.crep_ AS corpus_id, v.j AS jaccard
+      FROM ver v
+      JOIN (SELECT rep, unnest(members) AS m FROM brep) m ON m.rep = v.brep_
+      WHERE v.j >= 0.5
+      ORDER BY doc_id ASC NULLS FIRST, corpus_id ASC NULLS FIRST"""))
+
   /** SimHash dedup signature: 64-bit per doc from token hashes; near-dups
     * differ in few bits (Hamming). Oracle: none — LlmOpsSpec asserts mutant
     * Hamming distance ≪ unrelated-pair distance. */
@@ -3480,7 +3605,8 @@ object LlmOps extends QueryGroup {
 
   override def queries: Seq[GraftQuery] = Seq(
     llmShingleGenerate,
-    llmDedupExact, llmDedupMinhash, llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
+    llmDedupExact, llmDedupMinhash, llmDedupMinhashIncremental,
+    llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
     llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
     llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,

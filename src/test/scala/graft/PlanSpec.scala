@@ -128,6 +128,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("% 25"), "residual predicate missing from the plan:\n" + p)
   }
 
+  test("MinHashIndex probe: the persisted band index is scanned bucketed " +
+      "and NEVER shuffled — only the batch side moves") {
+    // the registry row localCheckpoints the candidate set (its plan
+    // truncates there), so the pin re-builds the probe join exactly as
+    // llm_dedup_minhash_incremental does and asserts on ITS plan
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, sf))
+    val corpus = all.filter(col("id") < 1000000L)
+    val batch = all.filter(col("id") >= 1000000L)
+    val (bandsT, _) = graft.layouts.MinHashIndex.ensure(
+      spark, sf, corpus, "neardup", 5, 64, 16, 4, Seq("documents"))
+    val (bBands, _) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
+    val cand = bBands.withColumnRenamed("rep", "brep")
+      .join(spark.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
+      .select(col("brep"), col("crep")).distinct()
+    val p = cand.queryExecution.executedPlan.toString
+    // the index scan reports its bucketing…
+    assert("mhidx_neardup_bands.*Bucketed: true".r.findFirstIn(p).isDefined,
+      "band index scan is not bucketed:\n" + p)
+    // …and no exchange ever hashes the band key ON THE INDEX SIDE: the
+    // candidate join must broadcast the (small) batch bands or ride the
+    // bucketed clustering, so the only bkey movement allowed is a
+    // BroadcastExchange. An Exchange hashpartitioning(bkey…) would mean
+    // the corpus-sized index is being shuffled per probe batch.
+    assert(!p.contains("Exchange hashpartitioning(bkey"),
+      "band index shuffled on bkey:\n" + p)
+  }
+
   test("join_lookup_format: tiny VALUES dim broadcast") {
     val p = plan("join_lookup_format")
     assert(p.contains("BroadcastHashJoin"), p)
