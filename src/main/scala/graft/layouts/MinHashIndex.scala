@@ -63,7 +63,13 @@ object MinHashIndex {
   }
 
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
-    * fully qualified for `spark.table`. */
+    * fully qualified for `spark.table`.
+    *
+    * `tag` must encode the corpus DEFINITION, not just its sources:
+    * Bucketed.ensure's cache signature covers the source tables' bytes
+    * and the spec's name/key/schema, but NOT the filter that selected
+    * `corpus` from them — two callers indexing different subsets of the
+    * same table under one tag would silently share a layout. */
   def ensure(s: SparkSession, dir: String, corpus: DataFrame, tag: String,
       shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
       srcTables: Seq[String]): (String, String) = {

@@ -200,12 +200,19 @@ object LlmOps extends QueryGroup {
       val path = graft.Fixtures.neardupCorpus(s, dir)
       graft.Fixtures.minhashShingleHashes(s, dir) // primitive dump for the oracle
       val all = s.read.parquet(path)
-      val corpus = all.filter(col("id") < 1000000L)
-      val batch = all.filter(col("id") >= 1000000L)
+      // corpus/batch split on the WITHIN-REPLICA id (the fixture's mutant
+      // offset is +1e6 inside each replica's 1e9 key space): a plain
+      // id < 1e6 works only on driver testdata and silently swallows
+      // every higher replica of a make_sf1 corpus into the batch —
+      // measured: the sf6t "batch" became 295 k docs and the probe cost
+      // tracked corpus size instead of batch size
+      val repLocal = col("id") % 1000000000L
+      val corpus = all.filter(repLocal < 1000000L)
+      val batch = all.filter(repLocal >= 1000000L)
         .unionByName(corpus.filter(col("id") % 40 === 0)
           .select((col("id") + 2000000L).as("id"), col("text")))
       val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
-        s, dir, corpus, "neardup", shingleWords = 5, nHashes = SIG_HASHES,
+        s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
         nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
       val (bBandsRaw, bReps) = graft.layouts.MinHashIndex.bandRows(
         batch, shingleWords = 5, nHashes = SIG_HASHES,
@@ -241,9 +248,9 @@ object LlmOps extends QueryGroup {
       WITH all0 AS (
         SELECT id, text
         FROM read_parquet('/tmp/graft_fixture_neardup_sf0.01/*.parquet')),
-      corpus AS (SELECT id, text FROM all0 WHERE id < 1000000),
+      corpus AS (SELECT id, text FROM all0 WHERE id % 1000000000 < 1000000),
       batch AS (
-        SELECT id, text FROM all0 WHERE id >= 1000000
+        SELECT id, text FROM all0 WHERE id % 1000000000 >= 1000000
         UNION ALL
         SELECT id + 2000000 AS id, text FROM corpus WHERE id % 40 = 0),
       crep AS (

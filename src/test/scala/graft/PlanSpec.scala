@@ -135,17 +135,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // llm_dedup_minhash_incremental does and asserts on ITS plan
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, sf))
-    val corpus = all.filter(col("id") < 1000000L)
-    val batch = all.filter(col("id") >= 1000000L)
+    val corpus = all.filter(col("id") % 1000000000L < 1000000L)
+    val batch = all.filter(col("id") % 1000000000L >= 1000000L)
     val (bandsT, _) = graft.layouts.MinHashIndex.ensure(
-      spark, sf, corpus, "neardup", 5, 64, 16, 4, Seq("documents"))
+      spark, sf, corpus, "neardup_repbase", 5, 64, 16, 4, Seq("documents"))
     val (bBands, _) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
     val cand = bBands.withColumnRenamed("rep", "brep")
       .join(spark.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
       .select(col("brep"), col("crep")).distinct()
     val p = cand.queryExecution.executedPlan.toString
     // the index scan reports its bucketing…
-    assert("mhidx_neardup_bands.*Bucketed: true".r.findFirstIn(p).isDefined,
+    assert("mhidx_neardup_repbase_bands.*Bucketed: true".r.findFirstIn(p).isDefined,
       "band index scan is not bucketed:\n" + p)
     // …and no exchange ever hashes the band key ON THE INDEX SIDE: the
     // candidate join must broadcast the (small) batch bands or ride the
