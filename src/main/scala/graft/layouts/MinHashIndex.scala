@@ -62,6 +62,10 @@ object MinHashIndex {
     (bands, reps.select(col("rep"), col("norm")))
   }
 
+  /** Bucket count for index tables — every writer (ensure + append) must
+    * agree or the appended files break the table's bucketing spec. */
+  val Buckets = 8
+
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
     * fully qualified for `spark.table`.
     *
@@ -76,7 +80,62 @@ object MinHashIndex {
     val (bands, reps) = bandRows(corpus, shingleWords, nHashes, nBands, rowsPerBand)
     val Seq(b, r) = Bucketed.ensure(s, dir, Seq(
       Bucketed.Spec(s"mhidx_${tag}_bands", bands, "bkey", srcTables),
-      Bucketed.Spec(s"mhidx_${tag}_reps", reps, "rep", srcTables)))
+      Bucketed.Spec(s"mhidx_${tag}_reps", reps, "rep", srcTables)), Buckets)
     (b, r)
+  }
+
+  /** Probe an ensured index with a new batch (id, text): returns
+    * (brep, crep, jaccard) — each batch dedup-group representative
+    * paired with every indexed corpus rep whose exact shingle Jaccard ≥
+    * `threshold` — plus the batch's own rep table (rep, norm) for
+    * member expansion or a follow-up [[append]]. The probe never
+    * rescans the corpus: candidates come from the band join (batch
+    * bands broadcast or clustered onto the bucketed index scan — the
+    * index side is NEVER shuffled, PlanSpec-pinned), and verification
+    * texts are fetched by id from the rep table for the touched reps
+    * only. The candidate set is localCheckpoint-ed: it feeds multiple
+    * consumers and the band join must not re-execute per consumer. */
+  def probe(s: SparkSession, bandsTable: String, repsTable: String,
+      batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
+      rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
+    val cand = bBandsRaw.withColumnRenamed("rep", "brep")
+      .join(s.table(bandsTable).withColumnRenamed("rep", "crep"), "bkey")
+      .select(col("brep"), col("crep")).distinct()
+      .localCheckpoint()
+    val cSh = cand.select(col("crep")).distinct()
+      .join(s.table(repsTable), col("crep") === col("rep"))
+      .select(col("crep"), expr(s"word_shingles(norm, $shingleWords)").as("csh"))
+    val bSh = bReps.select(col("rep").as("brep"),
+      expr(s"word_shingles(norm, $shingleWords)").as("bsh"))
+    val pairs = cand.join(bSh, "brep").join(cSh, "crep")
+      .withColumn("jaccard", expr("jaccard_sim(bsh, csh)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("brep"), col("crep"), col("jaccard"))
+    (pairs, bReps)
+  }
+
+  /** INDEX MAINTENANCE: fold a probed batch into the index so the NEXT
+    * batch dedups against corpus ∪ batch — the ingest lifecycle (the
+    * IvfIndex.appendStream analogue for text). Appends band rows + rep
+    * texts for every batch rep EXCEPT exact duplicates of an indexed
+    * rep (a probe pair at jaccard 1.0 means the identical shingle set
+    * is already represented — re-indexing it would only duplicate its
+    * band rows). Appended files preserve the tables' bucketing spec
+    * (same [[Buckets]] count and keys); multi-file buckets keep the
+    * CLUSTERING the probe join rides (Spark just stops reporting
+    * per-bucket sort order, which the probe never needed). */
+  def append(s: SparkSession, bandsTable: String, repsTable: String,
+      probePairs: DataFrame, batchReps: DataFrame,
+      shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int): Unit = {
+    val exactDup = probePairs.filter(col("jaccard") === 1.0)
+      .select(col("brep").as("rep")).distinct()
+    val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")
+      .select(col("rep").as("id"), col("norm").as("text"))
+    val (bands, reps) = bandRows(fresh, shingleWords, nHashes, nBands, rowsPerBand)
+    bands.write.mode("append").bucketBy(Buckets, "bkey").sortBy("bkey")
+      .saveAsTable(bandsTable)
+    reps.write.mode("append").bucketBy(Buckets, "rep").sortBy("rep")
+      .saveAsTable(repsTable)
   }
 }

@@ -214,27 +214,9 @@ object LlmOps extends QueryGroup {
       val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
         s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
         nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
-      val (bBandsRaw, bReps) = graft.layouts.MinHashIndex.bandRows(
-        batch, shingleWords = 5, nHashes = SIG_HASHES,
-        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS)
-      // localCheckpoint: the candidate set feeds THREE consumers (the
-      // corpus-shingle fetch, the verify join, and transitively the
-      // output) — without the cut the index band join re-executes per
-      // consumer (the groups-fan-out lesson, llm_dedup_clusters)
-      val cand = bBandsRaw.withColumnRenamed("rep", "brep")
-        .join(s.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
-        .select(col("brep"), col("crep")).distinct()
-        .localCheckpoint()
-      // corpus shingles ONLY for candidate reps, by id from the rep table
-      val cSh = cand.select(col("crep")).distinct()
-        .join(s.table(repsT), col("crep") === col("rep"))
-        .select(col("crep"), expr("word_shingles(norm, 5)").as("csh"))
-      val bSh = bReps.select(col("rep").as("brep"),
-        expr("word_shingles(norm, 5)").as("bsh"))
-      val ver = cand.join(bSh, "brep").join(cSh, "crep")
-        .withColumn("jaccard", expr("jaccard_sim(bsh, csh)"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("brep"), col("crep"), col("jaccard"))
+      val (ver, bReps) = graft.layouts.MinHashIndex.probe(
+        s, bandsT, repsT, batch, shingleWords = 5, nHashes = SIG_HASHES,
+        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, threshold = 0.5)
       // expand batch dedup groups back to member doc ids
       val bMembers = batch
         .withColumn("norm", TextOps.normalize(col("text")))

@@ -102,4 +102,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(transitiveOnly.nonEmpty,
       s"no chain needed transitivity (direct J: $direct)")
   }
+
+  test("MinHashIndex lifecycle: ensure → probe → append → next batch finds " +
+      "the appended reps; exact dups of indexed reps are NOT re-indexed") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val P = (5, 64, 16, 4) // shingleWords, nHashes, nBands, rowsPerBand
+    // own tag + tiny synthetic corpus: must not touch the registry row's
+    // layout (separate spec name ⇒ separate cached tables)
+    val corpus = Seq((1L, textA), (3L, textB), (4L, textC)).toDF("id", "text")
+    val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "appendspec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    // batch 1: A' (near-dup of indexed A), an exact copy of B, and a fresh doc
+    val textD = (1 to 50).map(i => s"delta$i").mkString(" ")
+    val batch1 = Seq((10L, textA2), (11L, textB), (12L, textD)).toDF("id", "text")
+    val (pairs1, reps1) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch1, P._1, P._2, P._3, P._4, threshold = 0.5)
+    val got1 = pairs1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got1.map(t => (t._1, t._2)).toSet == Set((10L, 1L), (11L, 3L)),
+      s"batch1 pairs: ${got1.toSeq}")
+    assert(got1.find(_._1 == 11L).get._3 == 1.0) // the exact copy
+    // fold batch 1 in: A' and D append; the exact copy of B must NOT
+    graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs1, reps1, P._1, P._2, P._3, P._4)
+    val indexed = spark.table(repsT).select("rep").as[Long].collect().toSet
+    assert(indexed == Set(1L, 3L, 4L, 10L, 12L), s"indexed reps: $indexed")
+    // batch 2: a near-dup of D — findable ONLY via the appended rows
+    val textD2 = (1 to 50).map(i => s"delta$i").updated(30, "CHANGED").mkString(" ")
+    val batch2 = Seq((20L, textD2)).toDF("id", "text")
+    val (pairs2, _) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch2, P._1, P._2, P._3, P._4, threshold = 0.5)
+    val got2 = pairs2.select("brep", "crep").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSet == Set((20L, 12L)), s"batch2 pairs: ${got2.toSeq}")
+  }
 }
