@@ -2437,12 +2437,28 @@ object LlmOps extends QueryGroup {
           slice(col("words"), lit(1), size(col("words")) - 1),
           slice(col("words"), lit(2), size(col("words")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      // Each count table re-aggregates the instance stream DIRECTLY: the
+      // explodes are map-side and the shuffles carry only post-combine
+      // distinct keys, so recomputation is cheap. The "obvious" fix of
+      // aggregating once to (rep, bigram) and deriving c2/c1 from it
+      // (c2 = Σ cnt·gsz etc.) was BUILT AND MEASURED SLOWER (r7):
+      // materializing the distinct-pair table (~29 M rows at sf12t) to
+      // feed three consumers cost more than the map-side re-aggregation
+      // it saved — 11.5 vs 9.7 s at sf6t, 21.7 vs 15.8 at sf12t.
+      // Re-derivation over materialization when the intermediate is
+      // corpus-sized and the passes are combine-friendly.
       val repbg = bg.groupBy(col("rep"), col("bigram")).agg(count(lit(1)).as("cnt"))
       val c2 = bg.groupBy(col("bigram")).agg(sum(col("gsz")).as("c2"))
       val c1 = g.select(col("gsz"),
           explode(slice(col("words"), lit(1), size(col("words")) - 1)).as("w1"))
         .groupBy(col("w1")).agg(sum(col("gsz")).as("c1"))
-      val v = g.select(explode(col("words")).as("x"))
+      // vocabulary = distinct(bigram first words ∪ each doc's LAST word):
+      // every word at position < n is some bigram's w1, position n only
+      // ever a w2 — so v derives from the (small) c1 key set plus one
+      // element_at row per rep, replacing a fourth full explode+distinct
+      // over the token stream. Strict win: no new materialization.
+      val v = c1.select(col("w1").as("x"))
+        .unionByName(g.select(element_at(col("words"), -1).as("x")))
         .agg(countDistinct(col("x")).cast(DoubleType).as("vsz"))
       val scored = repbg
         .join(c2, "bigram")
