@@ -163,4 +163,91 @@ object VectorLsh {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .drop("band_buckets")
   }
+
+  /** Sampled estimate of the candidate-pair mass a band geometry will
+    * generate on this corpus, split into BACKGROUND (colliding pairs with
+    * exact cosine BELOW `simThreshold` — pure waste the verify step must
+    * discard) and TRUE (colliding pairs at/above it — the operator's
+    * paid-for output). The fail-fast guard for banded sign-LSH's
+    * corpus-profile precondition: sign-LSH separates a ≥θ pair from a
+    * near-orthogonal background superbly, but a MID-similarity background
+    * is a different regime — at cosine ~0.65 the per-bit agreement is
+    * ~0.72, and even the weak tail of a random-ish background (cosine
+    * ~0.1–0.2) collides at a rate that grows with the band count the
+    * miss bound forces. Measured on the spread-mode corpora: ~10⁸
+    * background candidates at 122 k distinct vectors for ~2 k true
+    * pairs (ran, wastefully), ~2.6×10⁸ at 245 k — where the verify
+    * joins' wide intermediate (pairs × two 64-dim vectors) spilled
+    * > 60 GB of sort blocks and died. No bits/bands tuning escapes the
+    * regime — (p_bg/p_thr)^bits shrinks too slowly against the band
+    * count — so the cure is coarse-partition-first (llm_semdedup's IVF
+    * cells bound every candidate block at ~√N regardless of the
+    * background). The RATIO of the two masses is the machine-independent
+    * discriminator: the d-corpora's documented 97 M-candidate runs are
+    * legitimate because their background is only ~2× the true mass,
+    * while the spread profile wastes 10⁴–10⁵× its output.
+    *
+    * Estimator: the `sampleSize` vectors with the smallest
+    * xxhash64(vec_id) (deterministic, order-free), bucketed DRIVER-SIDE
+    * with the same derived hyperplanes and sign rule (dot > 0); distinct
+    * colliding sample pairs are classified by exact cosine and each rate
+    * scales to the corpus as q·N(N−1)/2. Resolution: smallest detectable
+    * q is 1/C(s,2) ≈ 4.8e-7 at s = 2048. Cost: ~s·bands·bits·dims flops
+    * + C(s,2)·bands long compares on the driver (~0.5 s at the
+    * default). */
+  def estimatedCandidateMass(reps: DataFrame, n: Long, nBands: Int,
+      bitsPerBand: Int, dims: Int, simThreshold: Double,
+      sampleSize: Int = 2048): (Double, Double) = {
+    if (n < 2) return (0.0, 0.0)
+    val sample = reps
+      .select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")).asc_nulls_first, col("vec_id").asc_nulls_first)
+      .limit(math.min(sampleSize.toLong, n).toInt)
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val s = sample.length
+    if (s < 2) return (0.0, 0.0)
+    val planes = hyperplanes(nBands * bitsPerBand, dims).map(_.toArray).toArray
+    val codes = sample.map { v =>
+      Array.tabulate(nBands) { b =>
+        var code = 0L
+        var i = 0
+        while (i < bitsPerBand) {
+          val p = planes(b * bitsPerBand + i)
+          var dot = 0.0
+          var d = 0
+          val lim = math.min(dims, v.length)
+          while (d < lim) { dot += p(d) * v(d); d += 1 }
+          code = (code << 1) | (if (dot > 0) 1L else 0L)
+          i += 1
+        }
+        code
+      }
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      val lim = math.min(a.length, b.length)
+      while (d < lim) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var bg = 0L
+    var tru = 0L
+    var i = 0
+    while (i < s) {
+      var j = i + 1
+      while (j < s) {
+        var hit = false
+        var b = 0
+        val (ci, cj) = (codes(i), codes(j))
+        while (b < nBands && !hit) { hit = ci(b) == cj(b); b += 1 }
+        if (hit) {
+          if (cosine(sample(i), sample(j)) < simThreshold) bg += 1 else tru += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val scale = n.toDouble * (n - 1) / 2 / (s.toLong * (s - 1) / 2)
+    (bg * scale, tru * scale)
+  }
 }

@@ -719,8 +719,29 @@ object LlmOps extends QueryGroup {
       // bands to hold the miss probability (VectorLsh scaladoc, incl. the
       // occupancy-8 trade profiled at sf3d); growing the geometry only
       // adds candidates, and exact verification filters them.
+      val nDistinct = reps.count()
       val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
-        reps.count(), simThreshold = 0.9)
+        nDistinct, simThreshold = 0.9)
+      // FAIL-FAST corpus-profile guard (r7): banded sign-LSH requires
+      // that the candidate mass be dominated by TRUE pairs, not by a
+      // mid-similarity background the verify step discards. Measured on
+      // the spread-mode corpora the geometry generated ~2.6×10⁸
+      // background candidates for ~2 k true pairs at 245 k distinct
+      // vectors, and the verify joins' wide intermediate spilled > 60 GB
+      // and died. The discriminator is the RATIO (machine-independent —
+      // the d-corpora's documented 97 M-candidate runs are legitimate at
+      // background ≈ 2× true) with an absolute floor so small corpora,
+      // where over-collection is deliberate and cheap, never trip it.
+      // The operator for ratio-pathological corpora is llm_semdedup:
+      // its IVF cells bound every candidate block at ~√N regardless of
+      // the background (VectorLsh.estimatedCandidateMass scaladoc).
+      val (bgPairs, truePairs) = graft.etl.VectorLsh.estimatedCandidateMass(
+        reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
+      require(bgPairs <= 5e7 || bgPairs <= 100.0 * truePairs,
+        f"llm_embed_neardup: estimated ${bgPairs}%.2e background candidate pairs vs " +
+          f"${truePairs}%.2e true pairs — this corpus's mid-similarity embedding " +
+          "background cannot be separated from the 0.9 threshold by banded sign-LSH " +
+          "at any geometry; use llm_semdedup (cell-partitioned candidates) for this profile")
       val bucketed = graft.etl.VectorLsh.withBandBuckets(
           reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
         .select(col("vec_id"), col("band"), col("bucket"))

@@ -248,4 +248,52 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
       byCluster(0L) != byCluster(1L),
       s"sample-trained centroids failed to separate planted clusters: $byCluster")
   }
+
+  test("estimatedCandidateMass: a mid-similarity background is flagged " +
+      "(bg ≫ true); a near-orthogonal corpus with planted dups is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dims = 64
+    def gauss(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dims)(r.nextGaussian())
+    }
+    val n = 4000
+    // mid-similarity corpus: shared direction + comparable noise → typical
+    // pairwise cosine ~0.5–0.7 (the spread-corpus profile)
+    val u = gauss(1)
+    val mid = (0 until n).map { i =>
+      val g = gauss(100 + i)
+      (i.toLong, u.zip(g).map { case (a, b) => a + 0.9 * b }.toSeq)
+    }.toDF("vec_id", "v")
+    // near-orthogonal corpus + planted near-dups (the operator's profile)
+    val ortho = (0 until n).map { i =>
+      val base = gauss(100 + i / 2) // every pair of ids shares a base → true dup
+      val v = if (i % 2 == 0) base else base.map(_ * 1.01 + 1e-3)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "v")
+    // evaluate at a LARGE virtual corpus (geometry AND mass scaling at
+    // nVirtual, pair-similarity distribution from the sample): small-n
+    // geometries over-collect DELIBERATELY (occupancy 32, cheap
+    // verification), which is exactly what the guard's absolute floor
+    // exempts — the discrimination claim is about the at-scale regime
+    val nVirtual = 200000L
+    val (bands, bits) = graft.etl.VectorLsh.adaptiveBandParams(nVirtual, simThreshold = 0.9)
+    val (bgMid, trueMid) = graft.etl.VectorLsh.estimatedCandidateMass(
+      mid, nVirtual, bands, bits, dims, simThreshold = 0.9, sampleSize = 512)
+    val (bgOrtho, trueOrtho) = graft.etl.VectorLsh.estimatedCandidateMass(
+      ortho, nVirtual, bands, bits, dims, simThreshold = 0.9, sampleSize = 512)
+    def flagged(bg: Double, tru: Double): Boolean = bg > 5e7 && bg > 100.0 * tru
+    // the mid-similarity profile wastes ≫100× its output at scale; the
+    // planted near-orthogonal profile stays true-pair-dominated
+    assert(flagged(bgMid, trueMid),
+      s"mid-similarity corpus not flagged: bg=$bgMid true=$trueMid")
+    assert(trueOrtho > 0.0, "planted dups not found by the estimator")
+    assert(!flagged(bgOrtho, trueOrtho),
+      s"clean corpus wrongly flagged: bg=$bgOrtho true=$trueOrtho")
+    // determinism: same inputs, same estimate (hash-ordered sample)
+    val again = graft.etl.VectorLsh.estimatedCandidateMass(
+      mid.repartition(7), nVirtual, bands, bits, dims, simThreshold = 0.9, sampleSize = 512)
+    assert(again == ((bgMid, trueMid)), "estimator depends on partitioning")
+  }
 }
