@@ -735,13 +735,17 @@ object LlmOps extends QueryGroup {
       // The operator for ratio-pathological corpora is llm_semdedup:
       // its IVF cells bound every candidate block at ~√N regardless of
       // the background (VectorLsh.estimatedCandidateMass scaladoc).
-      val (bgPairs, truePairs) = graft.etl.VectorLsh.estimatedCandidateMass(
-        reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
-      require(bgPairs <= 5e7 || bgPairs <= 100.0 * truePairs,
-        f"llm_embed_neardup: estimated ${bgPairs}%.2e background candidate pairs vs " +
-          f"${truePairs}%.2e true pairs — this corpus's mid-similarity embedding " +
-          "background cannot be separated from the 0.9 threshold by banded sign-LSH " +
-          "at any geometry; use llm_semdedup (cell-partitioned candidates) for this profile")
+      // skip when the floor cannot be exceeded: bg ≤ n(n−1)/2 ≤ 5e7 for
+      // n ≤ 10⁴, so the estimate would be a pure no-op cost there
+      if (nDistinct > 10000L) {
+        val (bgPairs, truePairs) = graft.etl.VectorLsh.estimatedCandidateMass(
+          reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
+        require(bgPairs <= 5e7 || bgPairs <= 100.0 * truePairs,
+          f"llm_embed_neardup: estimated ${bgPairs}%.2e background candidate pairs vs " +
+            f"${truePairs}%.2e true pairs — this corpus's mid-similarity embedding " +
+            "background cannot be separated from the 0.9 threshold by banded sign-LSH " +
+            "at any geometry; use llm_semdedup (cell-partitioned candidates) for this profile")
+      }
       val bucketed = graft.etl.VectorLsh.withBandBuckets(
           reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
         .select(col("vec_id"), col("band"), col("bucket"))
