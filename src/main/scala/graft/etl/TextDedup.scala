@@ -146,6 +146,14 @@ object TextDedup {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // An empty edge set means every node is its own singleton component —
+    // return directly. Besides skipping pointless shuffle rounds, this is
+    // a correctness guard: with zero label rows the monotone-mass test's
+    // global sum is NULL, which would NPE the convergence compare.
+    if (sym.isEmpty) {
+      lastIters = 0
+      return nodes.select(col("id"), col("id").as("cluster_id"))
+    }
     // Propagate over the EDGE-TOUCHED subgraph only: a node with no edges
     // is its own component by definition and never changes label, so
     // iterating it is pure waste — and at corpus scale the near-dup graph

@@ -199,25 +199,38 @@ object VectorLsh {
       bitsPerBand: Int, dims: Int, simThreshold: Double,
       sampleSize: Int = 2048): (Double, Double) = {
     if (n < 2) return (0.0, 0.0)
-    val sample = reps
+    // MALFORMED vectors (null, wrong dimension, null element) must bucket
+    // exactly like the runtime BandBuckets kernel: ALL-ZERO codes, which
+    // collide with every other malformed vector in every band (r7 ADVICE
+    // — a partial-dot estimate here under-counted their collision mass
+    // and could let the guard pass a corpus the kernel would then flood).
+    // Represented as `null` entries; code/cosine handling below mirrors
+    // the kernel (all-zero code) and classifies their pairs as
+    // background (cosine treated as 0 — verify discards them anyway).
+    val sample: Array[Array[Double]] = reps
       .select(col("vec_id"), col("v"))
       .orderBy(xxhash64(col("vec_id")).asc_nulls_first, col("vec_id").asc_nulls_first)
       .limit(math.min(sampleSize.toLong, n).toInt)
       .collect()
-      .map(r => r.getSeq[Double](1).toArray)
+      .map { r =>
+        val sq = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        if (sq == null || sq.length != dims || sq.exists(_ == null)) null
+        else sq.map(_.asInstanceOf[Double]).toArray
+      }
     val s = sample.length
     if (s < 2) return (0.0, 0.0)
     val planes = hyperplanes(nBands * bitsPerBand, dims).map(_.toArray).toArray
+    val zeroCodes = Array.fill(nBands)(0L)
     val codes = sample.map { v =>
-      Array.tabulate(nBands) { b =>
+      if (v == null) zeroCodes
+      else Array.tabulate(nBands) { b =>
         var code = 0L
         var i = 0
         while (i < bitsPerBand) {
           val p = planes(b * bitsPerBand + i)
           var dot = 0.0
           var d = 0
-          val lim = math.min(dims, v.length)
-          while (d < lim) { dot += p(d) * v(d); d += 1 }
+          while (d < dims) { dot += p(d) * v(d); d += 1 }
           code = (code << 1) | (if (dot > 0) 1L else 0L)
           i += 1
         }
@@ -225,6 +238,7 @@ object VectorLsh {
       }
     }
     def cosine(a: Array[Double], b: Array[Double]): Double = {
+      if (a == null || b == null) return 0.0
       var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
       val lim = math.min(a.length, b.length)
       while (d < lim) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }

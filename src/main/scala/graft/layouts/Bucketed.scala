@@ -52,6 +52,28 @@ object Bucketed {
     }
   }
 
+  /** Lifecycle: forget every persisted layout whose table name starts
+    * with `namePrefix` — drops the catalog entries AND deletes the
+    * backing directories (markers included), so the next ensure()
+    * rebuilds from source. The complement of the durability contract:
+    * now that completed layouts survive JVM restarts, an owner that
+    * WANTS a rebuild (ingest test fixtures, a corrupted append) needs an
+    * explicit invalidation, not catalog amnesia. */
+  def invalidate(s: SparkSession, namePrefix: String): Unit = {
+    s.catalog.listDatabases().collect()
+      .filter(_.name.startsWith("graftbuckets_"))
+      .foreach { db =>
+        s.catalog.listTables(db.name).collect()
+          .filter(_.name.startsWith(namePrefix))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${db.name}.${t.name}"))
+      }
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket_wh_"))
+      .flatMap(f => Option(f.listFiles()).getOrElse(Array.empty))
+      .filter(t => t.isDirectory && t.getName.startsWith(namePrefix))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
   /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
     * the fully qualified table names in input order. Idempotent and cheap
     * after the first call (a catalog existence check per table). */
@@ -74,18 +96,40 @@ object Bucketed {
     val loc = s"/tmp/graft_bucket_wh_$tag"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     specs.map { sp =>
-      if (!s.catalog.tableExists(s"$db.${sp.name}")) {
-        // the in-memory catalog forgets tables across JVMs but managed
-        // locations persist — wipe the stale dir or CREATE fails
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/${sp.name}"))
-        // repartition on the bucket key first → exactly ONE file per bucket,
-        // so the scan can also report per-bucket sortedness and the merge
-        // join skips its local sort (multi-file buckets forfeit that)
-        sp.src.repartition(buckets, org.apache.spark.sql.functions.col(sp.key))
-          .write.mode("overwrite")
-          .bucketBy(buckets, sp.key).sortBy(sp.key).saveAsTable(s"$db.${sp.name}")
+      val qname = s"$db.${sp.name}"
+      val tdir = new java.io.File(s"$loc/${sp.name}")
+      val marker = new java.io.File(tdir, "_GRAFT_COMPLETE")
+      if (!s.catalog.tableExists(qname)) {
+        if (marker.exists()) {
+          // The in-memory catalog forgets tables across JVMs, but the
+          // files persist and the marker is written only AFTER a
+          // successful build — so the directory holds a COMPLETE layout
+          // (possibly including appended batches, e.g. MinHashIndex
+          // ingest). Re-register it instead of wiping: durability of
+          // appends now spans JVMs, and the tag already pins source
+          // bytes + spec + bucket count, so a stale layout can never
+          // reach this branch under a matching tag. Bucket ids live in
+          // the file names, so a DDL-registered bucketed table over the
+          // existing files keeps the zero-shuffle join property.
+          s.sql(
+            s"""CREATE TABLE $qname (${sp.src.schema.toDDL}) USING PARQUET
+               |CLUSTERED BY (${sp.key}) SORTED BY (${sp.key}) INTO $buckets BUCKETS
+               |LOCATION '${tdir.getAbsolutePath}'""".stripMargin)
+        } else {
+          // no marker: either first build or a crashed/partial one —
+          // wipe the stale dir or the write fails
+          org.apache.commons.io.FileUtils.deleteQuietly(tdir)
+          // repartition on the bucket key first → exactly ONE file per bucket,
+          // so the scan can also report per-bucket sortedness and the merge
+          // join skips its local sort (multi-file buckets forfeit that)
+          sp.src.repartition(buckets, org.apache.spark.sql.functions.col(sp.key))
+            .write.mode("overwrite").option("path", tdir.getAbsolutePath)
+            .bucketBy(buckets, sp.key).sortBy(sp.key).saveAsTable(qname)
+          // marker last: its presence certifies the saveAsTable completed
+          marker.createNewFile()
+        }
       }
-      s"$db.${sp.name}"
+      qname
     }
   }
 }

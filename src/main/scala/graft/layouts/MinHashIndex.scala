@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * groups by NORMALIZED text, so k exact copies contribute ONE band row
   * set, and the index never carries shingle arrays or signatures.
   *
+  * Durability: the layout (INCLUDING appended batches) survives JVM
+  * restarts — Bucketed.ensure writes a `_GRAFT_COMPLETE` marker after a
+  * successful build and, in a fresh JVM whose in-memory catalog has
+  * forgotten the table, RE-REGISTERS the intact directory instead of
+  * wiping it, so "pay the signature pass once" holds across sessions,
+  * not just within one (r7 ADVICE). A crashed build leaves no marker
+  * and is rebuilt from the base corpus.
+  *
   * Cache note: layouts are keyed by Bucketed.ensure's content signature
   * of `srcTables` under `dir` (plus spec schema), so regenerated
   * testdata rotates the index. A corpus built from a FIXTURE parquet

@@ -139,10 +139,14 @@ object Joins extends QueryGroup {
     * the key extraction — the expression references both sides, so it
     * cannot split into an (left expr, right expr) key pair and stays a
     * residual predicate evaluated per matched row. Row semantics are
-    * identical to the equality (for numeric operands: equal ⟺
-    * difference 0; a null on either side nulls the difference and the
-    * predicate, exactly like EqualTo). Numeric residuals only — exactly
-    * the dim-key shape the tax bites. PlanSpec pins the single-key form.
+    * identical to the equality for INTEGRAL and DECIMAL operands (equal
+    * ⟺ difference 0; a null on either side nulls the difference and the
+    * predicate, exactly like EqualTo) — which is exactly the dim-key
+    * shape the tax bites, so restrict residuals to those types. For
+    * FLOATING-POINT operands the rewrite diverges at ±Infinity (Inf ==
+    * Inf is true but Inf − Inf is NaN, so the rewritten predicate drops
+    * the row) — do not route float residuals through this helper.
+    * PlanSpec pins the single-key form.
     *
     * WHEN to reach for it: the long key is selective on the build side
     * (a PK lookup). If the retained key had huge build-side groups the

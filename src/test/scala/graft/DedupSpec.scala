@@ -71,6 +71,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: empty edge set yields all-singleton components") {
+    // regression: with zero edges the label frame is empty, so the
+    // monotone-mass convergence sum is NULL — this used to NPE.
+    val nodes = (1L to 5L).toDF("id")
+    val edges = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val got = TextDedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+    assert(TextDedup.lastIters == 0)
+  }
+
   test("llm_dedup_clusters: planted chains collapse transitively") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
@@ -109,7 +120,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     val P = (5, 64, 16, 4) // shingleWords, nHashes, nBands, rowsPerBand
     // own tag + tiny synthetic corpus: must not touch the registry row's
-    // layout (separate spec name ⇒ separate cached tables)
+    // layout (separate spec name ⇒ separate cached tables). Layouts are
+    // now durable ACROSS JVMs (appends survive), so this lifecycle
+    // fixture must explicitly invalidate its own layout first or a
+    // previous run's appended reps leak into batch-1 assertions.
+    graft.layouts.Bucketed.invalidate(spark, "mhidx_appendspec_")
     val corpus = Seq((1L, textA), (3L, textB), (4L, textC)).toDF("id", "text")
     val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
       spark, "/root/testdata/sf0.001", corpus, "appendspec",
@@ -135,5 +150,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       spark, bandsT, repsT, batch2, P._1, P._2, P._3, P._4, threshold = 0.5)
     val got2 = pairs2.select("brep", "crep").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got2.toSet == Set((20L, 12L)), s"batch2 pairs: ${got2.toSeq}")
+
+    // CROSS-JVM DURABILITY (r7 ADVICE): a fresh JVM's in-memory catalog
+    // has forgotten the tables, but the files + _GRAFT_COMPLETE markers
+    // persist — ensure() must RE-REGISTER the intact layout (keeping the
+    // appended batch) instead of wiping and rebuilding from the base
+    // corpus. The layout tables are EXTERNAL, so DROP TABLE keeps the
+    // files: dropping both tables simulates exactly the fresh-JVM state.
+    spark.sql(s"DROP TABLE $bandsT")
+    spark.sql(s"DROP TABLE $repsT")
+    val (bandsT2, repsT2) = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "appendspec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    assert((bandsT2, repsT2) == (bandsT, repsT))
+    val indexedAfter = spark.table(repsT2).select("rep").as[Long].collect().toSet
+    assert(indexedAfter == Set(1L, 3L, 4L, 10L, 12L),
+      s"re-registered index lost appended reps: $indexedAfter")
+    // and the re-registered bucketed table still serves the probe
+    val (pairs3, _) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT2, repsT2, batch2, P._1, P._2, P._3, P._4, threshold = 0.5)
+    val got3 = pairs3.select("brep", "crep").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got3.toSet == Set((20L, 12L)), s"post-reregister pairs: ${got3.toSeq}")
   }
 }
