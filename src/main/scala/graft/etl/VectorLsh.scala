@@ -164,6 +164,67 @@ object VectorLsh {
       .drop("band_buckets")
   }
 
+  /** Banded near-dup candidate pair ids — the DEFAULT corpus-profile
+    * path: pairs sharing a sign-bucket in ≥ 1 band, IDS ONLY through the
+    * join (24 B/row; vectors are fetched after pair-dedup by id-keyed
+    * joins — the embed_neardup lesson). A pair colliding in several
+    * bands appears once per band; rows are identical so the keyed dedup
+    * is deterministic. ~N^(1+ρ) candidates (ρ ≈ 0.22 at θ = 0.9) when
+    * the background is near-orthogonal — use [[estimatedCandidateMass]]
+    * to detect when it is not and route to [[cellBandCandidateIds]]. */
+  def bandCandidateIds(reps: DataFrame, nBands: Int, bitsPerBand: Int,
+      dims: Int): DataFrame = {
+    val bucketed = withBandBuckets(reps, nBands, bitsPerBand, dims)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates(Seq("vec_a", "vec_b"))
+  }
+
+  /** CELL-PARTITIONED near-dup candidate pair ids — the fallback for the
+    * corpus profile banded LSH alone cannot serve (a mid-similarity
+    * background whose weak-tail collisions flood every geometry — see
+    * [[estimatedCandidateMass]]): coarse-partition the space FIRST with a
+    * deterministic IVF quantizer (Ivf.train/assign — sample-capped Lloyd,
+    * k = ⌈N^(1/3)⌉), then band INSIDE cells: candidates are pairs sharing
+    * (cent_id, band, bucket). The cent_id conjunct bounds every candidate
+    * block at the cell population regardless of the background similarity
+    * structure — the exact generator llm_semdedup measured at 1.04–1.18×
+    * per 2× data on the spread-profile corpora that kill the plain banded
+    * path.
+    *
+    * RECALL CAVEAT (inherent to coarse partitioning): a near-dup pair
+    * whose two vectors fall in DISJOINT cell sets is missed. Vectors are
+    * multi-assigned to their TOP-3 cells (Ivf.assignTop — "spilling"):
+    * single nearest-centroid assignment split 114 of 1200 planted
+    * cosine-≥ 0.97 pairs on the sf6s spread corpus and top-2 still
+    * split 5 — a miss at m needs BOTH near-identical ranking profiles
+    * to diverge across an (m+1)-way near-tie, so each +1 buys roughly
+    * an order of magnitude. Band buckets are computed ONCE per vector
+    * (attached before the ×m cell fan-out), so m costs candidate-join
+    * rows, not banding flops. The residual cluster-scoped contract is
+    * the one SemDeDup (Abbas et al. 2023) ships with; callers that need
+    * the full banded recall must fix the corpus profile instead
+    * (dedup-first, or drop the background by a coarse filter). */
+  def cellBandCandidateIds(reps: DataFrame, n: Long, nBands: Int,
+      bitsPerBand: Int, dims: Int): DataFrame = {
+    val k = Ivf.adaptiveK(n)
+    val cents = Ivf.train(reps, k = k, iters = 3,
+      sampleCap = Ivf.trainSampleCap(k))
+    val assigned = Ivf.assignTop(reps, cents, m = 3)
+    val bucketed = withBandBuckets(assigned, nBands, bitsPerBand, dims)
+      .select(col("vec_id"), explode(col("cells")).as("cent_id"),
+        col("band"), col("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates(Seq("vec_a", "vec_b"))
+  }
+
   /** Sampled estimate of the candidate-pair mass a band geometry will
     * generate on this corpus, split into BACKGROUND (colliding pairs with
     * exact cosine BELOW `simThreshold` — pure waste the verify step must

@@ -14,22 +14,24 @@ import org.apache.spark.sql.functions._
   * (IvfIndex/PqIndex: persisted cent_id layouts probed by new queries).
   *
   * Two bucketed tables per (dir, tag):
-  *   - `mhidx_<tag>_bands`(bkey string, rep bigint) — one row per
-  *     (band, dedup-group representative), bucketed+sorted by bkey, so
-  *     the candidate join is a zero-index-shuffle sort-merge join (only
-  *     the batch's band rows shuffle — KBs, not the corpus).
+  *   - `mhidx_<tag>_bands`(bkey64 bigint, rep bigint) — one row per
+  *     (band, dedup-group representative). `bkey64` is
+  *     xxhash64(`<band_idx>:<sig[4b]>,<sig[4b+1]>,…`) — the 8-byte form
+  *     of the human-auditable band-key string the DuckDB oracle
+  *     recomputes (the llm_dedup_minhash JVM-twin convention; both
+  *     sides derive the SAME string before hashing, so the join is
+  *     equality-faithful). An 8-byte key (r8) instead of the ~45-byte
+  *     string cuts the probe's corpus-linear scan decode ~5× AND turns
+  *     the candidate join's hashed relation into the dense
+  *     single-long-key LongHashedRelation (~12 ns/probe vs ~80 for a
+  *     string key — the Joins.broadcastLookupResidual finding applied
+  *     to a layout). A 64-bit collision can only ADD a candidate pair,
+  *     which the exact-Jaccard verification step then discards —
+  *     recall-safe by construction.
   *   - `mhidx_<tag>_reps`(rep bigint, norm string) — the representative
   *     texts, bucketed by rep: candidate verification fetches ONLY the
   *     touched reps' texts by id and recomputes their shingles, never
   *     scanning the raw corpus.
-  *
-  * The band key is stored as the HUMAN-AUDITABLE string
-  * `<band_idx>:<sig[4b]>,<sig[4b+1]>,…` rather than a 64-bit hash of the
-  * slice: byte-exactly reproducible by the DuckDB oracle (the
-  * llm_dedup_minhash JVM-twin convention), collision-free by
-  * construction. A production deployment would store
-  * xxhash64(band_idx, slice) to shave the key to 8 bytes — the probe
-  * plan is identical.
   *
   * Index rows are IDS-ONLY (the embed_neardup lesson): dedup-first
   * groups by NORMALIZED text, so k exact copies contribute ONE band row
@@ -51,8 +53,10 @@ import org.apache.spark.sql.functions._
   * which bumps whenever fixture-construction logic changes. */
 object MinHashIndex {
 
-  /** Band rows (bkey, rep) + rep texts (rep, norm) for `corpus` (id,
-    * text), dedup-first on the normalized text. */
+  /** Band rows (bkey, bkey64, rep) + rep texts (rep, norm) for `corpus`
+    * (id, text), dedup-first on the normalized text. `bkey` is the
+    * auditable string derivation; `bkey64` its xxhash64 — the stored
+    * and joined form. */
   private[graft] def bandRows(corpus: DataFrame, shingleWords: Int,
       nHashes: Int, nBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -67,6 +71,7 @@ object MinHashIndex {
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"), ","))))
       .select(concat(col("pos").cast("string"), lit(":"), col("col")).as("bkey"),
         col("rep"))
+      .withColumn("bkey64", xxhash64(col("bkey")))
     (bands, reps.select(col("rep"), col("norm")))
   }
 
@@ -87,7 +92,8 @@ object MinHashIndex {
       srcTables: Seq[String]): (String, String) = {
     val (bands, reps) = bandRows(corpus, shingleWords, nHashes, nBands, rowsPerBand)
     val Seq(b, r) = Bucketed.ensure(s, dir, Seq(
-      Bucketed.Spec(s"mhidx_${tag}_bands", bands, "bkey", srcTables),
+      Bucketed.Spec(s"mhidx_${tag}_bands", bands.select(col("bkey64"), col("rep")),
+        "bkey64", srcTables),
       Bucketed.Spec(s"mhidx_${tag}_reps", reps, "rep", srcTables)), Buckets)
     (b, r)
   }
@@ -97,18 +103,22 @@ object MinHashIndex {
     * paired with every indexed corpus rep whose exact shingle Jaccard ≥
     * `threshold` — plus the batch's own rep table (rep, norm) for
     * member expansion or a follow-up [[append]]. The probe never
-    * rescans the corpus: candidates come from the band join (batch
-    * bands broadcast or clustered onto the bucketed index scan — the
-    * index side is NEVER shuffled, PlanSpec-pinned), and verification
-    * texts are fetched by id from the rep table for the touched reps
-    * only. The candidate set is localCheckpoint-ed: it feeds multiple
-    * consumers and the band join must not re-execute per consumer. */
+    * rescans the corpus: the batch's band rows (KB–MB by the fixed-batch
+    * contract) BROADCAST into a single-long-key BroadcastHashJoin
+    * against the index scan — the index side is NEVER shuffled, never
+    * sorted, and probes the dense LongHashedRelation at ~12 ns/row
+    * (PlanSpec-pinned; the r7 SMJ-on-bucketing shape paid a per-probe
+    * string compare plus the merge machinery on every index row), and
+    * verification texts are fetched by id from the rep table for the
+    * touched reps only. The candidate set is localCheckpoint-ed: it
+    * feeds multiple consumers and the band join must not re-execute per
+    * consumer. */
   def probe(s: SparkSession, bandsTable: String, repsTable: String,
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
     val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
-    val cand = bBandsRaw.withColumnRenamed("rep", "brep")
-      .join(s.table(bandsTable).withColumnRenamed("rep", "crep"), "bkey")
+    val cand = s.table(bandsTable).withColumnRenamed("rep", "crep")
+      .join(broadcast(bBandsRaw.select(col("bkey64"), col("rep").as("brep"))), "bkey64")
       .select(col("brep"), col("crep")).distinct()
       .localCheckpoint()
     val cSh = cand.select(col("crep")).distinct()
@@ -141,7 +151,8 @@ object MinHashIndex {
     val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")
       .select(col("rep").as("id"), col("norm").as("text"))
     val (bands, reps) = bandRows(fresh, shingleWords, nHashes, nBands, rowsPerBand)
-    bands.write.mode("append").bucketBy(Buckets, "bkey").sortBy("bkey")
+    bands.select(col("bkey64"), col("rep"))
+      .write.mode("append").bucketBy(Buckets, "bkey64").sortBy("bkey64")
       .saveAsTable(bandsTable)
     reps.write.mode("append").bucketBy(Buckets, "rep").sortBy("rep")
       .saveAsTable(repsTable)

@@ -685,7 +685,16 @@ object LlmOps extends QueryGroup {
     * sign-bucket in ≥1 of 8 bands, exact cosine verifies only candidates.
     * The oracle stays the exact all-pairs SQL — the banded recall must (and
     * deterministically does) reproduce it; the all-pairs BNLJ shape this
-    * replaces dies at 100 TB. */
+    * replaces dies at 100 TB.
+    *
+    * PROFILE-ROUTED since r8: a sampled candidate-mass estimate detects
+    * the mid-similarity-background corpus profile banded LSH cannot serve
+    * at scale (the r7 guard) and routes candidate generation to the
+    * IVF-cell generator instead of failing fast — same threshold, same
+    * verification, same output shape (VectorLsh.cellBandCandidateIds;
+    * cluster-scoped recall caveat documented there). The oracle corpus at
+    * sf0.01 is under the estimate's floor, so the oracled row always runs
+    * the banded path. */
   private val llmEmbedNeardup = GraftQuery(
     "llm_embed_neardup",
     (s, dir) => {
@@ -722,9 +731,9 @@ object LlmOps extends QueryGroup {
       val nDistinct = reps.count()
       val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
         nDistinct, simThreshold = 0.9)
-      // FAIL-FAST corpus-profile guard (r7): banded sign-LSH requires
-      // that the candidate mass be dominated by TRUE pairs, not by a
-      // mid-similarity background the verify step discards. Measured on
+      // CORPUS-PROFILE ROUTER (r7 guard → r8 auto-route): banded sign-LSH
+      // requires the candidate mass to be dominated by TRUE pairs, not by
+      // a mid-similarity background the verify step discards. Measured on
       // the spread-mode corpora the geometry generated ~2.6×10⁸
       // background candidates for ~2 k true pairs at 245 k distinct
       // vectors, and the verify joins' wide intermediate spilled > 60 GB
@@ -732,36 +741,28 @@ object LlmOps extends QueryGroup {
       // the d-corpora's documented 97 M-candidate runs are legitimate at
       // background ≈ 2× true) with an absolute floor so small corpora,
       // where over-collection is deliberate and cheap, never trip it.
-      // The operator for ratio-pathological corpora is llm_semdedup:
-      // its IVF cells bound every candidate block at ~√N regardless of
-      // the background (VectorLsh.estimatedCandidateMass scaladoc).
-      // skip when the floor cannot be exceeded: bg ≤ n(n−1)/2 ≤ 5e7 for
-      // n ≤ 10⁴, so the estimate would be a pure no-op cost there
-      if (nDistinct > 10000L) {
+      // Instead of the r7 fail-fast, a tripped profile now ROUTES to the
+      // cell-partitioned candidate generator the semdedup family already
+      // proved on exactly this profile (IVF cells bound every candidate
+      // block regardless of the background — measured 1.04–1.18× per 2×
+      // data on the spread corpora): same θ, same verify step, same
+      // output shape, with the cluster-scoped recall caveat documented at
+      // VectorLsh.cellBandCandidateIds (planted near-dup pairs at cosine
+      // ≥ 0.97 share a cell in practice; the estimate itself is a ~0.5 s
+      // driver-side sample, skipped when the 5e7 floor cannot be
+      // exceeded: bg ≤ n(n−1)/2 ≤ 5e7 for n ≤ 10⁴).
+      val useCells = nDistinct > 10000L && {
         val (bgPairs, truePairs) = graft.etl.VectorLsh.estimatedCandidateMass(
           reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
-        require(bgPairs <= 5e7 || bgPairs <= 100.0 * truePairs,
-          f"llm_embed_neardup: estimated ${bgPairs}%.2e background candidate pairs vs " +
-            f"${truePairs}%.2e true pairs — this corpus's mid-similarity embedding " +
-            "background cannot be separated from the 0.9 threshold by banded sign-LSH " +
-            "at any geometry; use llm_semdedup (cell-partitioned candidates) for this profile")
+        bgPairs > 5e7 && bgPairs > 100.0 * truePairs
       }
-      val bucketed = graft.etl.VectorLsh.withBandBuckets(
-          reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
-        .select(col("vec_id"), col("band"), col("bucket"))
-      val a = bucketed.as("a")
-      val b = bucketed.as("b")
-      // candidates carry IDS ONLY through the band join (24 B/row, not two
-      // 64-dim vectors); vectors are fetched AFTER pair-dedup by two
-      // id-keyed joins, so the shuffled candidate volume is pairs, not
-      // pairs × vector width
-      val candIds = a.join(b,
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        // a pair colliding in several bands appears once per band; duplicate
-        // rows are identical so keyed dedup is deterministic
-        .dropDuplicates(Seq("vec_a", "vec_b"))
+      val candIds =
+        if (useCells)
+          graft.etl.VectorLsh.cellBandCandidateIds(
+            reps, nDistinct, nBands = nBands, bitsPerBand = nBits, dims = 64)
+        else
+          graft.etl.VectorLsh.bandCandidateIds(
+            reps, nBands = nBands, bitsPerBand = nBits, dims = 64)
       val repPairs = candIds
         .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
         .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")

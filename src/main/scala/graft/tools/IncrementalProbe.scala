@@ -32,8 +32,8 @@ object IncrementalProbe {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val (bBandsRaw, bReps) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
-        val cand = bBandsRaw.withColumnRenamed("rep", "brep")
-          .join(spark.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
+        val cand = spark.table(bandsT).withColumnRenamed("rep", "crep")
+          .join(broadcast(bBandsRaw.select(col("bkey64"), col("rep").as("brep"))), "bkey64")
           .select(col("brep"), col("crep")).distinct().localCheckpoint()
         val cSh = cand.select(col("crep")).distinct()
           .join(spark.table(repsT), col("crep") === col("rep"))

@@ -128,32 +128,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("% 25"), "residual predicate missing from the plan:\n" + p)
   }
 
-  test("MinHashIndex probe: the persisted band index is scanned bucketed " +
-      "and NEVER shuffled — only the batch side moves") {
+  test("MinHashIndex probe: batch bands broadcast into a single-long-key " +
+      "hash join; the persisted band index is NEVER shuffled or sorted") {
     // the registry row localCheckpoints the candidate set (its plan
     // truncates there), so the pin re-builds the probe join exactly as
     // llm_dedup_minhash_incremental does and asserts on ITS plan
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, sf))
     val corpus = all.filter(col("id") % 1000000000L < 1000000L)
     val batch = all.filter(col("id") % 1000000000L >= 1000000L)
     val (bandsT, _) = graft.layouts.MinHashIndex.ensure(
       spark, sf, corpus, "neardup_repbase", 5, 64, 16, 4, Seq("documents"))
     val (bBands, _) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
-    val cand = bBands.withColumnRenamed("rep", "brep")
-      .join(spark.table(bandsT).withColumnRenamed("rep", "crep"), "bkey")
+    val cand = spark.table(bandsT).withColumnRenamed("rep", "crep")
+      .join(broadcast(bBands.select(col("bkey64"), col("rep").as("brep"))), "bkey64")
       .select(col("brep"), col("crep")).distinct()
     val p = cand.queryExecution.executedPlan.toString
-    // the index scan reports its bucketing…
-    assert("mhidx_neardup_repbase_bands.*Bucketed: true".r.findFirstIn(p).isDefined,
-      "band index scan is not bucketed:\n" + p)
-    // …and no exchange ever hashes the band key ON THE INDEX SIDE: the
-    // candidate join must broadcast the (small) batch bands or ride the
-    // bucketed clustering, so the only bkey movement allowed is a
-    // BroadcastExchange. An Exchange hashpartitioning(bkey…) would mean
-    // the corpus-sized index is being shuffled per probe batch.
-    assert(!p.contains("Exchange hashpartitioning(bkey"),
-      "band index shuffled on bkey:\n" + p)
+    // the candidate join is a BroadcastHashJoin on the SINGLE bigint
+    // band key — the LongHashedRelation probe (~12 ns/row), not a
+    // string-keyed UnsafeHashedRelation and not an SMJ whose merge
+    // machinery runs per index row
+    assert("BroadcastHashJoin \\[bkey64".r.findFirstIn(p).isDefined,
+      "probe join is not a single-long-key broadcast hash join:\n" + p)
+    // and the corpus-sized index side never moves: no exchange hashes
+    // the band key — the only allowed movement is the KB-scale batch
+    // side's BroadcastExchange
+    assert(!p.contains("Exchange hashpartitioning(bkey64"),
+      "band index shuffled on bkey64:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "probe join degraded to a sort-merge join:\n" + p)
   }
 
   test("join_lookup_format: tiny VALUES dim broadcast") {
