@@ -115,14 +115,26 @@ object TextDedup {
     * rounds, checked by an exact monotone-mass test (labels only ever
     * decrease, so sum(lbl) is strictly decreasing until the fixpoint)
     * and capped at `maxIters` (near-dup components are shallow — chains
-    * of revisions — so the diameter is small in practice; for adversarial
-    * web-scale graphs the alternating large-star/small-star formulation
-    * bounds rounds at O(log n) with the same per-round join shape).
+    * of revisions — so the diameter is small in practice).
     * Round 1 is join-free (initial labels are the ids, so the first
     * neighborhood min is a plain groupBy-min over the edges); every later
     * round is ONE shuffle join + ONE aggregation; `localCheckpoint`
     * truncates the lineage so the plan does not nest per iteration (the
     * Ivf.train lesson, applied to data too big to collect).
+    *
+    * ADVERSARIAL DIAMETERS (r8): past round [[ShortcutAfter]] each
+    * propagation round adds a POINTER-JUMPING shortcut — labels compose
+    * through themselves (lbl ← lbl∘lbl; every label value is an active
+    * node's id, so the composition join always matches), which halves
+    * label-chain depth per round and bounds total rounds at
+    * ~ShortcutAfter + O(log d) instead of O(d). The threshold keeps the
+    * measured common case byte-identical in cost: every probed near-dup
+    * corpus converges in 3 rounds — under the threshold, where the loop
+    * is EXACTLY the r7 one-join-per-round shape — while a planted
+    * diameter-64 chain that would take 64 plain rounds converges in ~10
+    * (DedupSpec pins both). The shortcut preserves the invariants the
+    * convergence test rides: labels only decrease (lbl(y) ≤ y for every
+    * y), so the monotone mass still strictly drops until the fixpoint.
     *
     * Deterministic: labels are ids, min is order-free, and the iteration
     * count depends only on the graph. `nodes` must have column `id`;
@@ -135,8 +147,13 @@ object TextDedup {
     * near-flat scaling interpretable. Driver-side single-threaded use. */
   @volatile private[graft] var lastIters: Int = -1
 
+  /** Plain-propagation rounds before pointer-jumping kicks in. 4 covers
+    * every diameter the near-dup corpora exhibit (measured: 3) with one
+    * round of slack, so real workloads never pay the shortcut join. */
+  private[graft] val ShortcutAfter = 4
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 30): DataFrame = {
     // Materialize the symmetric edge set ONCE: `edges` is typically an
     // EXPENSIVE subtree (a blocked/banded similarity join), and the loop
     // references it every round — without this checkpoint each iteration
@@ -185,9 +202,21 @@ object TextDedup {
     var converged = false
     var i = 1 // the join-free init above is round 1
     while (!converged && i < maxIters) {
-      val next = symSelf
+      val prop = symSelf
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("lbl"))
+      // pointer-jumping shortcut past the threshold (scaladoc): compose
+      // labels through themselves — lbl(x) ← lbl(lbl(x)). Every label
+      // value is an active node's id, so the inner join is total.
+      val next = (if (i < ShortcutAfter) prop
+        else {
+          // materialize once: the composition references prop on BOTH
+          // sides, and recomputing the propagation join per side would
+          // double the round's cost
+          val p = prop.localCheckpoint()
+          p.join(p.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+            .select(col("id"), col("lbl2").as("lbl"))
+        })
         .localCheckpoint()
       val m = mass(next)
       // `next` is eagerly materialized — release the superseded round's

@@ -196,18 +196,24 @@ object VectorLsh {
     * path.
     *
     * RECALL CAVEAT (inherent to coarse partitioning): a near-dup pair
-    * whose two vectors fall in DISJOINT cell sets is missed. Vectors are
-    * multi-assigned to their TOP-3 cells (Ivf.assignTop — "spilling"):
-    * single nearest-centroid assignment split 114 of 1200 planted
-    * cosine-≥ 0.97 pairs on the sf6s spread corpus and top-2 still
-    * split 5 — a miss at m needs BOTH near-identical ranking profiles
-    * to diverge across an (m+1)-way near-tie, so each +1 buys roughly
-    * an order of magnitude. Band buckets are computed ONCE per vector
-    * (attached before the ×m cell fan-out), so m costs candidate-join
-    * rows, not banding flops. The residual cluster-scoped contract is
-    * the one SemDeDup (Abbas et al. 2023) ships with; callers that need
-    * the full banded recall must fix the corpus profile instead
-    * (dedup-first, or drop the background by a coarse filter). */
+    * whose two vectors fall in disjoint cell sets is missed. The cell
+    * assignment is ASYMMETRIC multi-probe (the classic IVF search trick
+    * applied to self-join dedup): every vector is INDEXED in its primary
+    * (nearest) cell only, but PROBES its top-3 cells (Ivf.assignTop) —
+    * a pair is found when either side's primary cell appears in the
+    * other's top 3, so a single cell-boundary straddle cannot split it.
+    * Single-assignment split 114 of 1200 planted cosine-≥ 0.97 pairs on
+    * the sf6s spread corpus; a symmetric top-3 assignment fixed recall
+    * (0 missed at sf6s/sf12s) but multiplied the within-cell candidate
+    * mass ~9× and spilled /tmp dry at sf24s — asymmetric probing keeps
+    * the miss bound (primary∈top3 is implied by any shared top-2 pair
+    * plus near-tie transitivity) at ~3× the single-assignment volume.
+    * Band buckets are computed ONCE per vector (attached before the
+    * cell fan-out), so probing costs candidate-join rows, not banding
+    * flops. The residual cluster-scoped contract is the one SemDeDup
+    * (Abbas et al. 2023) ships with; callers that need the full banded
+    * recall must fix the corpus profile instead (dedup-first, or drop
+    * the background by a coarse filter). */
   def cellBandCandidateIds(reps: DataFrame, n: Long, nBands: Int,
       bitsPerBand: Int, dims: Int): DataFrame = {
     val k = Ivf.adaptiveK(n)
@@ -215,13 +221,19 @@ object VectorLsh {
       sampleCap = Ivf.trainSampleCap(k))
     val assigned = Ivf.assignTop(reps, cents, m = 3)
     val bucketed = withBandBuckets(assigned, nBands, bitsPerBand, dims)
+    // indexed side: primary cell only; probe side: all top-3 cells
+    val prim = bucketed
+      .select(col("vec_id"), col("cells").getItem(0).as("cent_id"),
+        col("band"), col("bucket"))
+    val probe = bucketed
       .select(col("vec_id"), explode(col("cells")).as("cent_id"),
         col("band"), col("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
+    prim.as("a").join(probe.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
       .dropDuplicates(Seq("vec_a", "vec_b"))
   }
 

@@ -71,6 +71,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: a planted diameter-64 chain converges in " +
+      "O(log d) rounds via the pointer-jumping shortcut") {
+    // plain min-propagation needs d rounds for a diameter-d path (node
+    // 65's label walks one hop per round) — past ShortcutAfter the
+    // label composition halves chain depth per round, so the planted
+    // chain must converge in ~ShortcutAfter + 2·log2(d) rounds, far
+    // under the plain-propagation 64 (and under maxIters).
+    val nodes = (1L to 65L).toDF("id")
+    val edges = (1L to 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextDedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 65L).map(i => i -> 1L).toMap,
+      s"chain did not collapse to one component: ${got.toSeq.sortBy(_._1).take(8)}…")
+    assert(TextDedup.lastIters <= TextDedup.ShortcutAfter + 12,
+      s"diameter-64 chain took ${TextDedup.lastIters} rounds — pointer jumping inert")
+    // and the common case still converges under the threshold (the
+    // one-join-per-round r7 shape): a depth-2 star
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    TextDedup.connectedComponents((1L to 4L).toDF("id"), star).collect()
+    assert(TextDedup.lastIters <= TextDedup.ShortcutAfter,
+      s"shallow graph crossed the shortcut threshold: ${TextDedup.lastIters}")
+  }
+
   test("connectedComponents: empty edge set yields all-singleton components") {
     // regression: with zero edges the label frame is empty, so the
     // monotone-mass convergence sum is NULL — this used to NPE.
