@@ -183,7 +183,7 @@ object Bench {
   }
 
   /** pivot_transpose: CASE-WHEN wide sums. */
-  private def pivotTranspose(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pivotTranspose(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority",
@@ -207,13 +207,13 @@ object Bench {
   }
 
   /** tumbling_window: 1h bucket counts. */
-  private def tumbling(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** text_tokens: split+count tokens per lang (BASELINE's simple shape). */
-  private def textTokens(s: SparkSession, dir: String): DataFrame =
+  private[graft] def textTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -224,7 +224,7 @@ object Bench {
     * STRONGER operator (normalize + sha256 fingerprint + keep-min-id) and
     * benching it against DISTINCT ON compares different computations; this
     * twin is the like-for-like: first doc per exact text. */
-  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")

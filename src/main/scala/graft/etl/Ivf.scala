@@ -97,15 +97,42 @@ object Ivf {
     * (measured on the sf6s spread corpus: 114 of 1200 planted pairs
     * split at m = 1, zero at m = 2).
     *
-    * Shape: centroids broadcast, k-fan-out collapsed by a map-side
-    * partial collect_list before the exchange carries one ≤k-struct
-    * list per vec_id; sort_array gives the deterministic total order
-    * (no window, no per-key sort shuffle). O(N·k) like every
-    * assignment. Returns ONE row per vec_id with `cells:
-    * array<bigint>` (nearest first) so callers can attach per-vector
-    * derived columns (e.g. band buckets) ONCE before fanning out the
-    * ×m cell rows. */
+    * Two physical forms, switched on k like [[assign]]:
+    *
+    *  - k ≤ 4096 — MAP-SIDE ONLY: the native `nearest_centroids`
+    *    expression (functions.NearestCentroids) runs the k×dims top-m
+    *    loop over primitive arrays with the flat centroid matrix as one
+    *    literal. Zero shuffle. The aggregate form below at the SAME k
+    *    measured 168 s for 121 k vectors × k = 349 (N×k struct rows
+    *    through collect_list) where this is a pure scan.
+    *  - k > 4096 — [[assignTopAgg]]: centroids broadcast, k-fan-out
+    *    collapsed by a map-side partial collect_list; sort_array gives
+    *    the deterministic total order (no window, no per-key sort
+    *    shuffle).
+    *
+    * Both return ONE row per vec_id with `cells: array<bigint>`
+    * (nearest first — row 1 ≡ [[assign]], VectorSpec-pinned) so callers
+    * can attach per-vector derived columns (e.g. band buckets) ONCE
+    * before fanning out the ×m cell rows. */
   def assignTop(vecs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    if (cl.length <= LiteralArgmaxMaxK) {
+      val flat = cl.flatMap(_._2).toSeq
+      val cids = cl.map(_._1).toSeq
+      vecs.select(col("vec_id"), col("v"),
+        call_function("nearest_centroids",
+          col("v"), typedlit(flat), typedlit(cids), lit(m)).as("cells"))
+    } else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      assignTopAgg(vecs, cl.toSeq.toDF("cent_id", "cv"), m)
+    }
+  }
+
+  /** The k > 4096 top-m assignment form (and the equivalence reference
+    * VectorSpec pins the native kernel against). */
+  private[graft] def assignTopAgg(vecs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     vecs.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(cents))

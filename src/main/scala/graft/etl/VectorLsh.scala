@@ -199,15 +199,18 @@ object VectorLsh {
     * whose two vectors fall in disjoint cell sets is missed. The cell
     * assignment is ASYMMETRIC multi-probe (the classic IVF search trick
     * applied to self-join dedup): every vector is INDEXED in its primary
-    * (nearest) cell only, but PROBES its top-3 cells (Ivf.assignTop) —
-    * a pair is found when either side's primary cell appears in the
-    * other's top 3, so a single cell-boundary straddle cannot split it.
-    * Single-assignment split 114 of 1200 planted cosine-≥ 0.97 pairs on
-    * the sf6s spread corpus; a symmetric top-3 assignment fixed recall
-    * (0 missed at sf6s/sf12s) but multiplied the within-cell candidate
-    * mass ~9× and spilled /tmp dry at sf24s — asymmetric probing keeps
-    * the miss bound (primary∈top3 is implied by any shared top-2 pair
-    * plus near-tie transitivity) at ~3× the single-assignment volume.
+    * (nearest) cell only, but PROBES its top-`probeCells` cells
+    * (Ivf.assignTop) — a pair is found when either side's primary cell
+    * appears in the other's probe set, so a cell-boundary straddle
+    * cannot split it unless both rankings diverge past the probe depth.
+    * Measured on the spread corpora (RouteSweep): single-assignment
+    * split 114 of 1200 planted cosine-≥ 0.97 pairs at sf6s; symmetric
+    * top-3 fixed recall but multiplied within-cell candidate mass ~9×
+    * and spilled /tmp dry at sf24s; asymmetric m=3 left 2–3 split pairs
+    * per corpus; asymmetric m=5 (the default) recovered ALL planted
+    * pairs at sf6s and sf12s at ~5× the single-assignment probe volume
+    * (the indexed side — whose population drives the quadratic term —
+    * stays 1×).
     * Band buckets are computed ONCE per vector (attached before the
     * cell fan-out), so probing costs candidate-join rows, not banding
     * flops. The residual cluster-scoped contract is the one SemDeDup
@@ -215,11 +218,30 @@ object VectorLsh {
     * recall must fix the corpus profile instead (dedup-first, or drop
     * the background by a coarse filter). */
   def cellBandCandidateIds(reps: DataFrame, n: Long, nBands: Int,
-      bitsPerBand: Int, dims: Int): DataFrame = {
-    val k = Ivf.adaptiveK(n)
-    val cents = Ivf.train(reps, k = k, iters = 3,
-      sampleCap = Ivf.trainSampleCap(k))
-    val assigned = Ivf.assignTop(reps, cents, m = 3)
+      bitsPerBand: Int, dims: Int, probeCells: Int = 5): DataFrame = {
+    // k = ⌈√N⌉, NOT semdedup's ⌈N^⅓⌉: here k is not a semantic
+    // granularity knob — it exists purely to bound the within-cell
+    // quadratic term, which on the mid-similarity profile grows as
+    // (N/k)² per cell even after banding. N^⅓ lets cells grow as N^⅔
+    // and the candidate mass as N^(4/3): measured, that passed a spill
+    // cliff between 245 k and 495 k vectors (m = 5 probing exhausted
+    // 57 GB of /tmp shuffle space at sf24s). √N holds cell population
+    // at √N, total mass ~N·p̂ per band — corpus-linear. The costs that
+    // scale with k stay sane: training is O(256k·k) flops
+    // (sample-capped) and assignment O(N·k) — both sub-dominant to the
+    // banding scan at every measured scale.
+    val k = math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    // Partition-quality training, not model-quality: the cells exist
+    // only to bound the quadratic term, and the multi-probe absorbs
+    // boundary noise — so 2 Lloyd iterations over a 64·k sample place
+    // cells well enough (recall re-measured: planted misses stay 0)
+    // while keeping the O(sample·k) training term from dominating at
+    // √N centroids (256·k × 3 iters measured 39 s at k = 349).
+    val cents = Ivf.train(reps, k = k, iters = 2,
+      sampleCap = math.max(64 * k, 1 << 14))
+    // checkpoint: both join sides below reference the assignment, and
+    // without materialization each side re-runs the scan + top-m kernel
+    val assigned = Ivf.assignTop(reps, cents, m = probeCells).localCheckpoint()
     val bucketed = withBandBuckets(assigned, nBands, bitsPerBand, dims)
     // indexed side: primary cell only; probe side: all top-3 cells
     val prim = bucketed

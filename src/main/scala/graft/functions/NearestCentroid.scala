@@ -83,11 +83,9 @@ case class NearestCentroid(vec: Expression, cvsExpr: Expression, cidsExpr: Expre
     math.sqrt(nb)
   }
 
-  /** Spark Round(d, 6): HALF_UP on BigDecimal.valueOf, NaN/∞ unchanged. */
-  private def round6(d: Double): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** Spark Round(d, 6): HALF_UP on BigDecimal.valueOf, NaN/∞ unchanged.
+    * Shared fast-path implementation: [[NearestCentroids.round6]]. */
+  private def round6(d: Double): Double = NearestCentroids.round6(d)
 
   /** Spark's nan-safe double ordering: NaN == NaN, NaN above all else. */
   private def gt(x: Double, y: Double): Boolean = {

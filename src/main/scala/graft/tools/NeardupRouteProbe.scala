@@ -29,9 +29,17 @@ object NeardupRouteProbe {
     val fn = graft.SparkEntry.queries("llm_embed_neardup")
     for (dir <- dirs) {
       val runs = (1 to 2).map { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val t = (System.nanoTime() - t0) / 1e9
+        // release this run's checkpoint blocks (the ScaleProbe hygiene):
+        // without it sf24s's run2 measured 356 s vs run1's 175 — block-
+        // manager pressure from earlier dirs' accumulated checkpoints
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        (t, n)
       }
       // recall check: every base vec with id % 100 == 0 got a planted
       // mutant at +1e6; each such pair is cosine ≥ 0.97 and must appear

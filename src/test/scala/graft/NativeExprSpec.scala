@@ -262,4 +262,29 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(fast.nonEmpty, "degenerate test: no edges at all")
     assert(fast == slow)
   }
+
+  test("NearestCentroids.round6 fast path ≡ Spark Round(_, 6) — boundaries, " +
+      "negatives, NaN/∞, and a dense sweep") {
+    import spark.implicits._
+    // adversarial values: exact .5 boundaries both signs (HALF_UP away
+    // from zero vs floor toward +∞ — must route to the exact path),
+    // shortest-string-repr traps, and a dense pseudo-random sweep of
+    // cosine-range doubles
+    val adversarial = Seq(
+      0.1234565, -0.1234565, 0.0000005, -0.0000005, 0.9999995, -0.9999995,
+      2.5e-6, -2.5e-6, 1.5e-6, -1.5e-6, 0.5e-6, 1.0, -1.0, 0.0, -0.0,
+      0.12345649999999999, 0.12345650000000001, 1e3 + 0.1234565,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val r = new scala.util.Random(7)
+    val sweep = Seq.fill(20000)(r.nextDouble() * 2 - 1)
+    val vals = adversarial ++ sweep
+    val viaSpark = vals.toDF("d").select(round(col("d"), 6)).collect()
+      .map(_.getDouble(0))
+    val viaKernel = vals.map(graft.functions.NearestCentroids.round6Public)
+    vals.indices.foreach { i =>
+      assert(java.lang.Double.compare(viaSpark(i), viaKernel(i)) == 0 ||
+        (viaSpark(i).isNaN && viaKernel(i).isNaN),
+        s"round6 diverges at ${vals(i)}: spark=${viaSpark(i)} kernel=${viaKernel(i)}")
+    }
+  }
 }

@@ -238,6 +238,22 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     val viaJoin = graft.etl.Ivf.assignJoin(reps, cents)
       .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaLit == viaJoin, "literal and join assignment branches disagree")
+    // assignTop: cells[0] IS the assign answer (same rounded-cosine +
+    // lowest-cent_id total order), cells are distinct per vector, and
+    // the native nearest_centroids kernel reproduces the aggregate
+    // (crossJoin + collect_list + sort_array) form EXACTLY
+    val viaTop = graft.etl.Ivf.assignTop(reps, cents, m = 3)
+      .select("vec_id", "cells").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaTop.view.mapValues(_.head).toMap == viaLit,
+      "assignTop's nearest cell diverges from assign")
+    assert(viaTop.values.forall(cs => cs.size == 3 && cs.distinct.size == 3),
+      "assignTop cells not 3 distinct centroids")
+    val viaAgg = graft.etl.Ivf.assignTopAgg(reps, cents, m = 3)
+      .select("vec_id", "cells").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaTop == viaAgg,
+      "native nearest_centroids kernel diverges from the aggregate top-m form")
     // k > 4096 micro-case: synthetic centroids past the literal cap —
     // assign() must take the join branch (the literal form at this k
     // would blow the codegen unit) and match a plain JVM argmax with the
