@@ -238,10 +238,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle partitions sized to DATA, not cores: at sf0.1 (~tens of MB)
     // 32 partitions is pure task-scheduling overhead; one partition per
-    // ~32 MB, floored at 4 (the BASELINE.md comparator spec) and capped at
-    // the core count. At sf10+ this grows back to `cpus` automatically.
+    // ~32 MB, floored at 4 (the BASELINE.md comparator spec) and capped
+    // at the core count in the STATIC (small-SF) regime.
     val dataBytes = Option(new java.io.File(sfDir).listFiles())
       .map(_.map(_.length).sum).getOrElse(0L)
+    // r8 NEGATIVE RESULTS, measured at sf24 and kept so nobody re-tries
+    // them: (a) uncapping the count at the data-driven 168 fixed asof's
+    // SMJ sort spill (12.2–15.3 → 9.5 s) but regressed five other shapes
+    // (q5 2.2 → 5.6 s: its 25 k-group partial-agg exchange wants FEW
+    // partitions) for a WORSE total (29.7 → 32.3 s); (b) AQE with a
+    // generous initial count (the "let the runtime size each exchange"
+    // posture) was worse still (39.5 s) — its re-planning barriers and
+    // the bucketed-scan interaction cost more than the coalescing saves
+    // at these run lengths. The static core-capped count stays; asof's
+    // sf24 spill is a known residual that both engines pay on this shape
+    // (DuckDB 2.7 → 17.9 s over the same doubling).
     val shufflePartitions =
       math.max(4, math.min(cpus.toInt, (dataBytes / (32L << 20)).toInt))
     val spark = SparkSession.builder()
@@ -253,7 +264,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // Sub-second queries at sf0.1 are dominated by AQE's per-shuffle
       // re-planning barriers; with 4 static partitions there is nothing to
-      // adapt. At cluster scale AQE should be ON (skew join, coalescing).
+      // adapt (and see the r8 negative result above for the large-SF case).
       .config("spark.sql.adaptive.enabled", "false")
       // size-driven join strategy: sides under 16 MB broadcast (orders at
       // sf0.1 does, at sf1 it does not); above that, shuffled HASH join

@@ -51,9 +51,17 @@ object FloorProbe {
       "tumbling_window" -> (graft.Bench.tumbling _),
       "pivot_transpose" -> (graft.Bench.pivotTranspose _))
 
-    val sched = { (1 to 3).foreach(_ => spark.range(1).count())
-      minOf(5)(spark.range(1).count()) }
-    println(f"FLOOR sched_job_floor=${sched * 1000}%6.1f ms")
+    // TRUE job floor: a prepared single-partition RDD counted repeatedly
+    // (spark.range(1).count() would re-plan its aggregate every call and
+    // measure the planning pipeline instead — measured 89.6 ms vs 4 ms)
+    val unitRdd = spark.range(1).queryExecution.toRdd
+    unitRdd.count(); unitRdd.count()
+    val sched = minOf(5)(unitRdd.count())
+    // and the planning pipeline alone, on the trivial query
+    (1 to 3).foreach(_ => spark.range(1).count())
+    val planTrivial = minOf(5)(spark.range(1).count())
+    println(f"FLOOR sched_job_floor=${sched * 1000}%6.1f ms " +
+      f"trivial_plan_pipeline=${planTrivial * 1000}%6.1f ms")
     for ((name, fn) <- shapes) {
       fn(spark, sfDir).count(); fn(spark, sfDir).count() // warmups
       val total = minOf(5)(fn(spark, sfDir).count())
