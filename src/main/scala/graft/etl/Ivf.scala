@@ -131,19 +131,28 @@ object Ivf {
   }
 
   /** The k > 4096 top-m assignment form (and the equivalence reference
-    * VectorSpec pins the native kernel against). */
+    * VectorSpec pins the native kernel against). Ordering is the SAME
+    * struct shape [[assignJoin]] maximizes — (rounded cosine, −cent_id)
+    * sorted DESCENDING — rather than a negated-cosine ascending sort:
+    * negation flips where NaN lands (Spark orders NaN above every
+    * double, so −NaN ascending would rank a NaN cosine WORST while the
+    * native kernel and [[assign]]/[[assignJoin]] rank it best). With the
+    * descending sort a zero-norm vector or dead centroid (cosine NaN)
+    * places identically in all three physical forms; VectorSpec pins the
+    * equivalence on a zero-norm fixture. */
   private[graft] def assignTopAgg(vecs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     vecs.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"),
         struct(
-          (-round(call_function("cosine_fast", col("v"), col("cv")), 6)).as("negc"),
-          col("cent_id")).as("sc"))
+          round(call_function("cosine_fast", col("v"), col("cv")), 6).as("c"),
+          (-col("cent_id")).as("negid")).as("sc"))
       .groupBy(col("vec_id"))
-      .agg(slice(sort_array(collect_list(col("sc"))), 1, m).as("top"),
+      .agg(slice(sort_array(collect_list(col("sc")), asc = false), 1, m).as("top"),
         first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("top.cent_id").as("cells"))
+      .select(col("vec_id"), col("v"),
+        transform(col("top"), x => -x.getField("negid")).as("cells"))
   }
 
   /** Cluster count for the cluster-scoped near-dup pass (SemDeDup):

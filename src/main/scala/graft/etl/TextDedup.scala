@@ -208,16 +208,22 @@ object TextDedup {
       // pointer-jumping shortcut past the threshold (scaladoc): compose
       // labels through themselves — lbl(x) ← lbl(lbl(x)). Every label
       // value is an active node's id, so the inner join is total.
+      var p: DataFrame = null
       val next = (if (i < ShortcutAfter) prop
         else {
           // materialize once: the composition references prop on BOTH
           // sides, and recomputing the propagation join per side would
           // double the round's cost
-          val p = prop.localCheckpoint()
+          p = prop.localCheckpoint()
           p.join(p.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
             .select(col("id"), col("lbl2").as("lbl"))
         })
         .localCheckpoint()
+      // `next` is materialized, so the intermediate composition input can
+      // be released NOW — leaving it pinned leaked one orphaned
+      // checkpoint's blocks per shortcut round for the session's life
+      // (r8 ADVICE).
+      if (p != null) p.unpersist(blocking = false)
       val m = mass(next)
       // `next` is eagerly materialized — release the superseded round's
       // blocks before looping

@@ -21,6 +21,48 @@ import org.apache.spark.sql.functions._
   */
 object VectorLsh {
 
+  /** One corpus-profile routing decision (llm_embed_neardup's r8 router):
+    * which candidate generator ran and the sampled mass estimate that
+    * chose it. `sampled` = false means the corpus was under the
+    * estimator's floor and the banded path was taken without sampling
+    * (bgPairs/truePairs are 0 in that case, not measurements). */
+  final case class RouteDecision(usedCells: Boolean, nDistinct: Long,
+      bgPairs: Double, truePairs: Double, sampled: Boolean)
+
+  /** Probe telemetry for the LAST routing decision made in this JVM
+    * (the TextDedup.lastIters pattern): callers and specs can see WHICH
+    * path a run took — the routed cell path carries a cluster-scoped
+    * recall caveat ([[cellBandCandidateIds]]) that is otherwise invisible
+    * in the output, and the oracle only ever exercises the banded path.
+    * Also logged at WARN when the cell route is taken. */
+  @volatile var lastRoute: RouteDecision = null
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Decide the candidate-generation route for a near-dup pass and record
+    * it in [[lastRoute]] (+ WARN log when routed to cells, so routed runs
+    * are attributable in driver logs). Centralized here so every caller
+    * of the router leaves the same audit trail. */
+  def routeCandidates(reps: DataFrame, nDistinct: Long, nBands: Int,
+      bitsPerBand: Int, dims: Int, simThreshold: Double): Boolean = {
+    val decision =
+      if (nDistinct <= 10000L)
+        RouteDecision(usedCells = false, nDistinct, 0.0, 0.0, sampled = false)
+      else {
+        val (bg, tru) = estimatedCandidateMass(
+          reps, nDistinct, nBands, bitsPerBand, dims, simThreshold)
+        RouteDecision(usedCells = bg > 5e7 && bg > 100.0 * tru,
+          nDistinct, bg, tru, sampled = true)
+      }
+    lastRoute = decision
+    if (decision.usedCells)
+      log.warn(
+        f"embed near-dup ROUTED to IVF-cell candidates (cluster-scoped recall " +
+        f"contract): nDistinct=${decision.nDistinct} estimated background " +
+        f"pairs=${decision.bgPairs}%.3g true pairs=${decision.truePairs}%.3g")
+    decision.usedCells
+  }
+
   /** Deterministic pseudo-hyperplane component in [-1, 1). */
   private def component(j: Int, i: Int): Double = {
     var h = j * 2654435761L + i * 40503L + 0x9e3779b97f4a7c15L

@@ -74,6 +74,40 @@ object Bucketed {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  /** Directory backing a registered layout table (where its completion
+    * marker lives). */
+  private def tableDir(s: SparkSession, qname: String): java.io.File = {
+    import org.apache.spark.sql.functions.col
+    new java.io.File(new java.net.URI(
+      s.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
+        .head().getString(1)))
+  }
+
+  /** Crash-safe APPEND protocol for a family of layout tables that must
+    * stay mutually consistent (e.g. MinHashIndex's bands + reps): the
+    * completion markers come DOWN before the append writes and go back up
+    * only after every write committed. A crash anywhere inside leaves no
+    * marker, so a fresh JVM's ensure() rebuilds from source instead of
+    * resurrecting a half-appended layout (r8 ADVICE: the marker used to
+    * certify only the initial build, silently blessing torn appends). A
+    * FAILURE inside this JVM additionally drops the catalog entries and
+    * wipes the directories — the in-memory catalog would otherwise keep
+    * serving the inconsistent tables for the session's lifetime. */
+  def appendGuard(s: SparkSession, qnames: Seq[String])(body: => Unit): Unit = {
+    val dirs = qnames.map(q => tableDir(s, q))
+    val markers = dirs.map(d => new java.io.File(d, "_GRAFT_COMPLETE"))
+    markers.foreach(_.delete())
+    try {
+      body
+      markers.foreach(_.createNewFile())
+    } catch {
+      case e: Throwable =>
+        qnames.foreach(q => s.sql(s"DROP TABLE IF EXISTS $q"))
+        dirs.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        throw e
+    }
+  }
+
   /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
     * the fully qualified table names in input order. Idempotent and cheap
     * after the first call (a catalog existence check per table). */

@@ -151,10 +151,15 @@ object MinHashIndex {
     val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")
       .select(col("rep").as("id"), col("norm").as("text"))
     val (bands, reps) = bandRows(fresh, shingleWords, nHashes, nBands, rowsPerBand)
-    bands.select(col("bkey64"), col("rep"))
-      .write.mode("append").bucketBy(Buckets, "bkey64").sortBy("bkey64")
-      .saveAsTable(bandsTable)
-    reps.write.mode("append").bucketBy(Buckets, "rep").sortBy("rep")
-      .saveAsTable(repsTable)
+    // Crash-safe (r8 ADVICE): the two appends must land together or not
+    // at all — markers down, write both, markers up; see
+    // Bucketed.appendGuard for the torn-append recovery contract.
+    Bucketed.appendGuard(s, Seq(bandsTable, repsTable)) {
+      bands.select(col("bkey64"), col("rep"))
+        .write.mode("append").bucketBy(Buckets, "bkey64").sortBy("bkey64")
+        .saveAsTable(bandsTable)
+      reps.write.mode("append").bucketBy(Buckets, "rep").sortBy("rep")
+        .saveAsTable(repsTable)
+    }
   }
 }

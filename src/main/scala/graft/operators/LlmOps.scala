@@ -750,12 +750,12 @@ object LlmOps extends QueryGroup {
       // VectorLsh.cellBandCandidateIds (planted near-dup pairs at cosine
       // ≥ 0.97 share a cell in practice; the estimate itself is a ~0.5 s
       // driver-side sample, skipped when the 5e7 floor cannot be
-      // exceeded: bg ≤ n(n−1)/2 ≤ 5e7 for n ≤ 10⁴).
-      val useCells = nDistinct > 10000L && {
-        val (bgPairs, truePairs) = graft.etl.VectorLsh.estimatedCandidateMass(
-          reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
-        bgPairs > 5e7 && bgPairs > 100.0 * truePairs
-      }
+      // exceeded: bg ≤ n(n−1)/2 ≤ 5e7 for n ≤ 10⁴). The decision is
+      // AUDITABLE (r8 ADVICE): VectorLsh.routeCandidates records it in
+      // VectorLsh.lastRoute and WARN-logs routed runs, since the routed
+      // path's recall contract differs and the oracle never exercises it.
+      val useCells = graft.etl.VectorLsh.routeCandidates(
+        reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
       val candIds =
         if (useCells)
           graft.etl.VectorLsh.cellBandCandidateIds(

@@ -195,4 +195,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val got3 = pairs3.select("brep", "crep").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got3.toSet == Set((20L, 12L)), s"post-reregister pairs: ${got3.toSeq}")
   }
+
+  test("MinHashIndex append is crash-safe: a torn append can never be served — " +
+      "the guard rebuilds from source instead of resurrecting half a batch") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val P = (5, 64, 16, 4)
+    graft.layouts.Bucketed.invalidate(spark, "mhidx_tornspec_")
+    val corpus = Seq((1L, textA), (3L, textB)).toDF("id", "text")
+    def build() = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "tornspec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    val (bandsT, repsT) = build()
+    // simulate the torn append the r8 marker protocol left undetected:
+    // the bands write commits, then the reps write "crashes"
+    val textD = (1 to 50).map(i => s"epsilon$i").mkString(" ")
+    val batch = Seq((30L, textD)).toDF("id", "text")
+    val (bands, _) = graft.layouts.MinHashIndex.bandRows(batch, P._1, P._2, P._3, P._4)
+    val boom = intercept[RuntimeException] {
+      graft.layouts.Bucketed.appendGuard(spark, Seq(bandsT, repsT)) {
+        bands.select(col("bkey64"), col("rep"))
+          .write.mode("append")
+          .bucketBy(graft.layouts.MinHashIndex.Buckets, "bkey64").sortBy("bkey64")
+          .saveAsTable(bandsT)
+        throw new RuntimeException("simulated crash between the append pair")
+      }
+    }
+    assert(boom.getMessage.contains("simulated crash"))
+    // in THIS JVM: the inconsistent tables are gone from the catalog
+    assert(!spark.catalog.tableExists(bandsT) && !spark.catalog.tableExists(repsT),
+      "torn-append tables still registered")
+    // and the next ensure() rebuilds a CONSISTENT layout from source:
+    // base reps only, no orphaned band rows for the half-appended batch
+    val (bandsT2, repsT2) = build()
+    val reps = spark.table(repsT2).select("rep").as[Long].collect().toSet
+    assert(reps == Set(1L, 3L), s"rebuilt reps: $reps")
+    val orphanBands = spark.table(bandsT2).join(
+      spark.table(repsT2), Seq("rep"), "left_anti").count()
+    assert(orphanBands == 0, s"$orphanBands band rows without a rep")
+  }
 }

@@ -277,6 +277,47 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, "join-branch assignment != JVM argmax at k > 4096")
   }
 
+  test("Ivf assignment: NaN cosine (zero-norm vector / dead centroid) places " +
+      "identically in all three physical forms") {
+    import spark.implicits._
+    // cent 7 is zero-norm (dead): cosine NaN against EVERY vector, so it
+    // ranks ABOVE all finite cosines (Spark's nan-safe ordering) in every
+    // form; vec 99 is zero-norm: all its cosines are NaN, ties broken by
+    // lowest cent_id. The r8 assignTopAgg sorted by NEGATED cosine
+    // ascending, which flipped NaN to the worst rank and diverged from
+    // the native kernel exactly here.
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (7L, Seq(0.0, 0.0, 0.0)),
+      (9L, Seq(0.0, 0.0, 1.0))).toDF("cent_id", "cv")
+    val vecs = Seq(
+      (10L, Seq(0.9, 0.1, 0.0)),
+      (11L, Seq(0.0, 0.8, 0.3)),
+      (99L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cent_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLit = asMap(graft.etl.Ivf.assign(vecs, cents))
+    val viaJoin = asMap(graft.etl.Ivf.assignJoin(vecs, cents))
+    assert(viaLit == viaJoin, "assign branches disagree on NaN cosines")
+    // dead centroid wins everywhere (NaN above all), zero-norm vector
+    // ties everywhere → lowest cent_id... but cent 7 is itself NaN → 7
+    assert(viaLit == Map(10L -> 7L, 11L -> 7L, 99L -> 1L),
+      s"unexpected NaN placement: $viaLit")
+    def topMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cells").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val viaTop = topMap(graft.etl.Ivf.assignTop(vecs, cents, m = 3))
+    val viaAgg = topMap(graft.etl.Ivf.assignTopAgg(vecs, cents, m = 3))
+    assert(viaTop == viaAgg,
+      s"native vs aggregate top-m diverge on NaN: $viaTop vs $viaAgg")
+    assert(viaTop.view.mapValues(_.head).toMap == viaLit,
+      "assignTop cells[0] != assign under NaN cosines")
+    // zero-norm vector: every cosine NaN → ties → ascending cent_ids
+    assert(viaTop(99L) == Seq(1L, 3L, 7L), s"zero-norm vector order: ${viaTop(99L)}")
+  }
+
   test("Ivf.train sampleCap: no-op when cap ≥ N; capped training is deterministic, " +
       "partitioning-independent, and still separates well-separated clusters") {
     import spark.implicits._
@@ -357,5 +398,25 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     val again = graft.etl.VectorLsh.estimatedCandidateMass(
       mid.repartition(7), nVirtual, bands, bits, dims, simThreshold = 0.9, sampleSize = 512)
     assert(again == ((bgMid, trueMid)), "estimator depends on partitioning")
+
+    // ROUTING TELEMETRY (r8 ADVICE): every routing decision is recorded
+    // in lastRoute so routed runs — whose recall contract differs — are
+    // attributable; the oracle only ever exercises the banded path.
+    assert(graft.etl.VectorLsh.routeCandidates(
+      mid, nVirtual, bands, bits, dims, simThreshold = 0.9))
+    val r1 = graft.etl.VectorLsh.lastRoute
+    assert(r1 != null && r1.usedCells && r1.sampled && r1.nDistinct == nVirtual &&
+      r1.bgPairs > 5e7 && r1.bgPairs > 100.0 * r1.truePairs,
+      s"routed decision not recorded faithfully: $r1")
+    assert(!graft.etl.VectorLsh.routeCandidates(
+      ortho, nVirtual, bands, bits, dims, simThreshold = 0.9))
+    val r2 = graft.etl.VectorLsh.lastRoute
+    assert(r2 != null && !r2.usedCells && r2.sampled, s"banded decision: $r2")
+    // under the floor: banded, no sample taken
+    assert(!graft.etl.VectorLsh.routeCandidates(
+      mid, 4000L, bands, bits, dims, simThreshold = 0.9))
+    val r3 = graft.etl.VectorLsh.lastRoute
+    assert(r3 != null && !r3.usedCells && !r3.sampled && r3.nDistinct == 4000L,
+      s"floor decision: $r3")
   }
 }
