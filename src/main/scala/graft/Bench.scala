@@ -229,16 +229,38 @@ object Bench {
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
-  /** asof_like_merge: the registry row (join_theta_range) PLUS an
-    * oracle-parity presentation ORDER BY over its full (lineitem-sized)
-    * output — which the DuckDB twin does not pay: its bench SQL has no
-    * ORDER BY, and the comparator's COUNT(*) wrapper would let DuckDB's
-    * optimizer elide one anyway. At sf24 that sort is a 144 M-row global
-    * range-exchange + spill and was the whole 2.3 → 12–15 s blowup
-    * (r8). Like-for-like twin per the q1/dedup_exact convention: the
-    * same equi+band join, no presentation sort. The registry row keeps
-    * its ORDER BY — oracle determinism is a correctness contract. */
-  private def asofLikeMerge(s: SparkSession, dir: String): DataFrame =
+  /** asof_like_merge: the equi+band merge over the CO-LOCATED fact
+    * layouts (r8 verdict item 1). The raw-table form's SMJ had to
+    * shuffle AND sort both facts on l_orderkey per query; at sf24 the
+    * 144 M-row sort exceeded partition width and spilled (12.2–15.3 s —
+    * partition-width-bound, not heap-bound: a 32 GB-heap session
+    * measured the same, and both r8 config fixes made the total worse).
+    * The layout answer is the q5 treatment: lineitem_b ⋈ orders_b are
+    * bucketed+sorted on the orderkey, so the merge join reads matching
+    * buckets with ZERO exchange and ZERO sort — the band predicate
+    * stays a residual filter inside each merged group, and the sort
+    * that spilled is paid once at layout build, never per query. The
+    * raw-table shape stays timed as asof_like_merge_classic (outside
+    * the 12-query total) so the win and the layout's rent both stay
+    * attributable. Like-for-like caveat as q5: DuckDB's baseline reads
+    * raw parquet; the layout is the engine's resident format, prewarmed
+    * and costed separately in `builds`. */
+  private def asofLikeMerge(s: SparkSession, dir: String): DataFrame = {
+    val Seq(ordersB, lineitemB) = operators.Joins.bucketedFacts(s, dir)
+    s.table(lineitemB).select("l_orderkey", "l_linenumber", "l_shipdate")
+      .hint("merge")
+      .join(s.table(ordersB).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+  }
+
+  /** The raw-table equi+band join (the pre-r9 asof_like_merge): kept as
+    * the contrast entry so the layout plan's win stays visible round
+    * over round — and as the honest record of what a layout-less engine
+    * pays on this shape at scale. */
+  private def asofLikeMergeClassic(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(sizedOrders(Tables.orders(s, dir), dir),
         col("l_orderkey") === col("o_orderkey") &&
@@ -316,7 +338,8 @@ object Bench {
       "dedup_exact"        -> (dedupExact _),
       "asof_like_merge"    -> (asofLikeMerge _)) ++
       fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) } :+
-      ("q5_join5_classic"  -> (q5Classic _))
+      ("q5_join5_classic"  -> (q5Classic _)) :+
+      ("asof_like_merge_classic" -> (asofLikeMergeClassic _))
 
     val timed = headline.map { case (name, fn) =>
       fn(spark, sfDir).count() // warmup: plan + codegen + footers
@@ -405,8 +428,8 @@ object Bench {
       kvs.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
         .mkString("{", ",", "}")
     // the 12-query total compares 1:1 against BASELINE.md's 12 names —
-    // contrast entries (q5_join5_classic) are timed but excluded
-    val total = timed.filterNot(_._1 == "q5_join5_classic").map(_._2).sum
+    // contrast entries (the *_classic rows) are timed but excluded
+    val total = timed.filterNot(_._1.endsWith("_classic")).map(_._2).sum
     // testdata-vintage signature (r6 verdict item 6): the r6 regeneration
     // moved untouched-row floors 10–45% and the cross-round comparison
     // was only interpretable via prose; stamping the content signature of

@@ -22,11 +22,17 @@ object Bucketed {
     * the cache signature must cover — by default the single table the spec
     * name derives from (`orders_b` → `orders`), but a DENORMALIZED spec
     * (e.g. a pre-joined orders⋈customer projection) must list every
-    * joined source so regenerating either side rotates the signature. */
+    * joined source so regenerating either side rotates the signature.
+    * `sortCols` overrides the within-bucket sort order (default: the
+    * bucket key alone) — the TIME-SERIES layout shape buckets by entity
+    * and sorts by (entity, ts), so the asof/interval/window family reads
+    * its required clustering AND ordering straight off the scan. */
   final case class Spec(name: String, src: DataFrame, key: String,
-      srcTables: Seq[String] = Nil) {
+      srcTables: Seq[String] = Nil, sortCols: Seq[String] = Nil) {
     def sigTables: Seq[String] =
       if (srcTables.nonEmpty) srcTables else Seq(name.stripSuffix("_b"))
+    def effectiveSortCols: Seq[String] =
+      if (sortCols.nonEmpty) sortCols else Seq(key)
   }
 
   /** Size-driven bucket count for `dir`'s layouts: one bucket per ~32 MB
@@ -40,11 +46,11 @@ object Bucketed {
     * shuffle-partition sizing uses. The count participates in the ensure()
     * cache tag, so a dir re-laid-out under a different count can never be
     * served a stale mixed layout. */
-  def defaultBuckets(dir: String): Int = {
+  def defaultBuckets(dir: String, table: String = "lineitem"): Int = {
     def bytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
       else f.length
-    val fact = bytes(new java.io.File(s"$dir/lineitem.parquet"))
+    val fact = bytes(new java.io.File(s"$dir/$table.parquet"))
     val want = math.max(8L, fact / (32L << 20))
     Integer.highestOneBit(math.min(want, 1024L).toInt) match {
       case b if b.toLong < want => b * 2
@@ -121,7 +127,8 @@ object Bucketed {
     // bytes: two ensure() calls whose sigTables coincide but whose spec
     // names/keys/projections differ must not share a database (r5 ADVICE)
     val specSig = specs.map(sp =>
-      s"${sp.name}:${sp.key}:${sp.src.schema.map(f => f.name + ":" + f.dataType.sql).mkString(",")}")
+      s"${sp.name}:${sp.key}:${sp.effectiveSortCols.mkString("+")}:" +
+        sp.src.schema.map(f => f.name + ":" + f.dataType.sql).mkString(","))
       .mkString(";")
     // MD5, not String.hashCode: a 32-bit tag collision would silently
     // serve a WRONG cached layout (the ZOrder.cacheTag argument)
@@ -147,7 +154,9 @@ object Bucketed {
           // existing files keeps the zero-shuffle join property.
           s.sql(
             s"""CREATE TABLE $qname (${sp.src.schema.toDDL}) USING PARQUET
-               |CLUSTERED BY (${sp.key}) SORTED BY (${sp.key}) INTO $buckets BUCKETS
+               |CLUSTERED BY (${sp.key})
+               |SORTED BY (${sp.effectiveSortCols.mkString(", ")})
+               |INTO $buckets BUCKETS
                |LOCATION '${tdir.getAbsolutePath}'""".stripMargin)
         } else {
           // no marker: either first build or a crashed/partial one —
@@ -156,9 +165,11 @@ object Bucketed {
           // repartition on the bucket key first → exactly ONE file per bucket,
           // so the scan can also report per-bucket sortedness and the merge
           // join skips its local sort (multi-file buckets forfeit that)
+          val sortCols = sp.effectiveSortCols
           sp.src.repartition(buckets, org.apache.spark.sql.functions.col(sp.key))
             .write.mode("overwrite").option("path", tdir.getAbsolutePath)
-            .bucketBy(buckets, sp.key).sortBy(sp.key).saveAsTable(qname)
+            .bucketBy(buckets, sp.key)
+            .sortBy(sortCols.head, sortCols.tail: _*).saveAsTable(qname)
           // marker last: its presence certifies the saveAsTable completed
           marker.createNewFile()
         }

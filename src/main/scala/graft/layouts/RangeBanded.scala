@@ -1,0 +1,89 @@
+package graft.layouts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RANGE-BANDED storage layout — the NON-EQUI analogue of [[Bucketed]]
+  * (r8 verdict item 1): a table that is joined on a pure time/value RANGE
+  * predicate, with NO selective equi key, is stored with a derived
+  * `band = epoch_micros(ts) div bandMicros` column, bucketed + sorted on
+  * the band. A range join with window W ≤ bandMicros then becomes an
+  * EQUI join on the band (each probe row can only match bands b and
+  * b + 1), with the range predicate left as a residual filter inside the
+  * matched band groups:
+  *
+  *  - the BANDED (big) side is never shuffled and never sorted — the
+  *    merge join reads its buckets in resident order (the same
+  *    zero-exchange property Bucketed gives equi keys);
+  *  - the PROBE side derives its two candidate bands at query time
+  *    (one `explode` of a 2-element array) and pays one shuffle of 2×
+  *    its own rows — at 100 TB the probe batch is the small side by
+  *    construction, so the corpus-sized shuffle a naive range join pays
+  *    simply does not exist in the plan;
+  *  - candidate volume per probe row is bounded by the occupancy of two
+  *    bands, NOT the corpus: total join work is Σ_b probe_b · indexed_b,
+  *    the band-partitioned analogue of the LSH bucket bound.
+  *
+  * Without the layout Spark plans a pure range predicate as
+  * BroadcastNestedLoopJoin — probe × corpus comparisons, the shape that
+  * dies at scale. The banded form is the standard interval-blocking
+  * rewrite (DuckDB's IEJoin and Flink's interval join partition time the
+  * same way); here it is a STORAGE layout so the banding scan, like
+  * Bucketed's sort, is paid once, not per query.
+  *
+  * Skew note: real event streams have hot bands (peak hours). Band
+  * occupancy is observable (`GROUP BY band`), and a hot band only
+  * multiplies work within itself; salting the band key on the probe side
+  * subdivides it the same way Salting covers hot group keys.
+  *
+  * Timestamps must be µs-long-backed (timestamp / timestamp_ntz); band
+  * derivation pins the session-independent NTZ µs value (sessions here
+  * run UTC — Verify/Bench/specs all set it). */
+object RangeBanded {
+
+  /** Band id of a timestamp column (by name) at `bandMicros` width —
+    * exact integer floor division on the µs long (`div`; epochs here are
+    * positive), never a double round-trip that could misplace a row
+    * sitting exactly on a band boundary. */
+  def bandOf(tsCol: String, bandMicros: Long): Column =
+    expr(s"unix_micros(cast($tsCol as timestamp)) div ${bandMicros}L")
+
+  /** Ensure the banded layout of `src` exists: the source rows plus a
+    * derived `band` column, bucketed AND sorted on `band` (ts second in
+    * the sort so in-band scans stream in time order). Idempotent and
+    * durable via [[Bucketed.ensure]]'s signature + completion-marker
+    * machinery; `bandMicros` participates in the spec name so two widths
+    * never share a layout. */
+  def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
+      tsCol: String, bandMicros: Long, srcTables: Seq[String],
+      buckets: Int = 8): String = {
+    val banded = src.withColumn("band", bandOf(tsCol, bandMicros))
+    Bucketed.ensure(s, dir, Seq(
+      Bucketed.Spec(s"${name}_band$bandMicros", banded, "band",
+        srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head
+  }
+
+  /** Pure-range join over a banded layout: pairs every `probe` row with
+    * the `banded` rows whose `bandedTs` falls in
+    * [probeTs, probeTs + windowMicros). `banded` must carry the layout's
+    * `band` column (scan the [[ensure]]d table); `windowMicros` must not
+    * exceed the layout's `bandMicros` (two candidate bands suffice —
+    * require()d, because silently missing matches past band b + 1 would
+    * be a correctness bug, not a perf bug). Probe columns survive with
+    * their names; callers project/rename before joining if they collide
+    * with banded columns. */
+  def rangeJoin(banded: DataFrame, probe: DataFrame, bandedTs: String,
+      probeTs: String, windowMicros: Long, bandMicros: Long): DataFrame = {
+    require(windowMicros <= bandMicros,
+      s"window ${windowMicros}µs exceeds band width ${bandMicros}µs: " +
+        "matches past the adjacent band would be silently dropped")
+    val pBand = bandOf(probeTs, bandMicros)
+    val probed = probe.withColumn("probe_band", explode(array(pBand, pBand + 1)))
+    banded.join(probed,
+      col("band") === col("probe_band") &&
+        col(bandedTs) >= col(probeTs) &&
+        col(bandedTs) < col(probeTs) +
+          expr(s"INTERVAL '$windowMicros' MICROSECOND"))
+      .drop("probe_band")
+  }
+}

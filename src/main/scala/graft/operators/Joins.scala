@@ -331,6 +331,128 @@ object Joins extends QueryGroup {
         ON p.user_id = c.user_id AND c.ts <= p.ts
       ORDER BY p.event_id ASC NULLS FIRST"""))
 
+  /** TIME-SERIES layout (r8 verdict item 1 — the asof/interval-family
+    * analogue of the equi-key fact layouts): events bucketed by the
+    * ENTITY key and sorted WITHIN buckets by (entity, ts, event_id). The
+    * whole event-stream join family — as-of, interval containment,
+    * sessionize, per-entity windows — requires exactly clustering on the
+    * entity plus (entity, time) ordering, and this layout serves BOTH
+    * straight off the scan: the native AsOfJoinExec's
+    * requiredChildDistribution/Ordering and a merge join's key ordering
+    * are satisfied with ZERO exchange and ZERO sort on either side
+    * (PlanSpec pins it). This is the storage answer to the r8 sf24
+    * finding that the asof shape's SMJ sort spills at partition width —
+    * the sort is paid ONCE at layout-build time, never per query, and at
+    * 100 TB a time-series table's resident format is precisely
+    * "partitioned by entity, time-ordered within partition". */
+  def bucketedEvents(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.layouts.Bucketed.ensure(s, dir, Seq(
+      graft.layouts.Bucketed.Spec("events_bu", Tables.events(s, dir), "user_id",
+        srcTables = Seq("events"), sortCols = Seq("user_id", "ts", "event_id"))),
+      buckets = graft.layouts.Bucketed.defaultBuckets(dir, "events")).head
+
+  /** op 25 over the TIME-SERIES layout: the same native as-of merge as
+    * join_asof_native, but both sides scan `events_bu` — bucketed on
+    * user_id, sorted by (user_id, ts) — so EnsureRequirements inserts
+    * NEITHER an exchange NOR a sort: the co-partitioned one-pass merge
+    * runs directly on the layout's resident order. Same DuckDB ASOF
+    * oracle as the raw-table forms (the layout changes only the physical
+    * plan); PlanSpec pins zero exchange / zero sort under AsOfJoinExec. */
+  private val joinAsofColocated = GraftQuery(
+    "join_asof_colocated",
+    (s, dir) => {
+      val eventsB = bucketedEvents(s, dir)
+      val e = s.table(eventsB)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("prior_click_ts"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             CAST(c.ts AS TIMESTAMP) AS prior_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id ASC NULLS FIRST"""))
+
+  /** op 26 over the TIME-SERIES layout: the interval-containment join as
+    * a zero-exchange zero-sort merge join — both sides scan `events_bu`
+    * (bucketed user_id, sorted (user_id, ts)), the equi conjunct rides
+    * the bucketing, and the time band stays a residual predicate
+    * evaluated inside each user's merged group. The per-query cost of
+    * the interval join at 100 TB becomes a pure co-partitioned scan;
+    * same oracle as join_interval. */
+  private val joinIntervalColocated = GraftQuery(
+    "join_interval_colocated",
+    (s, dir) => {
+      val eventsB = bucketedEvents(s, dir)
+      val e = s.table(eventsB)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("signup_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      errors.hint("merge").join(signups,
+          col("user_id") === col("su") &&
+            col("error_ts") >= col("signup_ts") &&
+            col("error_ts") < col("signup_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("error_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_ts").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS error_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id
+       AND CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY error_id ASC NULLS FIRST, signup_ts ASC NULLS FIRST"""))
+
+  /** PURE-RANGE join (NO equi key) over the RANGE-BANDED layout — the
+    * non-equi storage analogue of the bucketed equi layouts (r8 verdict
+    * item 1, layouts.RangeBanded): every error event paired with EVERY
+    * signup (any user) in the preceding hour. Without a layout Spark
+    * must plan this as BroadcastNestedLoopJoin — probe × corpus
+    * comparisons. The banded layout stores events bucketed+sorted on
+    * `band = ts div 1h`, turning the range predicate into a band EQUI
+    * join (probe rows explode to their two candidate bands) with the
+    * range as a residual: the banded side is never shuffled and never
+    * sorted, the probe pays one shuffle of 2× its own rows, and the
+    * merge hint pins the at-scale SMJ shape (under the broadcast
+    * threshold the small probe would legitimately broadcast — cheaper
+    * still, and still zero corpus shuffle). Oracle: the plain range-join
+    * SQL (the layout changes only the physical plan); PlanSpec pins
+    * no BNLJ, no banded-side exchange, no banded-side sort. */
+  private val joinRangeBanded = GraftQuery(
+    "join_range_banded",
+    (s, dir) => {
+      val hourMicros = 3600000000L
+      val t = graft.layouts.RangeBanded.ensure(s, dir, "events",
+        Tables.events(s, dir), "ts", hourMicros, Seq("events"))
+      val errors = s.table(t).filter(col("event_type") === "error")
+        .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .hint("merge")
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.layouts.RangeBanded.rangeJoin(errors, signups,
+          "error_ts", "signup_ts", windowMicros = hourMicros, bandMicros = hourMicros)
+        .select(col("error_id"), col("signup_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.event_id AS error_id, s.event_id AS signup_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
+
   /** Co-located fact⋈fact join over BUCKETED tables: both facts are laid
     * out bucketBy(8, key) + sortBy(key), so the sort-merge join reads
     * matching buckets directly — NO shuffle exchange and no per-task sort
@@ -561,6 +683,7 @@ object Joins extends QueryGroup {
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinBroadcastResidual, joinCross, joinThetaRange, joinLookupFormat,
-    joinAsof, joinAsofNative, joinInterval, joinBucketedColocated,
+    joinAsof, joinAsofNative, joinAsofColocated, joinInterval,
+    joinIntervalColocated, joinRangeBanded, joinBucketedColocated,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }

@@ -85,6 +85,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "the layout row must not fall back to a broadcast join:\n" + p)
   }
 
+  test("join_asof_colocated: the native as-of merge runs straight off the " +
+      "time-series layout — zero exchange, zero sort on either side") {
+    val p = plan("join_asof_colocated")
+    assert(p.contains("AsOfJoin"), p)
+    // the layout satisfies the exec's required clustering (bucketed on
+    // user_id) AND ordering (sorted (user_id, ts) within buckets), so
+    // EnsureRequirements must insert nothing below the merge; the only
+    // exchange left is the KB-scale presentation sort above it
+    val belowJoin = p.substring(p.indexOf("AsOfJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      "as-of inputs still shuffled:\n" + p)
+    assert(!belowJoin.contains("Sort ["),
+      "as-of inputs re-sorted — the layout's resident order is not trusted:\n" + p)
+  }
+
+  test("join_interval_colocated: interval join as a zero-exchange zero-sort " +
+      "merge join over the time-series layout") {
+    val p = plan("join_interval_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(user_id") &&
+      !p.contains("Exchange hashpartitioning(su"),
+      "interval join still shuffles the entity key:\n" + p)
+    assert(!p.contains("Sort [user_id") && !p.contains("Sort [su"),
+      "interval join re-sorts a layout side:\n" + p)
+  }
+
+  test("join_range_banded: the pure-range join rides the band layout — merge " +
+      "join on the band, no nested-loop, no banded-side exchange or sort") {
+    val p = plan("join_range_banded")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pure-range join fell back to probe×corpus nested loop:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning(band#"),
+      "banded (corpus) side still shuffled:\n" + p)
+    assert(!p.contains("Sort [band#"),
+      "banded side re-sorted — the layout's resident band order is not trusted:\n" + p)
+  }
+
   test("join_bloom_runtime: bloom filter injected on the fact side of the shuffle join") {
     val p = plan("join_bloom_runtime")
     assert(p.toLowerCase.contains("might_contain"),
