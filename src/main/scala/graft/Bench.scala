@@ -314,6 +314,14 @@ object Bench {
       // without this every co-located SMJ pays a per-query re-sort of both
       // fact sides — measured 5+ s of SortExec at sf12 (jstack, r7)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // bucket PRUNING needs the bucketed scan to stay bucketed: the
+      // auto-bucketed-scan planner rule reads a bucketed table as plain
+      // files whenever no join/agg exploits the partitioning, which also
+      // discards the batch-key bucket pruning the MinHashIndex probe
+      // relies on (SelectedBucketsCount — PlanSpec-pinned). All bucketed
+      // layouts here are either join-exploited or probe-pruned, so the
+      // auto rule has nothing to win.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

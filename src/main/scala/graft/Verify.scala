@@ -17,6 +17,14 @@ object Verify {
       // verified plan is the benched plan (safe: Bucketed.ensure writes
       // one file per bucket and Spark re-checks the count at planning)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // bucket PRUNING needs the bucketed scan to stay bucketed: the
+      // auto-bucketed-scan planner rule reads a bucketed table as plain
+      // files whenever no join/agg exploits the partitioning, which also
+      // discards the batch-key bucket pruning the MinHashIndex probe
+      // relies on (SelectedBucketsCount — PlanSpec-pinned). All bucketed
+      // layouts here are either join-exploited or probe-pruned, so the
+      // auto rule has nothing to win.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -75,9 +75,40 @@ object MinHashIndex {
     (bands, reps.select(col("rep"), col("norm")))
   }
 
-  /** Bucket count for index tables — every writer (ensure + append) must
-    * agree or the appended files break the table's bucketing spec. */
-  val Buckets = 8
+  /** Default bucket count for index tables. Larger than the fact
+    * layouts' floor because the BANDS table is also the probe's PRUNING
+    * unit (see [[probe]]): a batch's band keys select bucket FILES, and
+    * the expected selected count is B·(1 − e^(−keys/B)) — pruning bites
+    * exactly when distinct batch keys < bucket count, so a 100 TB index
+    * wants buckets sized to corpus_bands/rows_per_file (millions of
+    * files), probed by KB-scale batches. Writers that need a different
+    * count pass it to [[ensure]]; [[append]] reads the registered
+    * table's own count so appended files can never break the spec. */
+  val Buckets = 64
+
+  /** Probe-side pruning cap: past this many distinct batch keys the InSet
+    * literal (and the driver collect feeding it) stops being KB-scale and
+    * the filter cannot select fewer buckets anyway — scan everything. */
+  private[graft] val MaxPruneKeys = 100000
+
+  /** Prune only when keys · factor ≤ buckets. The InSet probe costs ~78
+    * ns/row against ~8 ns/row for the plain bucketed scan (tools.PruneAB,
+    * sf24t, 4.9 k keys: scan 0.16 → 1.51 s, candidate join 0.59 → 2.85 s
+    * — the r8 string-InSet loss reproduced on longs), so the filter wins
+    * only when the UNREAD files pay for the probe on the read ones:
+    * expected touched fraction 1 − e^(−keys/B) must stay ≲ 10 %, i.e.
+    * keys ≤ B/8. At a 100 TB index (file count ≫ batch keys) the rule is
+    * always true; at local bucket counts it correctly turns pruning OFF
+    * for corpus-scale batches instead of re-learning r8's negative
+    * result. */
+  private[graft] val PruneOccupancyFactor = 8
+
+  /** Bucket count of a registered bucketed table (from the catalog, so
+    * append always matches the layout it extends). */
+  private[graft] def bucketsOf(s: SparkSession, table: String): Int =
+    s.sql(s"DESC FORMATTED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head().getString(1).trim.toInt
 
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
     * fully qualified for `spark.table`.
@@ -89,12 +120,12 @@ object MinHashIndex {
     * same table under one tag would silently share a layout. */
   def ensure(s: SparkSession, dir: String, corpus: DataFrame, tag: String,
       shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
-      srcTables: Seq[String]): (String, String) = {
+      srcTables: Seq[String], buckets: Int = Buckets): (String, String) = {
     val (bands, reps) = bandRows(corpus, shingleWords, nHashes, nBands, rowsPerBand)
     val Seq(b, r) = Bucketed.ensure(s, dir, Seq(
       Bucketed.Spec(s"mhidx_${tag}_bands", bands.select(col("bkey64"), col("rep")),
         "bkey64", srcTables),
-      Bucketed.Spec(s"mhidx_${tag}_reps", reps, "rep", srcTables)), Buckets)
+      Bucketed.Spec(s"mhidx_${tag}_reps", reps, "rep", srcTables)), buckets)
     (b, r)
   }
 
@@ -117,12 +148,63 @@ object MinHashIndex {
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
     val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
-    val cand = s.table(bandsTable).withColumnRenamed("rep", "crep")
-      .join(broadcast(bBandsRaw.select(col("bkey64"), col("rep").as("brep"))), "bkey64")
+    // BUCKET PRUNING (r9, the r8 verdict's item 3): the probe's residual
+    // corpus-linear term was the full band-table scan. The batch's
+    // distinct band keys are KB-scale by the fixed-batch contract, so
+    // collect them (bounded driver collect, capped) and push a
+    // `bkey64 IN (...)` filter at the scan: Spark's bucket pruning maps
+    // the literal keys to bucket ids and reads ONLY the touched bucket
+    // FILES — expected B·(1 − e^(−keys/B)) of B, i.e. at a 100 TB
+    // index's file count the scan term is bounded by the BATCH's key
+    // count, not the corpus (PlanSpec pins SelectedBucketsCount < B).
+    // CONDITIONAL on keys·[[PruneOccupancyFactor]] ≤ buckets: the InSet
+    // probe costs ~10× the plain scan decode per surviving row, so when
+    // the keys touch most buckets anyway the filter is a measured LOSS
+    // (tools.PruneAB; see the factor's scaladoc) and the probe falls
+    // back to the full-scan join. The filter is semantically redundant
+    // (exactly the join's key set — every surviving row joins), so
+    // recall is untouched either way; r8's negative results stand for
+    // the OTHER mechanisms (parquet row-group In pushdown degrades to
+    // min/max past the threshold; an unconditional per-row InSet was a
+    // measured loss — this is file-level pruning on 8-byte keys, applied
+    // only in the regime where files go unread). The batch bands are
+    // checkpointed once: the key collect and the broadcast join must not
+    // recompute the signature pass. Requires the session to keep
+    // bucketed scans bucketed (spark.sql.sources.bucketing
+    // .autoBucketedScan.enabled=false — Bench/Verify/specs set it);
+    // with the auto rule on, Spark silently reads the table as plain
+    // files and the filter would be all cost, no pruning — which the
+    // conditional guard happens to also protect against at local bucket
+    // counts.
+    val bBands = bBandsRaw.select(col("bkey64"), col("rep").as("brep"))
+      .localCheckpoint()
+    val keys = bBands.select(col("bkey64")).distinct()
+      .limit(MaxPruneKeys + 1).collect().map(_.getLong(0))
+    val bandBuckets = bucketsOf(s, bandsTable)
+    val idxScan =
+      if (keys.isEmpty) s.table(bandsTable).filter(lit(false))
+      else if (keys.length <= MaxPruneKeys &&
+          keys.length.toLong * PruneOccupancyFactor <= bandBuckets)
+        s.table(bandsTable).filter(col("bkey64").isInCollection(keys))
+      else s.table(bandsTable)
+    val cand = idxScan.withColumnRenamed("rep", "crep")
+      .join(broadcast(bBands), "bkey64")
       .select(col("brep"), col("crep")).distinct()
       .localCheckpoint()
+    // same pruning for the verification fetch: the touched corpus reps
+    // are candidate-bounded (batch-proportional), so the rep-text scan
+    // reads only their buckets instead of the whole rep table
+    val crepIds = cand.select(col("crep")).distinct()
+      .limit(MaxPruneKeys + 1).collect().map(_.getLong(0))
+    val repBuckets = bucketsOf(s, repsTable)
+    val repsScan =
+      if (crepIds.isEmpty) s.table(repsTable).filter(lit(false))
+      else if (crepIds.length <= MaxPruneKeys &&
+          crepIds.length.toLong * PruneOccupancyFactor <= repBuckets)
+        s.table(repsTable).filter(col("rep").isInCollection(crepIds))
+      else s.table(repsTable)
     val cSh = cand.select(col("crep")).distinct()
-      .join(s.table(repsTable), col("crep") === col("rep"))
+      .join(repsScan, col("crep") === col("rep"))
       .select(col("crep"), expr(s"word_shingles(norm, $shingleWords)").as("csh"))
     val bSh = bReps.select(col("rep").as("brep"),
       expr(s"word_shingles(norm, $shingleWords)").as("bsh"))
@@ -154,11 +236,15 @@ object MinHashIndex {
     // Crash-safe (r8 ADVICE): the two appends must land together or not
     // at all — markers down, write both, markers up; see
     // Bucketed.appendGuard for the torn-append recovery contract.
+    // bucket counts come from the REGISTERED tables (not the default
+    // constant), so an append can never break the bucketing spec of a
+    // layout built with a non-default count
+    val (bandB, repB) = (bucketsOf(s, bandsTable), bucketsOf(s, repsTable))
     Bucketed.appendGuard(s, Seq(bandsTable, repsTable)) {
       bands.select(col("bkey64"), col("rep"))
-        .write.mode("append").bucketBy(Buckets, "bkey64").sortBy("bkey64")
+        .write.mode("append").bucketBy(bandB, "bkey64").sortBy("bkey64")
         .saveAsTable(bandsTable)
-      reps.write.mode("append").bucketBy(Buckets, "rep").sortBy("rep")
+      reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
         .saveAsTable(repsTable)
     }
   }

@@ -6,8 +6,22 @@ import org.apache.spark.sql.functions._
 /** Dev-only: the incremental near-dup contract measured the way it is
   * used — a FIXED batch (replica-0 mutants + copies) probed against
   * corpora of increasing size, so the probe's corpus-linear term (the
-  * band-table scan) is isolated from batch-side work. Contrast column:
-  * the full llm_dedup_minhash recompute at the same dir. */
+  * band-table scan) is isolated from batch-side work.
+  *
+  * r9: runs the PRODUCTION MinHashIndex.probe (which now bucket-prunes
+  * the band and rep scans from the batch's key set) instead of an inline
+  * replica of its r8 internals, and measures TWO batch profiles per
+  * corpus:
+  *   - the standard fixed batch (~500 docs, ~8 k distinct band keys) —
+  *     keys ≫ bucket files at local bucket counts, so pruning selects
+  *     everything and the timing isolates the non-pruning path;
+  *   - a TINY batch (4 docs, ≤ 64 keys) against a bucket count scaled
+  *     with the corpus (buckets ≈ band rows / 64 k, keeping FILE SIZE
+  *     constant) — the local miniature of the 100 TB regime (keys ≪
+  *     files), where the touched-file count is bounded by the batch's
+  *     keys and the probe's scan bytes go FLAT in corpus size.
+  * Pass dirs as `path[:buckets]`; default buckets = MinHashIndex.Buckets
+  * for the standard run and corpus-scaled for the tiny run. */
 object IncrementalProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/tmp/graft_sf6t", "/tmp/graft_sf12t")
@@ -16,10 +30,15 @@ object IncrementalProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    for (dir <- dirs) {
+    for (spec <- dirs) {
+      val (dir, explicitBuckets) = spec.split(":") match {
+        case Array(d, b) => (d, Some(b.toInt))
+        case Array(d)    => (d, None)
+      }
       val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, dir))
       val repLocal = col("id") % 1000000000L
       val corpus = all.filter(repLocal < 1000000L)
@@ -27,27 +46,40 @@ object IncrementalProbe {
       val batch = all.filter(col("id") < 1000000000L && repLocal >= 1000000L)
         .unionByName(corpus.filter(col("id") < 1000000000L && col("id") % 40 === 0)
           .select((col("id") + 2000000L).as("id"), col("text")))
-      val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
-        spark, dir, corpus, "neardup_repbase", 5, 64, 16, 4, Seq("documents"))
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val (bBandsRaw, bReps) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
-        val cand = spark.table(bandsT).withColumnRenamed("rep", "crep")
-          .join(broadcast(bBandsRaw.select(col("bkey64"), col("rep").as("brep"))), "bkey64")
-          .select(col("brep"), col("crep")).distinct().localCheckpoint()
-        val cSh = cand.select(col("crep")).distinct()
-          .join(spark.table(repsT), col("crep") === col("rep"))
-          .select(col("crep"), expr("word_shingles(norm, 5)").as("csh"))
-        val bSh = bReps.select(col("rep").as("brep"), expr("word_shingles(norm, 5)").as("bsh"))
-        val n = cand.join(bSh, "brep").join(cSh, "crep")
-          .withColumn("jaccard", expr("jaccard_sim(bsh, csh)"))
-          .filter(col("jaccard") >= 0.5).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (t, n)
+      val tiny = batch.orderBy(col("id").asc).limit(4)
+      // corpus-scaled bucket count for the tiny-batch run: ~16 k band
+      // rows (≈256 KB) per bucket file, so file size stays constant as
+      // the corpus grows and the tiny batch's keys clear the keys·8 ≤
+      // buckets rule at every scale — the 100 TB file-count geometry in
+      // miniature
+      val nReps = corpus
+        .withColumn("norm", graft.functions.TextOps.normalize(col("text")))
+        .select(col("norm")).distinct().count()
+      val scaled = explicitBuckets.getOrElse {
+        val want = math.max(64L, nReps * 16 / 16384)
+        Integer.highestOneBit(math.min(want, 1 << 20).toInt) match {
+          case b if b.toLong < want => b * 2
+          case b => b
+        }
       }
-      println(f"INCPROBE $dir%-18s probe_min=${times.map(_._1).min}%6.2f s " +
-        f"all=${times.map(t => f"${t._1}%.2f").mkString(",")} pairs=${times.head._2}")
+      for ((label, tag, buckets, b) <- Seq(
+          ("std", "neardup_repbase", graft.layouts.MinHashIndex.Buckets, batch),
+          ("tiny", s"neardup_scaled$scaled", scaled, tiny))) {
+        val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+          spark, dir, corpus, tag, 5, 64, 16, 4, Seq("documents"), buckets = buckets)
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val (pairs, _) = graft.layouts.MinHashIndex.probe(
+            spark, bandsT, repsT, b, 5, 64, 16, 4, threshold = 0.5)
+          val n = pairs.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          (t, n)
+        }
+        println(f"INCPROBE $dir%-18s $label%-4s buckets=$buckets%5d reps=$nReps%9d " +
+          f"probe_min=${times.map(_._1).min}%6.2f s " +
+          f"all=${times.map(t => f"${t._1}%.2f").mkString(",")} pairs=${times.head._2}")
+      }
     }
     spark.stop()
   }

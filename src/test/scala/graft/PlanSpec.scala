@@ -197,6 +197,47 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "probe join degraded to a sort-merge join:\n" + p)
   }
 
+  test("MinHashIndex probe: a small batch's key set BUCKET-PRUNES the band " +
+      "scan — only touched bucket files are read") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, sf))
+    val corpus = all.filter(col("id") % 1000000000L < 1000000L)
+    // 256 buckets (own tag — coexists with the registry layout's default)
+    // so a 2-doc batch (≤ 32 keys) clears the keys·8 ≤ buckets pruning
+    // rule — the 100 TB keys ≪ files regime in miniature
+    val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+      spark, sf, corpus, "neardup_prunespec", 5, 64, 16, 4, Seq("documents"),
+      buckets = 256)
+    val batch = all.filter(col("id") % 1000000000L >= 1000000L).limit(2)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    def hits(p: String) =
+      sel.findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2).toInt)).toList
+    // (a) the band-scan side: probe checkpoints its candidate set (the
+    // bands scan's plan truncates there), so pin the EXACT filter+scan
+    // shape probe builds — batch keys collected, InSet on the bucket
+    // column — and assert the files are pruned
+    val (bBands, _) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
+    val keys = bBands.select(col("bkey64")).distinct().collect().map(_.getLong(0))
+    assert(keys.nonEmpty && keys.length * 8 <= 256,
+      s"batch keys (${keys.length}) would not clear the pruning rule")
+    val bandScan = spark.table(bandsT).filter(col("bkey64").isInCollection(keys))
+    val bp = bandScan.queryExecution.executedPlan.toString
+    val bandHits = hits(bp)
+    assert(bandHits.nonEmpty, "no bucket pruning on the band scan:\n" + bp)
+    assert(bandHits.forall { case (k, n) => k < n },
+      s"band scan reads every bucket file ($bandHits):\n" + bp)
+    // (b) the integrated probe path: the verification fetch's rep-table
+    // scan is NOT checkpointed, so probe()'s own pruning must show in
+    // the pairs plan — proof the production path runs the pruned shape
+    val (pairs, _) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch, 5, 64, 16, 4, threshold = 0.5)
+    val pp = pairs.queryExecution.executedPlan.toString
+    val repHits = hits(pp)
+    assert(repHits.nonEmpty, "no bucket pruning in the probe's rep fetch:\n" + pp)
+    assert(repHits.forall { case (k, n) => k < n },
+      s"rep fetch reads every bucket file ($repHits):\n" + pp)
+  }
+
   test("join_lookup_format: tiny VALUES dim broadcast") {
     val p = plan("join_lookup_format")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -21,6 +21,14 @@ object SparkTestBase {
       // verifies the file count before reporting the ordering) — without
       // it every co-located SMJ re-sorts both sides per query
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // bucket PRUNING needs the bucketed scan to stay bucketed: the
+      // auto-bucketed-scan planner rule reads a bucketed table as plain
+      // files whenever no join/agg exploits the partitioning, which also
+      // discards the batch-key bucket pruning the MinHashIndex probe
+      // relies on (SelectedBucketsCount — PlanSpec-pinned). All bucketed
+      // layouts here are either join-exploited or probe-pruned, so the
+      // auto rule has nothing to win.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -136,6 +136,94 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(verified == exact, s"cell=${verified.size} exact=${exact.size}")
   }
 
+  test("cellBandCandidateIds: ADVERSARIAL boundary pairs — near-dups planted " +
+      "to straddle cell boundaries are all recovered (r8 verdict item 2)") {
+    import spark.implicits._
+    // The cell route's caveat was 'planted pairs share a cell in
+    // practice'. This fixture removes the 'in practice': pairs are
+    // CONSTRUCTED on the midlines between adjacent centroids, so each
+    // pair's two vectors rank the two cells oppositely — the exact case
+    // single-assignment split (114/1200 at sf6s). The asymmetric top-5
+    // multi-probe must recover every one: a straddling pair's opposite
+    // cell is, by construction, its 2nd-ranked — well inside the probe
+    // depth — so recall here follows from the probe geometry, not luck.
+    val dims = 64
+    def gauss(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dims)(r.nextGaussian())
+    }
+    val u = gauss(1)
+    val n0 = 3000
+    val base = (0 until n0).map { i =>
+      val g = gauss(5000 + i)
+      (i.toLong, u.zip(g).map { case (a, b) => a + 0.9 * b }.toSeq)
+    }
+    // Phase 1: train the SAME cells the production generator will train
+    // (same k/iters/sampleCap formulas) on the base — used only to place
+    // the plants; the production run below retrains on base ∪ plants,
+    // and the post-hoc straddle assertion confirms the slight shift
+    // keeps the plants adversarial.
+    val nPlantPairs = 24
+    val nFinal = (n0 + 2 * nPlantPairs).toLong
+    val k = math.min(4096, math.max(16, math.ceil(math.sqrt(nFinal.toDouble)).toInt))
+    val cents0 = graft.etl.Ivf.train(base.toDF("vec_id", "v"), k, iters = 2,
+      sampleCap = math.max(64 * k, 1 << 14))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def unit(a: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(a.map(x => x * x).sum); a.map(_ / nrm)
+    }
+    // the nPlantPairs closest centroid pairs = the tightest boundaries
+    val adjacent = (for {
+      i <- cents0.indices; j <- (i + 1) until cents0.length
+    } yield (i, j, cos(cents0(i)._2, cents0(j)._2)))
+      .sortBy(-_._3).take(nPlantPairs)
+    // ε sized so each pair's cosine lands well above the 0.9 threshold
+    // (asserted below): with m approximately ⟂ d, cos(a,b) ≈
+    // (1 − t²)/(1 + t²) ≈ 0.97 at t = ε|d|/|m| = 0.12
+    val plantRows = adjacent.zipWithIndex.flatMap { case ((i, j, _), t) =>
+      val ci = unit(cents0(i)._2); val cj = unit(cents0(j)._2)
+      val m = ci.zip(cj).map { case (x, y) => (x + y) / 2 }
+      val d = ci.zip(cj).map { case (x, y) => x - y }
+      val scale = 0.12 * math.sqrt(m.map(x => x * x).sum) /
+        math.max(1e-12, math.sqrt(d.map(x => x * x).sum))
+      val a = m.zip(d).map { case (x, y) => x + scale * y }
+      val b = m.zip(d).map { case (x, y) => x - scale * y }
+      Seq((1000000L + 2L * t, a.toSeq), (1000001L + 2L * t, b.toSeq))
+    }
+    val plantPairs = (0 until nPlantPairs)
+      .map(t => (1000000L + 2L * t, 1000001L + 2L * t)).toSet
+    // fixture sanity: every planted pair is a genuine ≥ 0.9 near-dup
+    plantRows.grouped(2).foreach { case Seq((ia, va), (ib, vb)) =>
+      val c = cos(va.toArray, vb.toArray)
+      assert(c >= 0.9, s"fixture broken: pair ($ia,$ib) cosine $c < 0.9")
+    }
+    val reps = (base ++ plantRows).toDF("vec_id", "v")
+    val (bands, bits) = graft.etl.VectorLsh.adaptiveBandParams(nFinal, simThreshold = 0.9)
+    // post-hoc adversarialness: under the PRODUCTION assignment (cells
+    // retrained on base ∪ plants — identical deterministic formulas),
+    // a healthy share of planted pairs must truly straddle (different
+    // primary cells); otherwise the fixture stopped testing anything
+    val centsProd = graft.etl.Ivf.train(reps, k, iters = 2,
+      sampleCap = math.max(64 * k, 1 << 14))
+    val prim = graft.etl.Ivf.assign(reps, centsProd)
+      .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val straddling = plantPairs.count { case (a, b) => prim(a) != prim(b) }
+    assert(straddling >= nPlantPairs / 3,
+      s"fixture degraded: only $straddling/$nPlantPairs pairs straddle a boundary")
+    val cand = graft.etl.VectorLsh.cellBandCandidateIds(
+      reps, nFinal, bands, bits, dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = plantPairs.filterNot(p => cand.contains(p) || cand.contains(p.swap))
+    assert(missed.isEmpty,
+      s"cell route missed ${missed.size}/$nPlantPairs boundary pairs " +
+        s"($straddling straddling): ${missed.take(5)}")
+  }
+
   test("knn_join: every query id present with k results, self-match ranked 1") {
     val r = SparkEntry.queries("llm_knn_join")(spark, sf)
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
