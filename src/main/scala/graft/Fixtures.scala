@@ -110,6 +110,76 @@ object Fixtures {
       base.unionByName(mutA).unionByName(mutB)
     }
 
+  /** llm_corpus_prep_incremental input: the nightly crawl BATCH probed
+    * against the [[neardupCorpus]] corpus — one planted family per
+    * pipeline stage, each dying in (at most) its intended stage, built
+    * from REPLICA-0 corpus docs only so the batch stays FIXED while the
+    * corpus scales (the batch-proportional-cost contract the scale
+    * probes measure). Offsets are within replica 0's 1e9 id space:
+    *   - +1e6  the fixture's one-word mutants      → corpus near-dup
+    *   - +2e6  exact copies of every 40th doc      → corpus near-dup (J=1)
+    *   - +3e6  second copies of every 80th doc     → batch exact dedup
+    *            (raw-text twins of their +2e6 sibling)
+    *   - +4e6  word-REVERSED every 15th ≥25-word doc → novel KEEPERS
+    *            (reversal keeps the word set — and thus the quality
+    *            score — but shares no 5-shingle with the forward text)
+    *   - +5e6  first-word-mutated reversals of every 30th ≥25-word doc
+    *            → batch near-dup (pairs its +4e6 sibling at J=(n−9)/(n+1)
+    *            ≥ 0.64 for n ≥ 25; novel vs the forward corpus)
+    *   - +6e6  stopword filler + the 12-word eval snippet of every 97th
+    *            ≥14-word doc → decontamination (hits/shingles ≈ 8/14;
+    *            the six stopwords hold quality above the 0.45 bar)
+    *   - +7e6  id-prefixed all-digit junk for every 60th doc → quality
+    *            filter (digit_ratio ≈ 0.92 caps quality ≈ 0.06)
+    * Columns (id, text). */
+  def incPrepBatch(s: SparkSession, dir: String): String = {
+    val corpusPath = neardupCorpus(s, dir)
+    ensure(s, dir, "incbatch") {
+      val all = s.read.parquet(corpusPath).filter(col("id") < 1000000000L)
+      val repLocal = col("id") % 1000000000L
+      val corpus = all.filter(repLocal < 1000000L)
+      val mutants = all.filter(repLocal >= 1000000L)
+      val words = split(TextOps.normalize(col("text")), " ")
+      val copies = corpus.filter(repLocal % 40 === 0)
+        .select((col("id") + 2000000L).as("id"), col("text"))
+      val copyTwins = corpus.filter(repLocal % 80 === 0)
+        .select((col("id") + 3000000L).as("id"), col("text"))
+      val novel = corpus.filter(repLocal % 15 === 0 && size(words) >= 25)
+        .select((col("id") + 4000000L).as("id"),
+          concat_ws(" ", reverse(words)).as("text"))
+      val novelMut = corpus.filter(repLocal % 30 === 0 && size(words) >= 25)
+        .select((col("id") + 5000000L).as("id"),
+          regexp_replace(concat_ws(" ", reverse(words)), "^\\w+ ", "graftmutant ")
+            .as("text"))
+      val contam = corpus.filter(repLocal % 97 === 0 && size(words) >= 14)
+        .select((col("id") + 6000000L).as("id"),
+          concat(lit("the of and in to is "),
+            concat_ws(" ", slice(words, 3, 12))).as("text"))
+      val junk = corpus.filter(repLocal % 60 === 0)
+        .select((col("id") + 7000000L).as("id"),
+          concat(col("id").cast("string"), lit(" "),
+            lit(Seq.fill(10)("0123456789").mkString(" "))).as("text"))
+      mutants.unionByName(copies).unionByName(copyTwins).unionByName(novel)
+        .unionByName(novelMut).unionByName(contam).unionByName(junk)
+    }
+  }
+
+  /** llm_corpus_prep_incremental primitive dump: the Broder seed-family
+    * table ([[minhashShingleHashes]] convention) over corpus ∪ batch —
+    * powers the oracle's recompute of BOTH minhash stages (the index
+    * probe vs the corpus and the within-batch pair pass). */
+  def incPrepShingleHashes(s: SparkSession, dir: String): String = {
+    val corpusPath = neardupCorpus(s, dir)
+    val batchPath = incPrepBatch(s, dir)
+    ensure(s, dir, "incsig") {
+      import s.implicits._
+      shingleSeedRows(
+        s.read.parquet(corpusPath).filter(col("id") % 1000000000L < 1000000L)
+          .select(col("text")).as[String]
+          .union(s.read.parquet(batchPath).select(col("text")).as[String]))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // JVM-TWIN PRIMITIVE DUMPS (r5 verdict item 3): the three hash rows
   // (llm_dedup_simhash / llm_fingerprint / llm_hash_embed) are

@@ -218,31 +218,43 @@ object TrainingDataPrep {
     // overhead, not compute. A left join from a literal stage table keeps
     // empty stages present (docs_out 0, tokens_out null — the exact rows
     // the old global aggregates produced, and the _stages oracle expects).
-    val stageDefs = Seq(
+    val attrition = attritionReport(nCorpus, Seq(
       ("exact_dedup", 1, s1), ("quality_filter", 2, s2.drop("q")),
       ("neardup_removal", 3, s3.drop("q")), ("chunk_boilerplate", 4, s4.drop("q")),
-      ("decontaminate", 5, s5.drop("q")))
+      ("decontaminate", 5, s5.drop("q"))))
+
+    Outputs(kept, dropped, attrition)
+  }
+
+  /** Attrition report over eager stage outputs (each df must carry a
+    * `text` column): ONE aggregate — label each stage, union, groupBy for
+    * docs_out + normalized-token sums — then docs_in derived as the
+    * previous stage's docs_out via a tiny self-join (stage 1's is the
+    * caller-supplied input count). A left join from a literal stage table
+    * keeps empty stages present (docs_out 0, tokens_out null). The
+    * previous form built 3 aggregate subtrees per stage, crossJoined —
+    * 23 s of tiny-exchange scheduling at sf0.1. */
+  private[examples] def attritionReport(nIn: Long,
+      stageDefs: Seq[(String, Int, DataFrame)]): DataFrame = {
     val labeled = stageDefs.map { case (name, ord, df) =>
       df.select(lit(ord).as("stage_ord"), lit(name).as("stage"),
         size(split(TextOps.normalize(col("text")), " ")).cast("long").as("tok"))
     }.reduce(_ unionByName _)
     val outAgg = labeled.groupBy(col("stage_ord"))
       .agg(count(lit(1)).as("docs_out"), sum(col("tok")).as("tokens_out"))
-    val session = docsIn.sparkSession
+    val session = stageDefs.head._3.sparkSession
     import session.implicits._
     val stageNames = stageDefs.map { case (name, ord, _) => (ord, name) }
       .toDF("stage_ord", "stage")
     val prevOut = outAgg.select((col("stage_ord") + 1).as("stage_ord"),
       col("docs_out").as("prev_out"))
-    val attrition = stageNames
+    stageNames
       .join(outAgg, Seq("stage_ord"), "left")
       .join(prevOut, Seq("stage_ord"), "left")
       .select(col("stage_ord"), col("stage"),
         coalesce(col("prev_out"),
-          when(col("stage_ord") === 1, lit(nCorpus)).otherwise(lit(0L))).as("docs_in"),
+          when(col("stage_ord") === 1, lit(nIn)).otherwise(lit(0L))).as("docs_in"),
         coalesce(col("docs_out"), lit(0L)).as("docs_out"),
         col("tokens_out"))
-
-    Outputs(kept, dropped, attrition)
   }
 }

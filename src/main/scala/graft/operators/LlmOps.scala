@@ -694,16 +694,17 @@ object LlmOps extends QueryGroup {
     * verification, same output shape (VectorLsh.cellBandCandidateIds;
     * cluster-scoped recall caveat documented there). The oracle corpus at
     * sf0.01 is under the estimate's floor, so the oracled row always runs
-    * the banded path. */
-  private val llmEmbedNeardup = GraftQuery(
-    "llm_embed_neardup",
-    (s, dir) => {
+    * the banded path.
+    *
+    * Library form [[embedNeardupPairs]]: every pair with cosine ≥ `theta`
+    * over `all` (vec_id, v) — dedup-first, adaptive banded LSH sized for
+    * `theta`, the corpus-profile router, exact verification, member
+    * expansion. The registry row runs it at θ = 0.9; the scale probes
+    * also run a high-θ (planted-only-output) form to separate the
+    * KERNEL's scaling from output-quadratic pair mass. */
+  private[graft] def embedNeardupPairs(all: DataFrame, theta: Double): DataFrame = {
+      val s = all.sparkSession
       graft.functions.GraftFunctions.register(s)
-      val base = docVec(s, dir)
-      val planted = base.filter(col("vec_id") % 100 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
-      val all = base.unionByName(planted)
       // EXACT-DEDUP FIRST (the same precondition op 69 documents for text):
       // identical vectors collapse to one representative before LSH. A
       // corpus with k exact copies per vector otherwise multiplies every
@@ -730,7 +731,7 @@ object LlmOps extends QueryGroup {
       // adds candidates, and exact verification filters them.
       val nDistinct = reps.count()
       val (nBands, nBits) = graft.etl.VectorLsh.adaptiveBandParams(
-        nDistinct, simThreshold = 0.9)
+        nDistinct, simThreshold = theta)
       // CORPUS-PROFILE ROUTER (r7 guard → r8 auto-route): banded sign-LSH
       // requires the candidate mass to be dominated by TRUE pairs, not by
       // a mid-similarity background the verify step discards. Measured on
@@ -755,7 +756,7 @@ object LlmOps extends QueryGroup {
       // VectorLsh.lastRoute and WARN-logs routed runs, since the routed
       // path's recall contract differs and the oracle never exercises it.
       val useCells = graft.etl.VectorLsh.routeCandidates(
-        reps, nDistinct, nBands, nBits, dims = 64, simThreshold = 0.9)
+        reps, nDistinct, nBands, nBits, dims = 64, simThreshold = theta)
       val candIds =
         if (useCells)
           graft.etl.VectorLsh.cellBandCandidateIds(
@@ -767,7 +768,7 @@ object LlmOps extends QueryGroup {
         .join(reps.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
         .join(reps.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
         .select(col("vec_a"), col("vec_b"), cosR("va", "vb").as("cos_sim"))
-        .filter(col("cos_sim") >= 0.9)
+        .filter(col("cos_sim") >= theta)
       // cross-group expansion: every member pair inherits the rep cosine
       // (identical vectors); least/greatest restores the vec_a < vec_b form
       val cross = repPairs
@@ -787,6 +788,16 @@ object LlmOps extends QueryGroup {
         .select(col("p.vec_a"), col("p.vec_b"), cosR("v", "v").as("cos_sim"))
       cross.unionByName(intra)
         .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
+  }
+
+  private val llmEmbedNeardup = GraftQuery(
+    "llm_embed_neardup",
+    (s, dir) => {
+      val base = docVec(s, dir)
+      val planted = base.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.02).as("v"))
+      embedNeardupPairs(base.unionByName(planted), theta = 0.9)
     },
     Some("""
       WITH base AS (
@@ -3611,6 +3622,217 @@ object LlmOps extends QueryGroup {
     * re-keying the seed reshuffles the next epoch. The window is
     * partitioned by shard (never unpartitioned), and the oracle re-derives
     * the identical permutation arithmetic. */
+  /** INCREMENTAL corpus preparation (examples.IncrementalPrep) — the
+    * nightly training-data job: a new crawl batch runs within-batch
+    * exact dedup → quality filter → near-dup vs the CORPUS through the
+    * persisted MinHash index (layouts.MinHashIndex.probe: bucket-pruned
+    * band scan, batch-proportional — the corpus is never rescanned) →
+    * within-batch near-dup → doc-level decontamination, and (outside
+    * this deterministic registry row) appends the keepers to the index.
+    * The batch fixture (Fixtures.incPrepBatch) plants one family per
+    * stage: raw-text twins (batch exact dedup), digit junk (quality),
+    * the corpus's mutants + exact copies (corpus near-dup), word-
+    * reversed novels + their first-word mutants (batch near-dup — the
+    * reversal shares the word SET but no 5-shingle with the corpus),
+    * and stopword-filler + eval-snippet leaks (decontamination).
+    * Registered as the per-stage attrition report.
+    *
+    * Oracle: full SQL recompute — stage 1–2 from the corpus-prep
+    * machinery, BOTH minhash stages from the incsig seed-family dump
+    * (the llm_dedup_minhash_incremental pattern for the probe, the
+    * llm_dedup_minhash self-join for the batch pass), and the
+    * llm_decontaminate concentration rule at doc level. */
+  private val llmCorpusPrepIncremental = GraftQuery(
+    "llm_corpus_prep_incremental",
+    (s, dir) => {
+      val corpusPath = graft.Fixtures.neardupCorpus(s, dir)
+      val batchPath = graft.Fixtures.incPrepBatch(s, dir)
+      graft.Fixtures.incPrepShingleHashes(s, dir) // primitive dump for the oracle
+      val corpus = s.read.parquet(corpusPath)
+        .filter(col("id") % 1000000000L < 1000000L)
+      val batch = s.read.parquet(batchPath)
+      val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+        s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
+        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
+      val words = split(TextOps.normalize(col("text")), " ")
+      val evalSh = corpus.filter(col("id") % 1000000000L % 97 === 0)
+        .select(explode(TextOps.wordShingles(
+          concat_ws(" ", slice(words, 3, 12)), 5)).as("sh"))
+        .distinct()
+      graft.examples.IncrementalPrep.run(s, bandsT, repsT, batch,
+        evalNgrams = Some(evalSh)).attrition
+        .orderBy(col("stage_ord").asc_nulls_first)
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT id, text
+        FROM read_parquet('/tmp/graft_fixture_neardup_sf0.01/*.parquet')
+        WHERE id % 1000000000 < 1000000),
+      batch AS (
+        SELECT id, text
+        FROM read_parquet('/tmp/graft_fixture_incbatch_sf0.01/*.parquet')),
+      b1 AS (
+        SELECT id, text FROM (
+          SELECT id, text,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY id ASC) AS rn
+          FROM batch) WHERE rn = 1),
+      q AS (
+        SELECT id, text,
+               0.4 * (CAST(len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                      / CAST(len(words) AS DOUBLE))
+               + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)) AS quality
+        FROM (SELECT id, text,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM b1)),
+      b2 AS (SELECT id, text FROM q WHERE quality >= 0.45),
+      crep AS (
+        SELECT t, min(id) AS rep
+        FROM (SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM corpus)
+        GROUP BY t),
+      brep2 AS (
+        SELECT t, min(id) AS rep, list_sort(list(id)) AS members
+        FROM (SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM b2)
+        GROUP BY t),
+      cs AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM crep)),
+      bs2 AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM brep2)),
+      shh AS (
+        SELECT sh, unnest(hs) AS h, unnest(generate_series(0, 63)) AS seed
+        FROM read_parquet('/tmp/graft_fixture_incsig_sf0.01/*.parquet')),
+      csig AS (
+        SELECT rep, list(m ORDER BY seed ASC) AS sig
+        FROM (SELECT t.rep, s.seed, min(s.h) AS m
+              FROM (SELECT rep, unnest(shs) AS sh FROM cs) t
+              JOIN shh s USING (sh) GROUP BY t.rep, s.seed)
+        GROUP BY rep),
+      bsig2 AS (
+        SELECT rep, list(m ORDER BY seed ASC) AS sig
+        FROM (SELECT t.rep, s.seed, min(s.h) AS m
+              FROM (SELECT rep, unnest(shs) AS sh FROM bs2) t
+              JOIN shh s USING (sh) GROUP BY t.rep, s.seed)
+        GROUP BY rep),
+      cbands AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bk
+        FROM csig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      bbands2 AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bk
+        FROM bsig2 CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      cand3 AS (
+        SELECT DISTINCT bb.rep AS brep_, cb.rep AS crep_
+        FROM bbands2 bb JOIN cbands cb ON bb.b = cb.b AND bb.bk = cb.bk),
+      ver3 AS (
+        SELECT DISTINCT v.brep_ FROM cand3 v
+        JOIN bs2 sb ON sb.rep = v.brep_
+        JOIN cs sc ON sc.rep = v.crep_
+        WHERE CASE WHEN len(list_distinct(list_concat(sb.shs, sc.shs))) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(sb.shs, sc.shs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sb.shs, sc.shs))) AS DOUBLE)
+              END >= 0.5),
+      drop3 AS (
+        SELECT DISTINCT m.m AS id
+        FROM (SELECT rep, unnest(members) AS m FROM brep2) m
+        JOIN ver3 v ON m.rep = v.brep_),
+      b3 AS (SELECT id, text FROM b2 WHERE id NOT IN (SELECT id FROM drop3)),
+      brep3 AS (
+        SELECT t, min(id) AS rep, list_sort(list(id)) AS members
+        FROM (SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM b3)
+        GROUP BY t),
+      mem3 AS (SELECT rep, unnest(members) AS m FROM brep3),
+      bs3 AS (
+        SELECT rep, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT rep, string_split(t, ' ') AS words FROM brep3)),
+      bsig3 AS (
+        SELECT rep, list(m ORDER BY seed ASC) AS sig
+        FROM (SELECT t.rep, s.seed, min(s.h) AS m
+              FROM (SELECT rep, unnest(shs) AS sh FROM bs3) t
+              JOIN shh s USING (sh) GROUP BY t.rep, s.seed)
+        GROUP BY rep),
+      bands3 AS (
+        SELECT rep, b.b, array_to_string(sig[4 * b.b + 1 : 4 * b.b + 4], ',') AS bk
+        FROM bsig3 CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) b),
+      cand4 AS (
+        SELECT DISTINCT a.rep AS ra, c.rep AS rb
+        FROM bands3 a JOIN bands3 c ON a.b = c.b AND a.bk = c.bk AND a.rep < c.rep),
+      ver4 AS (
+        SELECT v.ra, v.rb FROM cand4 v
+        JOIN bs3 sa ON sa.rep = v.ra
+        JOIN bs3 sb ON sb.rep = v.rb
+        WHERE CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.shs, sb.shs))) AS DOUBLE)
+              END >= 0.5),
+      drop4 AS (
+        SELECT DISTINCT doc_b AS id FROM (
+          SELECT greatest(ma.m, mb.m) AS doc_b
+          FROM ver4 v JOIN mem3 ma ON ma.rep = v.ra JOIN mem3 mb ON mb.rep = v.rb
+          UNION ALL
+          SELECT b.m AS doc_b FROM mem3 a JOIN mem3 b ON a.rep = b.rep AND a.m < b.m)),
+      b4 AS (SELECT id, text FROM b3 WHERE id NOT IN (SELECT id FROM drop4)),
+      evalq AS (
+        SELECT words[3:14] AS snip
+        FROM (SELECT id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM corpus)
+        WHERE id % 1000000000 % 97 = 0),
+      evsh AS (
+        SELECT DISTINCT unnest([array_to_string(snip[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(snip) - 3, 2))]) AS sh
+        FROM evalq),
+      dsh AS (
+        SELECT id, list_distinct([array_to_string(words[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(words) - 3, 2))]) AS shs
+        FROM (SELECT id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+              FROM b4)),
+      hit5 AS (SELECT id, len(shs) AS n_sh, unnest(shs) AS sh FROM dsh),
+      drop5 AS (
+        SELECT DISTINCT id FROM (
+          SELECT h.id, h.n_sh, COUNT(*) AS hits
+          FROM hit5 h JOIN evsh e ON e.sh = h.sh
+          GROUP BY h.id, h.n_sh)
+        WHERE CAST(hits AS DOUBLE) >= CAST(n_sh AS DOUBLE) * 0.5),
+      b5 AS (SELECT id, text FROM b4 WHERE id NOT IN (SELECT id FROM drop5)),
+      tk AS (
+        SELECT 'batch' AS k, COUNT(*) AS n, CAST(0 AS BIGINT) AS tok FROM batch
+        UNION ALL
+        SELECT 'b1', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM b1
+        UNION ALL
+        SELECT 'b2', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM b2
+        UNION ALL
+        SELECT 'b3', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM b3
+        UNION ALL
+        SELECT 'b4', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM b4
+        UNION ALL
+        SELECT 'b5', COUNT(*),
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        FROM b5)
+      SELECT CAST(r.ord AS INTEGER) AS stage_ord, r.stage,
+             (SELECT n FROM tk WHERE k = r.kin) AS docs_in,
+             (SELECT n FROM tk WHERE k = r.kout) AS docs_out,
+             (SELECT tok FROM tk WHERE k = r.kout) AS tokens_out
+      FROM (VALUES (1, 'batch_exact_dedup', 'batch', 'b1'),
+                   (2, 'quality_filter', 'b1', 'b2'),
+                   (3, 'corpus_neardup', 'b2', 'b3'),
+                   (4, 'batch_neardup', 'b3', 'b4'),
+                   (5, 'decontaminate', 'b4', 'b5')) AS r(ord, stage, kin, kout)
+      ORDER BY stage_ord ASC NULLS FIRST"""))
+
   private val llmCorpusShuffle = GraftQuery(
     "llm_corpus_shuffle",
     (s, dir) => {
@@ -3642,7 +3864,7 @@ object LlmOps extends QueryGroup {
     llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint,
-    llmCorpusPrep, llmCorpusPrepStages,
+    llmCorpusPrep, llmCorpusPrepStages, llmCorpusPrepIncremental,
     llmDecontaminate, llmDecontaminateChunks, llmRepetitionStats, llmPiiScrub, llmDomainMix,
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryGroup, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,7 +9,8 @@ import org.apache.spark.sql.types._
   * typed metadata, plus a decode/feature-extract stage.
   *
   * No image/audio libraries exist in this container, so the DECODE step is
-  * a clearly-marked deterministic stub (`MediaCodec.decodeStub`); everything
+  * a clearly-marked deterministic stub ([[Multimodal.StubCodec]], one
+  * implementation of the [[Multimodal.MediaCodec]] seam); everything
   * Spark-side — binary column handling, metadata struct schema, typed
   * Dataset + mapPartitions batch shape, partitioning — is real and tested
   * (MultimodalSpec).
@@ -28,12 +30,35 @@ object Multimodal extends QueryGroup {
   final case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Int,
       b_low: Int, b_mid: Int, b_high: Int, checksum: Long)
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, checksum: Long)
+  final case class Resized(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
+      resized_checksum: Long)
 
-  /** The stubbed codec. A real deployment would decode image/audio/video
-    * here (e.g. JNI codecs); the stub derives deterministic pseudo-features
-    * from the raw bytes so tests can pin exact outputs. */
-  object MediaCodec {
-    def decodeStub(m: MediaIn): MediaFeatures = {
+  /** The CODEC SEAM (r8 verdict item 6): a real deployment implements
+    * this against actual image/audio/video libraries (JNI codecs etc.)
+    * and passes it to [[decodeFeatures]]/[[frameSample]]/[[resizeMedia]]
+    * — the Spark-side plumbing (binary columns, typed Dataset batch
+    * shape, iterator-in/iterator-out mapPartitions, partitioning) is
+    * codec-agnostic and stays identical. Implementations must be
+    * Serializable: the instance ships to executors inside the
+    * mapPartitions closure. [[StubCodec]] is the deterministic in-repo
+    * stand-in the oracled registry rows run (no media libraries exist in
+    * this container). */
+  trait MediaCodec extends Serializable {
+    /** Whole-payload decode + feature extraction. */
+    def decode(m: MediaIn): MediaFeatures
+    /** Frame extraction (the video shape) — multi-row-per-input; must
+      * stream (an Iterator, not a materialized Seq) so a long video
+      * never lives in memory at once. */
+    def frames(m: MediaIn): Iterator[Frame]
+    /** Downsample/resize — binary-in/binary-out, summarized. */
+    def resize(m: MediaIn): Resized
+  }
+
+  /** The stubbed codec: deterministic pseudo-features from the raw bytes
+    * so tests and the DuckDB oracle can pin exact outputs. */
+  object StubCodec extends MediaCodec {
+    def decode(m: MediaIn): MediaFeatures = {
       val bytes = m.payload
       var low = 0; var mid = 0; var high = 0; var sum = 0L
       var i = 0
@@ -45,6 +70,54 @@ object Multimodal extends QueryGroup {
       }
       MediaFeatures(m.doc_id, m.mime, bytes.length, low, mid, high, sum)
     }
+
+    /** Fixed 64-byte "frames", every 4th kept. */
+    def frames(m: MediaIn): Iterator[Frame] = {
+      val frameSize = 64
+      val stride = 4
+      val nFrames = (m.payload.length + frameSize - 1) / frameSize
+      (0 until nFrames by stride).iterator.map { i =>
+        val off = i * frameSize
+        val end = math.min(off + frameSize, m.payload.length)
+        var sum = 0L
+        var j = off
+        while (j < end) { sum = sum * 31 + (m.payload(j) & 0xff); j += 1 }
+        Frame(m.doc_id, i, off, sum)
+      }
+    }
+
+    /** Deterministic 4:1 byte downsample. */
+    def resize(m: MediaIn): Resized = {
+      val resized = Array.range(0, m.payload.length, 4).map(m.payload(_))
+      var sum = 0L
+      resized.foreach(b => sum = sum * 31 + (b & 0xff))
+      Resized(m.doc_id, m.payload.length, resized.length, sum)
+    }
+  }
+
+  /** Decode/feature-extract `media` (doc_id, mime, payload) with `codec`
+    * — iterator-in/iterator-out, never materializing a partition. */
+  def decodeFeatures(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaIn]
+      .mapPartitions(_.map(codec.decode)).toDF()
+  }
+
+  /** Frame-sample `media` with `codec` — the flatMap multi-row shape. */
+  def frameSample(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaIn]
+      .mapPartitions(_.flatMap(codec.frames)).toDF()
+  }
+
+  /** Resize `media` with `codec` — binary-in/binary-out, summarized. */
+  def resizeMedia(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaIn]
+      .mapPartitions(_.map(codec.resize)).toDF()
   }
 
   /** Deterministic mime assignment standing in for a real media catalog. */
@@ -89,17 +162,13 @@ object Multimodal extends QueryGroup {
     * output pins. */
   private val mmDecodeFeatures = GraftQuery(
     "mm_decode_features",
-    (s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("mime", mimeOf)
-        .select("doc_id", "mime", "payload")
-        .as[MediaIn]
-        .mapPartitions(_.map(MediaCodec.decodeStub))
-        .toDF()
-        .orderBy(col("doc_id").asc_nulls_first)
-    },
+    (s, dir) =>
+      decodeFeatures(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("mime", mimeOf),
+        StubCodec)
+        .orderBy(col("doc_id").asc_nulls_first),
     Some("""
       WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
       b AS (
@@ -129,38 +198,19 @@ object Multimodal extends QueryGroup {
       FROM f
       ORDER BY doc_id ASC NULLS FIRST"""))
 
-  final case class Frame(doc_id: Long, frame_idx: Int, offset: Int, checksum: Long)
-
   /** Frame sampling: split each payload into fixed 64-byte "frames", keep
     * every 4th (the video frame-sample shape: decode is stubbed, the
     * multi-row-per-input batch plumbing — flatMap via mapPartitions — is
-    * real). Deterministic; no SQL oracle (codec-side logic); pinned in
-    * MultimodalSpec. */
+    * real). Deterministic; pinned in MultimodalSpec. */
   private val mmFrameSample = GraftQuery(
     "mm_frame_sample",
-    (s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("mime", mimeOf)
-        .select("doc_id", "mime", "payload")
-        .as[MediaIn]
-        .mapPartitions(_.flatMap { m =>
-          val frameSize = 64
-          val stride = 4
-          val nFrames = (m.payload.length + frameSize - 1) / frameSize
-          (0 until nFrames by stride).iterator.map { i =>
-            val off = i * frameSize
-            val end = math.min(off + frameSize, m.payload.length)
-            var sum = 0L
-            var j = off
-            while (j < end) { sum = sum * 31 + (m.payload(j) & 0xff); j += 1 }
-            Frame(m.doc_id, i, off, sum)
-          }
-        })
-        .toDF()
-        .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
-    },
+    (s, dir) =>
+      frameSample(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("mime", mimeOf),
+        StubCodec)
+        .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first),
     // Oracled (r6): same hex-parse byte stream + HUGEINT wrapping
     // checksum as mm_decode_features, per 64-byte frame at stride 4.
     Some("""
@@ -192,31 +242,19 @@ object Multimodal extends QueryGroup {
         FROM fr)
       ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""))
 
-  final case class Resized(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
-      resized_checksum: Long)
-
   /** Resize stage (stubbed codec): deterministic 4:1 byte downsample of the
     * payload — a real resize would hand the bytes to an image library; the
     * binary-in/binary-out plumbing, sizes and checksums are what the
     * pipeline contracts on. */
   private val mmResize = GraftQuery(
     "mm_resize",
-    (s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("mime", mimeOf)
-        .select("doc_id", "mime", "payload")
-        .as[MediaIn]
-        .mapPartitions(_.map { m =>
-          val resized = Array.range(0, m.payload.length, 4).map(m.payload(_))
-          var sum = 0L
-          resized.foreach(b => sum = sum * 31 + (b & 0xff))
-          Resized(m.doc_id, m.payload.length, resized.length, sum)
-        })
-        .toDF()
-        .orderBy(col("doc_id").asc_nulls_first)
-    },
+    (s, dir) =>
+      resizeMedia(
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("mime", mimeOf),
+        StubCodec)
+        .orderBy(col("doc_id").asc_nulls_first),
     // Oracled (r6): the 4:1 downsample is an index-stepped comprehension
     // over the hex-parsed byte stream; checksum as in mm_decode_features.
     Some("""

@@ -80,6 +80,42 @@ object IncrementalProbe {
           f"probe_min=${times.map(_._1).min}%6.2f s " +
           f"all=${times.map(t => f"${t._1}%.2f").mkString(",")} pairs=${times.head._2}")
       }
+      // r9: the FULL incremental-prep composite (llm_corpus_prep_
+      // incremental shape) against the same index — the nightly job's
+      // batch-proportional contract. The batch fixture is replica-0-only
+      // (fixed as the corpus scales); the eval set is derived OUTSIDE the
+      // timing (a real run reads a fixed benchmark file).
+      {
+        import graft.functions.TextOps
+        val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+          spark, dir, corpus.select(col("id"), col("text")), "neardup_repbase",
+          5, 64, 16, 4, Seq("documents"))
+        val prepBatch = spark.read.parquet(graft.Fixtures.incPrepBatch(spark, dir))
+        val words = split(TextOps.normalize(col("text")), " ")
+        // FIXED eval set (replica 0 only), collected to a local relation:
+        // a real nightly run reads a benchmark file, so neither the
+        // derivation scan nor the broadcast may scale with the corpus
+        import spark.implicits._
+        val evalSh = corpus.filter(col("id") < 1000000000L &&
+            col("id") % 1000000000L % 97 === 0)
+          .select(explode(TextOps.wordShingles(
+            concat_ws(" ", slice(words, 3, 12)), 5)).as("sh"))
+          .distinct().as[String].collect().toSeq.toDF("sh")
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val out = graft.examples.IncrementalPrep.run(
+            spark, bandsT, repsT, prepBatch, evalNgrams = Some(evalSh))
+          val nKept = out.kept.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          (t, nKept)
+        }
+        println(f"INCPROBE $dir%-18s prep buckets=${
+          graft.layouts.MinHashIndex.bucketsOf(spark, bandsT)}%5d reps=$nReps%9d " +
+          f"prep_min=${times.map(_._1).min}%6.2f s " +
+          f"all=${times.map(t => f"${t._1}%.2f").mkString(",")} kept=${times.head._2}")
+      }
     }
     spark.stop()
   }
