@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/* r9 consolidation: AssignProbe deleted — superseded by this variant;
+ * recorded runs in CROSSOVER.md. */
 /** Dev-only: forced-evaluation cost of the literal-argmax assignment at
   * varying k, with plan shape — sum(cent_id) forces the projection
   * (count() prunes it). */

@@ -3,6 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/* r9 consolidation: IncrementalProbe2 (scan-term decomposition) deleted —
+ * its findings are recorded in CROSSOVER.md r8; this probe's std/tiny/prep
+ * profiles are the surviving measurement surface. */
 /** Dev-only: the incremental near-dup contract measured the way it is
   * used — a FIXED batch (replica-0 mutants + copies) probed against
   * corpora of increasing size, so the probe's corpus-linear term (the

@@ -3,6 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/* r9 consolidation: PruneProbe (parquet row-group pushdown sweep) and
+ * BucketPruneProbe (SelectedBucketsCount plan check) deleted — the former's
+ * negative result is recorded in CROSSOVER.md r8/r9, the latter is now a
+ * PlanSpec test. */
 /** A/B the probe's InSet prune at large key counts. */
 object PruneAB {
   def main(args: Array[String]): Unit = {

@@ -4,6 +4,9 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/* r9 consolidation: Q5Probe/2/3 deleted — their recorded runs live in
+ * CROSSOVER.md (r6–r7 q5 sections) at their commits; this variant is the
+ * survivor. */
 /** Dev-only: mechanism isolation for the SMJ→BHJ composition tax.
   * Variants: single-long-key probe (LongHashedRelation) vs the two-key
   * rewrite (UnsafeHashedRelation), whole-stage codegen on/off, and a

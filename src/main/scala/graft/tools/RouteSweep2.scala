@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/* r9 consolidation: RouteSweep and Scratch deleted — superseded by this
+ * phase-decomposed variant; recorded runs in CROSSOVER.md. */
 /** Dev-only: PHASE-DECOMPOSED cell-fallback probe — times train /
   * assignTop / banding+candidate-join / verify separately, with k and
   * probe width as knobs, so the k=√N-vs-N^⅓ and checkpoint decisions

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+/* r9 consolidation: SemdedupStages deleted — superseded by this variant;
+ * recorded runs in CROSSOVER.md. */
 /** Dev-only: finer-grained semdedup stage attribution — per-Lloyd-
   * iteration split (assign-scan vs mean-aggregation vs collect), double
   * runs of each stage to separate recompute effects from kernel cost. */

@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: print a registry row's executed plan at a given sf dir. */
-object Scratch2 {
+/** Dev-only utility: print a registry row's executed plan at a given
+  * sf dir (was Scratch2; renamed in the r9 probe consolidation). */
+object ShowPlan {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val name = if (args.length > 1) args(1) else "llm_dedup_minhash_incremental"
