@@ -59,7 +59,8 @@ object IncrementalPrep {
       contamMin: Double = 0.5,
       shingleWords: Int = 5, nHashes: Int = 64, nBands: Int = 16,
       rowsPerBand: Int = 4,
-      append: Boolean = false): Outputs = {
+      append: Boolean = false,
+      compactIndex: Boolean = false): Outputs = {
     graft.functions.GraftFunctions.register(s)
     // scanned by three consumers (stage-1 groupBy, the b1 join, the
     // dropped report) — cache once, count eagerly (fills the cache)
@@ -137,6 +138,11 @@ object IncrementalPrep {
         .join(bReps, "norm").select(col("rep"), col("norm"))
       MinHashIndex.append(s, bandsTable, repsTable, pairsCk, keptReps,
         shingleWords, nHashes, nBands, rowsPerBand)
+      // index MAINTENANCE on the caller's cadence: every append adds a
+      // file per touched bucket, so a nightly job compacts periodically
+      // (e.g. weekly) to keep the probe's per-bucket file count bounded.
+      // Placement-only — probe results are invariant (Bucketed.compact).
+      if (compactIndex) MinHashIndex.compact(s, bandsTable, repsTable)
     }
 
     val dropped =

@@ -114,6 +114,72 @@ object Bucketed {
     }
   }
 
+  /** COMPACTION: rewrite a registered layout back to ONE file per bucket.
+    *
+    * Every [[appendGuard]]-protected append adds a file per touched
+    * bucket, so a nightly-ingest layout (MinHashIndex) accumulates
+    * files-per-bucket linearly in batch count — at 100 TB that is the
+    * classic small-file problem (per-file open/footer cost on every
+    * probe), and on SORTED layouts (the time-series shape) Spark stops
+    * reporting per-bucket order the moment any bucket holds a second
+    * file, re-inserting the per-query sort the layout exists to avoid.
+    * Compaction is the lifecycle complement: stage a full rewrite of the
+    * table (same bucket count / key / sort — read from the CATALOG, so
+    * it can never diverge from the layout it rewrites) NEXT TO the live
+    * directory, then swap inside the [[appendGuard]] marker window.
+    *
+    * Crash contract, same terms as append: a crash during the STAGE
+    * leaves the live layout certified and untouched (the orphan staging
+    * dir is deleted by the next compact); a crash inside the SWAP leaves
+    * no marker, so a fresh JVM's ensure() rebuilds from source — torn
+    * state is never served. Content is invariant under compaction, so
+    * compacting the tables of a multi-table family one at a time cannot
+    * break their mutual consistency. */
+  def compact(s: SparkSession, qname: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val desc = s.sql(s"DESC FORMATTED $qname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def specCols(field: String): Seq[String] =
+      desc.getOrElse(field, "[]").stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+    val buckets = desc("Num Buckets").trim.toInt
+    val key = specCols("Bucket Columns").head
+    val sortCols = specCols("Sort Columns") match {
+      case Seq() => Seq(key)
+      case cs => cs
+    }
+    val dir = tableDir(s, qname)
+    val schemaDdl = s.table(qname).schema.toDDL
+    // STAGE (outside the marker window — a crash here costs nothing):
+    // repartition on the bucket key first, exactly like ensure(), so the
+    // rewrite lands as one file per bucket
+    val tmpDir = new java.io.File(dir.getParentFile, dir.getName + "_compacting")
+    val tmpQ = s"${qname}_compacting"
+    s.sql(s"DROP TABLE IF EXISTS $tmpQ")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmpDir)
+    s.table(qname).repartition(buckets, col(key))
+      .write.mode("overwrite").option("path", tmpDir.getAbsolutePath)
+      .bucketBy(buckets, key).sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(tmpQ)
+    s.sql(s"DROP TABLE $tmpQ") // external table: metadata only, files stay
+    // SWAP under the marker protocol: bucket ids live in the file names,
+    // so re-registering the renamed directory preserves the bucketed-scan
+    // contract (the same argument as ensure()'s re-register branch)
+    appendGuard(s, Seq(qname)) {
+      s.sql(s"DROP TABLE $qname")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      if (!tmpDir.renameTo(dir))
+        throw new java.io.IOException(s"compact rename failed: $tmpDir -> $dir")
+      s.sql(
+        s"""CREATE TABLE $qname ($schemaDdl) USING PARQUET
+           |CLUSTERED BY ($key)
+           |SORTED BY (${sortCols.mkString(", ")})
+           |INTO $buckets BUCKETS
+           |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+    }
+  }
+
   /** Ensure a bucketed layout for `specs` derived from `dir` exists, return
     * the fully qualified table names in input order. Idempotent and cheap
     * after the first call (a catalog existence check per table). */

@@ -248,4 +248,19 @@ object MinHashIndex {
         .saveAsTable(repsTable)
     }
   }
+
+  /** INDEX MAINTENANCE, part 2: compact both index tables back to one
+    * file per bucket ([[Bucketed.compact]]). Each [[append]] adds a file
+    * per touched bucket, so files-per-bucket grows linearly in batch
+    * count — a nightly ingest pays an extra file open/footer per bucket
+    * per day on every probe until compacted. Run on the maintenance
+    * cadence (e.g. weekly, or when files-per-bucket crosses a handful);
+    * probe results are invariant — compaction only rewrites placement.
+    * The tables compact one at a time, which is safe because content is
+    * unchanged (a crash between them cannot make bands and reps
+    * disagree — see Bucketed.compact's crash contract). */
+  def compact(s: SparkSession, bandsTable: String, repsTable: String): Unit = {
+    Bucketed.compact(s, bandsTable)
+    Bucketed.compact(s, repsTable)
+  }
 }

@@ -196,6 +196,68 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got3.toSet == Set((20L, 12L)), s"post-reregister pairs: ${got3.toSeq}")
   }
 
+  test("MinHashIndex compaction: appends accumulate files per bucket; compact() " +
+      "restores one file per bucket and leaves probe results invariant") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val P = (5, 64, 16, 4)
+    graft.layouts.Bucketed.invalidate(spark, "mhidx_compactspec_")
+    val corpus = Seq((1L, textA), (3L, textB), (4L, textC)).toDF("id", "text")
+    val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "compactspec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    // two append rounds so files-per-bucket provably exceeds one
+    val textD = (1 to 50).map(i => s"zeta$i").mkString(" ")
+    val textE = (1 to 50).map(i => s"eta$i").mkString(" ")
+    for ((id, t) <- Seq((10L, textD), (11L, textE))) {
+      val batch = Seq((id, t)).toDF("id", "text")
+      val (pairs, reps) = graft.layouts.MinHashIndex.probe(
+        spark, bandsT, repsT, batch, P._1, P._2, P._3, P._4, threshold = 0.5)
+      graft.layouts.MinHashIndex.append(
+        spark, bandsT, repsT, pairs, reps, P._1, P._2, P._3, P._4)
+    }
+    // files per bucket, parsed from the bucketed file names (_NNNNN)
+    def filesPerBucket(qname: String): Map[Int, Int] = {
+      val loc = spark.sql(s"DESC FORMATTED $qname")
+        .filter(col("col_name") === "Location").head().getString(1)
+      Option(new java.io.File(new java.net.URI(loc)).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .groupBy(identity).map { case (b, fs) => b -> fs.length }
+    }
+    assert(filesPerBucket(bandsT).values.max > 1,
+      "appends should have produced a multi-file bucket")
+    // probe result BEFORE compaction (a near-dup of the appended D)
+    val textD2 = (1 to 50).map(i => s"zeta$i").updated(30, "CHANGED").mkString(" ")
+    val batch2 = Seq((20L, textD2)).toDF("id", "text")
+    def probePairs(): Set[(Long, Long)] = {
+      val (pairs, _) = graft.layouts.MinHashIndex.probe(
+        spark, bandsT, repsT, batch2, P._1, P._2, P._3, P._4, threshold = 0.5)
+      pairs.select("brep", "crep").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = probePairs()
+    assert(before == Set((20L, 10L)), s"pre-compact pairs: $before")
+    graft.layouts.MinHashIndex.compact(spark, bandsT, repsT)
+    for (q <- Seq(bandsT, repsT)) {
+      val fpb = filesPerBucket(q)
+      assert(fpb.nonEmpty && fpb.values.max == 1,
+        s"$q not compacted to one file per bucket: $fpb")
+      // still a registered bucketed table with its marker re-certified
+      assert(spark.catalog.tableExists(q), s"$q lost from catalog")
+      val loc = spark.sql(s"DESC FORMATTED $q")
+        .filter(col("col_name") === "Location").head().getString(1)
+      assert(new java.io.File(new java.io.File(new java.net.URI(loc)), "_GRAFT_COMPLETE").exists(),
+        s"$q marker missing after compact")
+    }
+    // bucket spec preserved (append after compact must still match)
+    assert(graft.layouts.MinHashIndex.bucketsOf(spark, bandsT) ==
+      graft.layouts.MinHashIndex.Buckets)
+    // probe results are invariant under compaction
+    assert(probePairs() == before, "compaction changed probe results")
+    // and the content row counts are unchanged (placement-only rewrite)
+    assert(spark.table(repsT).count() == 5) // 3 base + D + E
+  }
+
   test("MinHashIndex append is crash-safe: a torn append can never be served — " +
       "the guard rebuilds from source instead of resurrecting half a batch") {
     import org.apache.spark.sql.functions._
