@@ -84,8 +84,40 @@ object Bench {
         stddev_samp(col("l_quantity")).as("std_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** q3: customer⋈orders⋈lineitem, group, top-10. */
-  private def q3(s: SparkSession, dir: String): DataFrame = {
+  /** q3: customer⋈orders⋈lineitem, group, top-10 — SIZE-DRIVEN like the
+    * orders join strategy itself: in the broadcast regime (orders under
+    * the 16 MB threshold, i.e. sf0.1) the classic hash-build plan is the
+    * fastest and is what DuckDB does too; past it, q3 gets the q5
+    * treatment (r9): lineitem_b ⋈ orders_cust_b is a zero-exchange
+    * ZERO-SORT merge join (the mktsegment filter and o_orderdate ride in
+    * the join index), and the (o_orderkey, o_orderdate) aggregation
+    * reuses the scan's bucket partitioning — o_orderkey functionally
+    * determines the pair — so the WHOLE query runs without one exchange
+    * until the final top-10. This replaces the raw-table shuffled hash
+    * join whose per-task build could not spill (the r8 sf48 session
+    * needed a 32 GB heap exactly for that build; the classic shape stays
+    * timed as q3_join3_topk_classic so that cost remains visible). */
+  private[graft] def q3(s: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/orders.parquet").length < (16L << 20)) q3Classic(s, dir)
+    else q3Layout(s, dir)
+
+  private[graft] def q3Layout(s: SparkSession, dir: String): DataFrame = {
+    val Seq(_, lineitemB) = operators.Joins.bucketedFacts(s, dir)
+    val Seq(_, _, ordersCustB) = operators.Joins.bucketedDims(s, dir)
+    s.table(lineitemB).select("l_orderkey", "l_extendedprice", "l_discount")
+      .hint("merge")
+      .join(s.table(ordersCustB).filter(col("c_mktsegment") === "BUILDING")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(rev).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** The raw-table q3 (classic contrast entry past the broadcast regime;
+    * the headline plan itself in it). */
+  private[graft] def q3Classic(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
@@ -316,11 +348,12 @@ object Bench {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // bucket PRUNING needs the bucketed scan to stay bucketed: the
       // auto-bucketed-scan planner rule reads a bucketed table as plain
-      // files whenever no join/agg exploits the partitioning, which also
-      // discards the batch-key bucket pruning the MinHashIndex probe
-      // relies on (SelectedBucketsCount — PlanSpec-pinned). All bucketed
-      // layouts here are either join-exploited or probe-pruned, so the
-      // auto rule has nothing to win.
+      // files whenever no join/agg exploits the partitioning. (The
+      // MinHashIndex probe no longer depends on this — its r9 pruning
+      // selects bucket FILES driver-side and reads them as plain
+      // parquet — but the co-located SMJ family still does.) All
+      // bucketed layouts here are join-exploited, so the auto rule has
+      // nothing to win.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -346,6 +379,7 @@ object Bench {
       "dedup_exact"        -> (dedupExact _),
       "asof_like_merge"    -> (asofLikeMerge _)) ++
       fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) } :+
+      ("q3_join3_topk_classic" -> (q3Classic _)) :+
       ("q5_join5_classic"  -> (q5Classic _)) :+
       ("asof_like_merge_classic" -> (asofLikeMergeClassic _))
 

@@ -60,7 +60,8 @@ object IncrementalPrep {
       shingleWords: Int = 5, nHashes: Int = 64, nBands: Int = 16,
       rowsPerBand: Int = 4,
       append: Boolean = false,
-      compactIndex: Boolean = false): Outputs = {
+      compactIndex: Boolean = false,
+      autoCompactAt: Int = 0): Outputs = {
     graft.functions.GraftFunctions.register(s)
     // scanned by three consumers (stage-1 groupBy, the b1 join, the
     // dropped report) — cache once, count eagerly (fills the cache)
@@ -140,9 +141,15 @@ object IncrementalPrep {
         shingleWords, nHashes, nBands, rowsPerBand)
       // index MAINTENANCE on the caller's cadence: every append adds a
       // file per touched bucket, so a nightly job compacts periodically
-      // (e.g. weekly) to keep the probe's per-bucket file count bounded.
-      // Placement-only — probe results are invariant (Bucketed.compact).
+      // to keep the probe's per-bucket file count bounded. Placement-only
+      // — probe results are invariant (Bucketed.compact). Two forms:
+      // `compactIndex` forces it this run; `autoCompactAt = n` compacts
+      // only once some bucket has accumulated ≥ n files — the
+      // self-driving rule (MinHashIndex.compactIfFragmented) that keys
+      // maintenance on observed fragmentation, not wall-clock guesswork.
       if (compactIndex) MinHashIndex.compact(s, bandsTable, repsTable)
+      else if (autoCompactAt > 0)
+        MinHashIndex.compactIfFragmented(s, bandsTable, repsTable, autoCompactAt)
     }
 
     val dropped =

@@ -80,6 +80,34 @@ object Bucketed {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  /** Bucket id encoded in a bucketed data file's name — the same
+    * `part-…_<bucketId>.c000…` suffix derivation Spark's scan uses to
+    * assign files to buckets (BucketingUtils' pattern, replicated here
+    * because it is private[sql]). None for non-data entries (markers,
+    * _SUCCESS). */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[graft] def bucketIdOf(fileName: String): Option[Int] =
+    if (!fileName.endsWith(".parquet")) None
+    else fileName match {
+      case BucketedFileName(id) => Some(id.toInt)
+      case _ => None
+    }
+
+  /** Data files of a registered bucketed layout, grouped by bucket id.
+    * The probe-side FILE PRUNING primitive: a caller whose key set is
+    * driver-resident (KB-scale by contract) maps keys to bucket ids and
+    * reads ONLY these files as plain parquet — file-level pruning
+    * WITHOUT the per-row InSet filter the engine's own bucket pruning
+    * inserts (measured ~10× the plain decode per surviving row —
+    * tools.PruneAB, the r8/r9 negative result). Multi-file buckets
+    * (appends before compaction) group under one id. */
+  def bucketFiles(s: SparkSession, qname: String): Map[Int, Seq[String]] = {
+    val dir = tableDir(s, qname)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => bucketIdOf(f.getName).map(_ -> f.getAbsolutePath))
+      .groupMap(_._1)(_._2)
+  }
+
   /** Directory backing a registered layout table (where its completion
     * marker lives). */
   private def tableDir(s: SparkSession, qname: String): java.io.File = {

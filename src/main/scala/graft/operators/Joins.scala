@@ -518,10 +518,17 @@ object Joins extends QueryGroup {
     // (lineitem_b ⋈ orders_cust_b co-locates only at equal bucket counts)
     val nBuckets =
       if (buckets > 0) buckets else graft.layouts.Bucketed.defaultBuckets(dir)
-    val enriched = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+    // the join index carries every customer/order attribute the star
+    // queries consume downstream of the orderkey join — c_nationkey for
+    // the q5 shape, c_mktsegment + o_orderdate for the q3 shape (r9):
+    // each query prunes to its own columns at scan, so widening the
+    // index costs the non-consumers nothing
+    val enriched = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("c_nationkey"), col("c_mktsegment"))
     graft.layouts.Bucketed.ensure(s, dir, Seq(
       graft.layouts.Bucketed.Spec("customer_b", Tables.customer(s, dir), "c_custkey"),
       graft.layouts.Bucketed.Spec("orders_bc", Tables.orders(s, dir), "o_custkey",

@@ -237,7 +237,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
     val before = probePairs()
     assert(before == Set((20L, 10L)), s"pre-compact pairs: $before")
-    graft.layouts.MinHashIndex.compact(spark, bandsT, repsT)
+    // the fragmentation observable the maintenance cadence keys on
+    val frag = graft.layouts.MinHashIndex.maxFilesPerBucket(spark, bandsT, repsT)
+    assert(frag >= 2, s"maxFilesPerBucket should see the appended files: $frag")
+    // below the threshold: no compaction runs, files stay fragmented
+    assert(!graft.layouts.MinHashIndex.compactIfFragmented(
+      spark, bandsT, repsT, maxFiles = frag + 1))
+    assert(filesPerBucket(bandsT).values.max > 1,
+      "compactIfFragmented below threshold must not rewrite")
+    // at the threshold: the self-driving rule compacts
+    assert(graft.layouts.MinHashIndex.compactIfFragmented(
+      spark, bandsT, repsT, maxFiles = frag))
     for (q <- Seq(bandsT, repsT)) {
       val fpb = filesPerBucket(q)
       assert(fpb.nonEmpty && fpb.values.max == 1,

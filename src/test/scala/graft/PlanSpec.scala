@@ -56,6 +56,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bucketed sort order not trusted — per-query re-sort of a fact side:\n" + p)
   }
 
+  test("bench q3 layout twin: ZERO exchange anywhere — co-located merge " +
+      "join, bucket-aligned aggregation, top-10 without a global sort — " +
+      "and the same groups as the classic shape") {
+    val p = Bench.q3Layout(spark, sf).queryExecution.executedPlan.toString
+    // the whole query runs on the layouts' resident partitioning: the
+    // merge join rides the bucket co-location (no exchange, no sort),
+    // the (o_orderkey, o_orderdate) aggregate reuses the scan's
+    // o_orderkey bucketing (o_orderkey determines the pair), and the
+    // top-10 is TakeOrderedAndProject — so there is NO Exchange at all,
+    // the shape that made the classic q3's unspillable shuffled-hash
+    // build (r8 sf48: needed a 32 GB heap) unnecessary
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), "q3 layout plan still exchanges:\n" + p)
+    assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
+      "bucketed sort order not trusted — per-query re-sort:\n" + p)
+    assert(!p.contains("customer.parquet"),
+      "customer scanned at query time (mktsegment rides the join index):\n" + p)
+    // parity with the classic shape: same top-10 groups, revenues equal
+    // to double-add-order tolerance
+    val lay = Bench.q3Layout(spark, sf)
+    val cls = Bench.q3Classic(spark, sf)
+    val layRows = lay.collect().map(r => (r.getLong(0), r.get(1).toString) -> r.getDouble(2)).toMap
+    val clsRows = cls.collect().map(r => (r.getLong(0), r.get(1).toString) -> r.getDouble(2)).toMap
+    assert(layRows.keySet == clsRows.keySet,
+      s"top-10 groups diverge: ${layRows.keySet} vs ${clsRows.keySet}")
+    for ((k, v) <- layRows)
+      assert(math.abs(v - clsRows(k)) <= math.abs(v) * 1e-9 + 1e-6,
+        s"revenue diverges for $k: $v vs ${clsRows(k)}")
+  }
+
   test("bench q5 headline: the co-located star plan — zero join-key exchange, " +
       "no customer scan, only the two tiny dims broadcast") {
     // the r6 verdict's flagship item 2: the headline q5_join5 must run
@@ -197,45 +228,75 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "probe join degraded to a sort-merge join:\n" + p)
   }
 
-  test("MinHashIndex probe: a small batch's key set BUCKET-PRUNES the band " +
-      "scan — only touched bucket files are read") {
-    import org.apache.spark.sql.functions.col
+  test("MinHashIndex probe: a small batch's key set FILE-PRUNES the band " +
+      "and rep scans — only touched bucket files are read, exactly") {
+    import org.apache.spark.sql.functions.{col, expr, hash, lit, pmod}
+    // (a) the pruning's correctness foundation: the driver-side bucket
+    // derivation must EQUAL the engine's HashPartitioning derivation
+    // (pmod(Murmur3Hash(seed 42), n)) — a divergence would silently lose
+    // matches, so pin it on adversarial longs at several bucket counts
+    val probeKeys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      -3415263787253978728L, 7564225316372L)
+    import spark.implicits._
+    for (n <- Seq(7, 64, 256, 1024)) {
+      val engine = probeKeys.toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (k <- probeKeys)
+        assert(graft.layouts.MinHashIndex.bucketOfLong(k, n) == engine(k),
+          s"bucketOfLong($k, $n) diverges from the engine's bucket id")
+    }
     val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, sf))
     val corpus = all.filter(col("id") % 1000000000L < 1000000L)
     // 256 buckets (own tag — coexists with the registry layout's default)
-    // so a 2-doc batch (≤ 32 keys) clears the keys·8 ≤ buckets pruning
-    // rule — the 100 TB keys ≪ files regime in miniature
+    // so a 2-doc batch (≤ 32 keys) touches a strict file subset — the
+    // 100 TB keys ≪ files regime in miniature
     val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
       spark, sf, corpus, "neardup_prunespec", 5, 64, 16, 4, Seq("documents"),
       buckets = 256)
     val batch = all.filter(col("id") % 1000000000L >= 1000000L).limit(2)
-    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-    def hits(p: String) =
-      sel.findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2).toInt)).toList
-    // (a) the band-scan side: probe checkpoints its candidate set (the
-    // bands scan's plan truncates there), so pin the EXACT filter+scan
-    // shape probe builds — batch keys collected, InSet on the bucket
-    // column — and assert the files are pruned
-    val (bBands, _) = graft.layouts.MinHashIndex.bandRows(batch, 5, 64, 16, 4)
-    val keys = bBands.select(col("bkey64")).distinct().collect().map(_.getLong(0))
-    assert(keys.nonEmpty && keys.length * 8 <= 256,
-      s"batch keys (${keys.length}) would not clear the pruning rule")
-    val bandScan = spark.table(bandsT).filter(col("bkey64").isInCollection(keys))
-    val bp = bandScan.queryExecution.executedPlan.toString
-    val bandHits = hits(bp)
-    assert(bandHits.nonEmpty, "no bucket pruning on the band scan:\n" + bp)
-    assert(bandHits.forall { case (k, n) => k < n },
-      s"band scan reads every bucket file ($bandHits):\n" + bp)
-    // (b) the integrated probe path: the verification fetch's rep-table
-    // scan is NOT checkpointed, so probe()'s own pruning must show in
-    // the pairs plan — proof the production path runs the pruned shape
     val (pairs, _) = graft.layouts.MinHashIndex.probe(
       spark, bandsT, repsT, batch, 5, 64, 16, 4, threshold = 0.5)
-    val pp = pairs.queryExecution.executedPlan.toString
-    val repHits = hits(pp)
-    assert(repHits.nonEmpty, "no bucket pruning in the probe's rep fetch:\n" + pp)
-    assert(repHits.forall { case (k, n) => k < n },
-      s"rep fetch reads every bucket file ($repHits):\n" + pp)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (b) the probe telemetry reports the file-pruned path on BOTH scans,
+    // with a strict subset of files read
+    val Some((bandStats, repStats)) = graft.layouts.MinHashIndex.lastProbeStats
+    assert(bandStats.pruned && bandStats.selectedFiles < bandStats.totalFiles,
+      s"band scan not file-pruned: $bandStats")
+    assert(repStats.pruned && repStats.selectedFiles < repStats.totalFiles,
+      s"rep fetch not file-pruned: $repStats")
+    // totals reflect NON-EMPTY buckets only (an empty bucket writes no
+    // file): 250 corpus reps over 256 buckets leave some empty
+    assert(bandStats.totalFiles >= 200 && repStats.totalFiles >= 200,
+      s"layout not at the spec'd bucket count: $bandStats / $repStats")
+    // (c) pruning is EXACT, not approximate: the pruned probe's verified
+    // pairs equal the exhaustive all-pairs jaccard over the same corpus
+    graft.functions.GraftFunctions.register(spark)
+    val bSh = batch
+      .withColumn("bnorm", graft.functions.TextOps.normalize(col("text")))
+      .groupBy(col("bnorm")).agg(org.apache.spark.sql.functions.min(col("id")).as("brep"))
+      .select(col("brep"), expr("word_shingles(bnorm, 5)").as("bsh"))
+    val cSh = corpus
+      .withColumn("cnorm", graft.functions.TextOps.normalize(col("text")))
+      .groupBy(col("cnorm")).agg(org.apache.spark.sql.functions.min(col("id")).as("crep"))
+      .select(col("crep"), expr("word_shingles(cnorm, 5)").as("csh"))
+    val scored = bSh.crossJoin(cSh)
+      .select(col("brep"), col("crep"), expr("jaccard_sim(bsh, csh)").as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val want = scored.map(_._1).toSet
+    // banding may legitimately miss MID-jaccard pairs (16 bands × 4 rows:
+    // detect prob 0.645 at j = 0.5), so the pins are soundness — every
+    // probe pair is a true ≥-threshold pair — and recall on the
+    // HIGH-jaccard pairs, whose band-collision miss probability is ≤ 4e-8
+    // (and the whole pipeline is deterministic, so this is a stable pin)
+    val wantHigh = scored.filter(_._2 >= 0.9).map(_._1).toSet
+    assert(wantHigh.nonEmpty, "fixture lost its planted near-dups: empty oracle")
+    assert(got.subsetOf(want),
+      s"pruned probe emitted a sub-threshold pair: got $got want $want")
+    assert(wantHigh.subsetOf(got),
+      s"pruned probe LOST a high-jaccard pair (pruning dropped a match?): " +
+        s"got $got wantHigh $wantHigh")
   }
 
   test("join_lookup_format: tiny VALUES dim broadcast") {

@@ -23,11 +23,12 @@ object SparkTestBase {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // bucket PRUNING needs the bucketed scan to stay bucketed: the
       // auto-bucketed-scan planner rule reads a bucketed table as plain
-      // files whenever no join/agg exploits the partitioning, which also
-      // discards the batch-key bucket pruning the MinHashIndex probe
-      // relies on (SelectedBucketsCount — PlanSpec-pinned). All bucketed
-      // layouts here are either join-exploited or probe-pruned, so the
-      // auto rule has nothing to win.
+      // files whenever no join/agg exploits the partitioning. (The
+      // MinHashIndex probe no longer depends on this — its r9 pruning
+      // selects bucket FILES driver-side and reads them as plain
+      // parquet — but the co-located SMJ family still does.) All
+      // bucketed layouts here are join-exploited, so the auto rule has
+      // nothing to win.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
