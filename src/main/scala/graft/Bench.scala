@@ -383,15 +383,18 @@ object Bench {
       ("q5_join5_classic"  -> (q5Classic _)) :+
       ("asof_like_merge_classic" -> (asofLikeMergeClassic _))
 
-    val timed = headline.map { case (name, fn) =>
-      fn(spark, sfDir).count() // warmup: plan + codegen + footers
-      fn(spark, sfDir).count() // second warmup: C2 JIT of the hot loops
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+    // error capture on the HEADLINE pass too (r9): without it a single
+    // crashed shape (e.g. a classic contrast entry whose unspillable
+    // hash build exceeds the heap at a large SF) aborted the whole main
+    // before ANY timing printed; now it surfaces in `errors` and the
+    // other 14 shapes still publish
+    val timed: Seq[(String, (Double, Option[String]))] = headline.map { case (name, fn) =>
+      val warm = clocked {
+        fn(spark, sfDir).count() // warmup: plan + codegen + footers
+        fn(spark, sfDir).count() // second warmup: C2 JIT of the hot loops
       }
-      name -> runs.min
+      name -> (if (warm._2.isDefined) warm
+        else (1 to 3).map { _ => clocked(fn(spark, sfDir).count()) }.reduce(min2))
     }
 
     // Full-registry pass, DECOMPOSED (round-3 verdict item 1): the one-time
@@ -471,13 +474,13 @@ object Bench {
         .mkString("{", ",", "}")
     // the 12-query total compares 1:1 against BASELINE.md's 12 names —
     // contrast entries (the *_classic rows) are timed but excluded
-    val total = timed.filterNot(_._1.endsWith("_classic")).map(_._2).sum
+    val total = timed.filterNot(_._1.endsWith("_classic")).map(_._2._1).sum
     // testdata-vintage signature (r6 verdict item 6): the r6 regeneration
     // moved untouched-row floors 10–45% and the cross-round comparison
     // was only interpretable via prose; stamping the content signature of
     // the sf dir makes "same code, different vintage" machine-checkable
     val dataSig = layouts.LayoutUtil.dataSig(sfDir)
-    val qs = obj(timed :+ ("all_queries_once" -> allOnce))
+    val qs = objT(timed :+ ("all_queries_once" -> (allOnce, None)))
     val headlineLine =
       s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
         s""""data_sig":"$dataSig","sf":"$sfDir"}"""
@@ -485,7 +488,7 @@ object Bench {
       s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +
         s""""builds":${objT(buildTimes)},"registry_rows":${objT(rowTimes)},""" +
         s""""heavy_min2":${objT(heavyMin2)},""" +
-        s""""errors":${objErrs(buildTimes ++ rowTimes)},""" +
+        s""""errors":${objErrs(buildTimes ++ rowTimes ++ timed)},""" +
         s""""data_sig":"$dataSig","sf":"$sfDir"}"""
     // full record FIRST (and mirrored to a repo file — the r4 driver tail
     // capture truncated the single giant line and lost the headline), the

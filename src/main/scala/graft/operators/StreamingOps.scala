@@ -234,8 +234,55 @@ object StreamingOps extends QueryGroup {
       FROM est WHERE agree >= 32
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
+  /** Stream-static AS-OF enrichment (r9): each event takes the latest
+    * order state (max o_orderkey per day collapses ties, so the dim is
+    * unique on (custkey, day)) at-or-before its timestamp — the
+    * EventPipelines.asofEnrich SCD2 range-lookup formulation, which is
+    * the shape Structured Streaming permits for stream-static non-equi
+    * joins (StreamingSpec runs the same code under MemoryStream). The
+    * oracle re-derives the version intervals with the same LEAD window
+    * in SQL — equivalent to a native ASOF join on the deduped dim, but
+    * expressed in the exact interval form the implementation uses. */
+  private val streamAsofEnrich = GraftQuery(
+    "stream_asof_enrich",
+    (s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("m.o_orderkey").as("asof_orderkey"),
+          col("m.o_totalprice").as("asof_totalprice"))
+      EventPipelines.asofEnrich(Tables.events(s, dir), dim, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_orderkey"), col("asof_totalprice"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      WITH dim AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders)
+        WHERE rn = 1),
+      versioned AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate ASC) AS valid_to
+        FROM dim)
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             v.o_orderkey AS asof_orderkey, v.o_totalprice AS asof_totalprice
+      FROM events e
+      LEFT JOIN versioned v
+        ON e.user_id = v.o_custkey
+       AND CAST(e.ts AS TIMESTAMP) >= CAST(v.o_orderdate AS TIMESTAMP)
+       AND (v.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < CAST(v.valid_to AS TIMESTAMP))
+      ORDER BY event_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     streamStreamJoin, streamNeardupLsh,
     streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
-    streamSessionNative, streamWatermarkLate, streamDedupStateful, streamStaticEnrich)
+    streamSessionNative, streamWatermarkLate, streamDedupStateful,
+    streamStaticEnrich, streamAsofEnrich)
 }

@@ -206,4 +206,40 @@ object EventPipelines {
       .join(broadcast(userDim), col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment").as("segment"))
+
+  /** AS-OF enrichment of an event stream from a static slowly-changing
+    * dimension: each event takes the dim row with the greatest
+    * `dimTs` ≤ event `ts` for its key (left semantics — no prior dim row
+    * → null attributes). An as-of join per se needs per-key ORDERING of
+    * the probe side, which an unbounded stream cannot provide; the
+    * streaming-safe formulation moves the order to the STATIC side —
+    * versioned ONCE with lead() into [dimTs, valid_to) intervals, the
+    * SCD2 range-lookup — so the stream pays a plain broadcast left join
+    * with a point-in-interval residual, exactly one match per (event,
+    * key) by interval disjointness. Stream-static joins of this shape
+    * are legal in Structured Streaming (the static side is re-broadcast
+    * per micro-batch), so this code runs unchanged under readStream
+    * (StreamingSpec pins batch == streaming).
+    *
+    * `dim` must be unique on (dimKey, dimTs) — collapse ties
+    * deterministically first (the registry row keeps the max-key order
+    * row per day); duplicate version rows would otherwise each match.
+    *
+    * 100 TB notes: the dim is broadcast-sized by the SCD contract
+    * (versions of a reference table); the stream side never shuffles —
+    * per-event cost is one hash probe + interval check. A dim too big to
+    * broadcast is the BATCH as-of problem, which the time-series layout
+    * family covers (Joins.bucketedEvents / join_asof_colocated). */
+  def asofEnrich(events: DataFrame, dim: DataFrame,
+      dimKey: String, dimTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(dimKey)).orderBy(col(dimTs).asc)
+    val versioned = dim.withColumn("valid_to", lead(col(dimTs), 1).over(w))
+    events.join(broadcast(versioned),
+      col("user_id") === col(dimKey) &&
+        col("ts") >= col(dimTs) &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")),
+      "left")
+      .drop("valid_to")
+  }
 }

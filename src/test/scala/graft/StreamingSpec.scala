@@ -128,6 +128,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static AS-OF enrich: the SCD2 range-lookup formulation runs " +
+      "under readStream and equals the batch twin") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents.take(3))
+    stream.addData(batchEvents.drop(3))
+    // three versions for user 1 (the middle one superseded at 12:00),
+    // one for user 2, none matching before user 2's first event
+    val dim = Seq(
+      (1L, t("2024-01-01 09:00:00"), 100L, 10.0),
+      (1L, t("2024-01-01 10:10:00"), 101L, 11.0),
+      (1L, t("2024-01-01 12:00:00"), 102L, 12.0),
+      (2L, t("2024-01-01 11:30:00"), 200L, 20.0)
+    ).toDF("o_custkey", "o_orderdate", "asof_orderkey", "asof_totalprice")
+    def run(events: org.apache.spark.sql.DataFrame) =
+      EventPipelines.asofEnrich(events, dim, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("asof_orderkey"))
+    val q = run(stream.toDF())
+      .writeStream.format("memory").queryName("asof_enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val got = rows(spark.table("asof_enrich_out"))
+    // ev1 10:05 → 09:00 version (100); ev2 10:20 → 10:10 version (101);
+    // ev3 11:10 → no user-2 version yet (null); ev4 11:40 → 200;
+    // ev5 12:30 → 12:00 version (102)
+    assert(got == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> 200L, 5L -> 102L),
+      s"asof enrich rows: $got")
+    assert(got == rows(run(batchEvents.toDF())), "stream != batch twin")
+  }
+
   test("stream-static enrich runs under readStream semantics (stream join static)") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(batchEvents)
