@@ -65,8 +65,15 @@ object Bench {
     * hash join (measured fastest at sf1: 0.96 s vs 1.40 s sort-merge).
     * Same decision AQE makes from runtime stats; explicit here because the
     * bench pins AQE off for the sub-second shapes. */
+  /** One predicate for "orders is broadcast-sized" — mirrors the
+    * session's autoBroadcastJoinThreshold (16 MB); shared by the join
+    * strategy AND q3's plan dispatch so retuning the threshold cannot
+    * desynchronize them. */
+  private def ordersBroadcastRegime(dir: String): Boolean =
+    new java.io.File(s"$dir/orders.parquet").length < (16L << 20)
+
   private def sizedOrders(df: DataFrame, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/orders.parquet").length < (16L << 20)) broadcast(df)
+    if (ordersBroadcastRegime(dir)) broadcast(df)
     else df.hint("shuffle_hash")
 
   /** q1: TPC-H Q1 shape, plain double multi-agg. */
@@ -98,7 +105,7 @@ object Bench {
     * needed a 32 GB heap exactly for that build; the classic shape stays
     * timed as q3_join3_topk_classic so that cost remains visible). */
   private[graft] def q3(s: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/orders.parquet").length < (16L << 20)) q3Classic(s, dir)
+    if (ordersBroadcastRegime(dir)) q3Classic(s, dir)
     else q3Layout(s, dir)
 
   private[graft] def q3Layout(s: SparkSession, dir: String): DataFrame = {
@@ -394,7 +401,15 @@ object Bench {
         fn(spark, sfDir).count() // second warmup: C2 JIT of the hot loops
       }
       name -> (if (warm._2.isDefined) warm
-        else (1 to 3).map { _ => clocked(fn(spark, sfDir).count()) }.reduce(min2))
+        else {
+          // min over the CLEAN runs only (a reduce(min2) would lose an
+          // earlier clean minimum once a later run errors — pair, not
+          // fold, semantics); an error in any run is still carried
+          val runs = (1 to 3).map { _ => clocked(fn(spark, sfDir).count()) }
+          val clean = runs.collect { case (t, None) => t }
+          if (clean.nonEmpty) (clean.min, runs.collectFirst { case (_, Some(e)) => e })
+          else runs.head
+        })
     }
 
     // Full-registry pass, DECOMPOSED (round-3 verdict item 1): the one-time
@@ -481,9 +496,14 @@ object Bench {
     // the sf dir makes "same code, different vintage" machine-checkable
     val dataSig = layouts.LayoutUtil.dataSig(sfDir)
     val qs = objT(timed :+ ("all_queries_once" -> (allOnce, None)))
+    // the compact headline line carries its OWN errors record: without
+    // it a crashed non-classic shape's (fast) failure time inside
+    // `value` reads as a speedup to a consumer that never sees the full
+    // registry_detail record — the r4 "must not masquerade" contract
+    // applied to the comparison artifact itself
     val headlineLine =
       s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""data_sig":"$dataSig","sf":"$sfDir"}"""
+        s""""errors":${objErrs(timed)},"data_sig":"$dataSig","sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +
         s""""builds":${objT(buildTimes)},"registry_rows":${objT(rowTimes)},""" +

@@ -97,8 +97,9 @@ object MinHashIndex {
     * to place the row, replicated driver-side so the probe can select
     * bucket FILES without a Spark job. A divergence here would silently
     * LOSE matches (rows live where the writer put them), so
-    * DedupSpec pins this function against `pmod(hash(col), n)` computed
-    * by the engine, and the pruned probe against the full-scan probe. */
+    * PlanSpec pins this function against `pmod(hash(col), n)` computed
+    * by the engine on adversarial longs, and the pruned probe against
+    * an exhaustive-jaccard oracle. */
   private[graft] def bucketOfLong(key: Long, n: Int): Int = {
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42)
     ((h % n) + n) % n
@@ -108,7 +109,11 @@ object MinHashIndex {
     * VectorLsh.lastRoute): per probed table, (files selected, files
     * total) and whether the file-pruned path ran — so a scan-cost
     * regression or an unexpectedly unpruned run is attributable from the
-    * caller. (bands, reps); None until the first probe. */
+    * caller. (bands, reps); None until the first probe — and CLEARED at
+    * probe entry, so a probe that throws mid-way can never be read as
+    * the previous probe's stats. Single-slot like the other telemetry
+    * globals: read it right after the probe whose route you are
+    * auditing; concurrent probes in one JVM overwrite each other. */
   final case class ScanStats(selectedFiles: Int, totalFiles: Int, pruned: Boolean)
   @volatile private[graft] var lastProbeStats: Option[(ScanStats, ScanStats)] = None
 
@@ -190,6 +195,7 @@ object MinHashIndex {
   def probe(s: SparkSession, bandsTable: String, repsTable: String,
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
+    lastProbeStats = None // cleared first: a mid-probe failure must not expose stale stats
     val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
     // FILE-PRUNED band scan (r9, the r8 verdict's item 3, sharpened):
     // the probe's residual corpus-linear term was the full band-table

@@ -231,14 +231,15 @@ object EventPipelines {
     * broadcast is the BATCH as-of problem, which the time-series layout
     * family covers (Joins.bucketedEvents / join_asof_colocated). */
   def asofEnrich(events: DataFrame, dim: DataFrame,
-      dimKey: String, dimTs: String): DataFrame = {
+      dimKey: String, dimTs: String,
+      eventKey: String = "user_id", eventTs: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(dimKey)).orderBy(col(dimTs).asc)
     val versioned = dim.withColumn("valid_to", lead(col(dimTs), 1).over(w))
     events.join(broadcast(versioned),
-      col("user_id") === col(dimKey) &&
-        col("ts") >= col(dimTs) &&
-        (col("valid_to").isNull || col("ts") < col("valid_to")),
+      col(eventKey) === col(dimKey) &&
+        col(eventTs) >= col(dimTs) &&
+        (col("valid_to").isNull || col(eventTs) < col("valid_to")),
       "left")
       .drop("valid_to")
   }

@@ -36,26 +36,10 @@ object FragmentationProbe {
     graft.functions.GraftFunctions.register(spark)
     import graft.layouts.MinHashIndex
     for (spec <- dirs) {
-      val (dir, explicitBuckets) = spec.split(":") match {
-        case Array(d, b) => (d, Some(b.toInt))
-        case Array(d)    => (d, None)
-      }
-      val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, dir))
-      val corpus = all.filter(col("id") % 1000000000L < 1000000L)
-      val batch = all.filter(col("id") < 1000000000L &&
-          col("id") % 1000000000L >= 1000000L)
-        .unionByName(corpus.filter(col("id") < 1000000000L && col("id") % 40 === 0)
-          .select((col("id") + 2000000L).as("id"), col("text")))
-      val nReps = corpus
-        .withColumn("norm", graft.functions.TextOps.normalize(col("text")))
-        .select(col("norm")).distinct().count()
-      val buckets = explicitBuckets.getOrElse {
-        val want = math.max(64L, nReps * 16 / 16384)
-        Integer.highestOneBit(math.min(want, 1 << 20).toInt) match {
-          case b if b.toLong < want => b * 2
-          case b => b
-        }
-      }
+      val (dir, explicitBuckets) = ProbeData.parseDirSpec(spec)
+      val (corpus, batch) = ProbeData.corpusAndBatch(spark, dir)
+      val buckets = explicitBuckets.getOrElse(
+        ProbeData.scaledBuckets(ProbeData.repCount(corpus)))
       // fresh layout every run: this probe MUTATES the index (appends),
       // so a stale cached layout would double-append across runs
       graft.layouts.Bucketed.invalidate(spark, "mhidx_fragprobe_")

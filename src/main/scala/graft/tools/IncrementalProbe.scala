@@ -38,33 +38,18 @@ object IncrementalProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     for (spec <- dirs) {
-      val (dir, explicitBuckets) = spec.split(":") match {
-        case Array(d, b) => (d, Some(b.toInt))
-        case Array(d)    => (d, None)
-      }
-      val all = spark.read.parquet(graft.Fixtures.neardupCorpus(spark, dir))
-      val repLocal = col("id") % 1000000000L
-      val corpus = all.filter(repLocal < 1000000L)
+      val (dir, explicitBuckets) = ProbeData.parseDirSpec(spec)
       // FIXED batch: replica 0 only — constant size at every corpus scale
-      val batch = all.filter(col("id") < 1000000000L && repLocal >= 1000000L)
-        .unionByName(corpus.filter(col("id") < 1000000000L && col("id") % 40 === 0)
-          .select((col("id") + 2000000L).as("id"), col("text")))
+      val (corpus, batch) = ProbeData.corpusAndBatch(spark, dir)
       val tiny = batch.orderBy(col("id").asc).limit(4)
-      // corpus-scaled bucket count for the tiny-batch run: ~16 k band
-      // rows (≈256 KB) per bucket file, so file size stays constant as
-      // the corpus grows and the tiny batch's keys clear the keys·8 ≤
-      // buckets rule at every scale — the 100 TB file-count geometry in
-      // miniature
-      val nReps = corpus
-        .withColumn("norm", graft.functions.TextOps.normalize(col("text")))
-        .select(col("norm")).distinct().count()
-      val scaled = explicitBuckets.getOrElse {
-        val want = math.max(64L, nReps * 16 / 16384)
-        Integer.highestOneBit(math.min(want, 1 << 20).toInt) match {
-          case b if b.toLong < want => b * 2
-          case b => b
-        }
-      }
+      // corpus-scaled bucket count for the tiny-batch run
+      // (ProbeData.scaledBuckets): file size stays constant as the
+      // corpus grows and the tiny batch's keys touch a strict (and
+      // shrinking) file subset at every scale — the 100 TB file-count
+      // geometry in miniature (pruning is file-list based since r9
+      // session 2: it applies whenever touched < total)
+      val nReps = ProbeData.repCount(corpus)
+      val scaled = explicitBuckets.getOrElse(ProbeData.scaledBuckets(nReps))
       for ((label, tag, buckets, b) <- Seq(
           ("std", "neardup_repbase", graft.layouts.MinHashIndex.Buckets, batch),
           ("tiny", s"neardup_scaled$scaled", scaled, tiny))) {

@@ -148,8 +148,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .writeStream.format("memory").queryName("asof_enrich_out")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val rs = df.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // exactly ONE output row per event — the interval-disjointness
+      // property the formulation rests on; a Map alone would silently
+      // swallow a duplicate match
+      assert(rs.length == rs.map(_._1).distinct.length,
+        s"an event matched more than one dim version: ${rs.toSeq}")
+      rs.toMap
+    }
     val got = rows(spark.table("asof_enrich_out"))
     // ev1 10:05 → 09:00 version (100); ev2 10:20 → 10:10 version (101);
     // ev3 11:10 → no user-2 version yet (null); ev4 11:40 → 200;
