@@ -31,10 +31,18 @@ import org.apache.spark.sql.functions._
   * same way); here it is a STORAGE layout so the banding scan, like
   * Bucketed's sort, is paid once, not per query.
   *
-  * Skew note: real event streams have hot bands (peak hours). Band
-  * occupancy is observable (`GROUP BY band`), and a hot band only
-  * multiplies work within itself; salting the band key on the probe side
-  * subdivides it the same way Salting covers hot group keys.
+  * Skew note: real event streams have hot bands (peak hours), and a hot
+  * band lands in ONE bucket — one oversized merge task. The layout
+  * answer is SALTING (the non-equi twin of etl.Salting's hot-group
+  * treatment): at `salt = k` the stored key becomes
+  * `band·k + hash(saltCol) mod k`, splitting each band's rows across k
+  * keys (→ k buckets → k parallel tasks), and the probe explodes to
+  * 2·k candidate keys instead of 2 — still bounded, still zero
+  * banded-side movement, and EXACT (every in-window row's key is among
+  * the candidates for every salt residue). Band occupancy stays
+  * observable (`GROUP BY band div k`); pick k ≈ hot-band rows /
+  * target-task rows. RangeBandedSpec pins salted ≡ unsalted ≡ brute
+  * force and the k-way split of a planted hot band.
   *
   * Timestamps must be µs-long-backed (timestamp / timestamp_ntz); band
   * derivation pins the session-independent NTZ µs value (sessions here
@@ -48,6 +56,15 @@ object RangeBanded {
   def bandOf(tsCol: String, bandMicros: Long): Column =
     expr(s"unix_micros(cast($tsCol as timestamp)) div ${bandMicros}L")
 
+  /** SALTED band key of the stored side: `band·salt + hash(saltCol) mod
+    * salt` — at salt = 1 this IS the band. The salt residue only spreads
+    * rows; membership of a row's key in the probe's candidate set never
+    * depends on it (the probe enumerates every residue). */
+  def saltedBandOf(tsCol: String, bandMicros: Long, salt: Int,
+      saltCol: String): Column =
+    if (salt == 1) bandOf(tsCol, bandMicros)
+    else bandOf(tsCol, bandMicros) * salt + pmod(hash(col(saltCol)), lit(salt))
+
   /** Ensure the banded layout of `src` exists: the source rows plus a
     * derived `band` column, bucketed AND sorted on `band` (ts second in
     * the sort so in-band scans stream in time order). Idempotent and
@@ -56,10 +73,15 @@ object RangeBanded {
     * never share a layout. */
   def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
       tsCol: String, bandMicros: Long, srcTables: Seq[String],
-      buckets: Int = 8): String = {
-    val banded = src.withColumn("band", bandOf(tsCol, bandMicros))
+      buckets: Int = 8, salt: Int = 1, saltCol: String = "event_id"): String = {
+    require(salt >= 1, s"salt must be ≥ 1: $salt")
+    val banded = src.withColumn("band",
+      saltedBandOf(tsCol, bandMicros, salt, saltCol))
+    // salt participates in the layout name: two salts never share a table
+    val nm = if (salt == 1) s"${name}_band$bandMicros"
+      else s"${name}_band${bandMicros}_s$salt"
     Bucketed.ensure(s, dir, Seq(
-      Bucketed.Spec(s"${name}_band$bandMicros", banded, "band",
+      Bucketed.Spec(nm, banded, "band",
         srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head
   }
 
@@ -73,12 +95,21 @@ object RangeBanded {
     * their names; callers project/rename before joining if they collide
     * with banded columns. */
   def rangeJoin(banded: DataFrame, probe: DataFrame, bandedTs: String,
-      probeTs: String, windowMicros: Long, bandMicros: Long): DataFrame = {
+      probeTs: String, windowMicros: Long, bandMicros: Long,
+      salt: Int = 1): DataFrame = {
     require(windowMicros <= bandMicros,
       s"window ${windowMicros}µs exceeds band width ${bandMicros}µs: " +
         "matches past the adjacent band would be silently dropped")
+    require(salt >= 1, s"salt must be ≥ 1: $salt")
     val pBand = bandOf(probeTs, bandMicros)
-    val probed = probe.withColumn("probe_band", explode(array(pBand, pBand + 1)))
+    // candidate keys: the two candidate bands × every salt residue —
+    // 2·salt rows per probe row, the bounded price of splitting a hot
+    // band across salt buckets
+    val cands =
+      if (salt == 1) array(pBand, pBand + 1)
+      else array((for (b <- 0 to 1; j <- 0 until salt)
+        yield (pBand + b) * salt + j): _*)
+    val probed = probe.withColumn("probe_band", explode(cands))
     banded.join(probed,
       col("band") === col("probe_band") &&
         col(bandedTs) >= col(probeTs) &&
