@@ -117,6 +117,10 @@ for name, sql in Q.items():
         run(sql)
         times.append(time.perf_counter() - t0)
     out[name] = round(min(times), 4)
+    # progressive progress on stderr (big-SF runs can take an hour; the
+    # stdout JSON contract below is unchanged)
+    print(f"[duckdb] {name} min={out[name]}s all={[round(t,2) for t in times]}",
+          file=sys.stderr, flush=True)
 
 total = round(sum(out.values()), 4)
 print(json.dumps({"metric": "duckdb_headline_total_12q", "value": total,
