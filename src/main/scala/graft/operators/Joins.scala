@@ -453,6 +453,40 @@ object Joins extends QueryGroup {
        AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
 
+  /** The SALTED form of [[joinRangeBanded]] (r9: hot-band skew): the
+    * layout stores `band·4 + hash(event_id) mod 4`, spreading a peak
+    * hour across 4 buckets/tasks, and the probe enumerates every salt
+    * residue (8 candidate keys per row instead of 2). Same SQL oracle —
+    * salting only rewrites placement, never membership (the probe's
+    * candidate set covers every residue; measured 5.9× on a 75 %-hot
+    * corpus — tools.SaltProbe, CROSSOVER.md). */
+  private val joinRangeBandedSalted = GraftQuery(
+    "join_range_banded_salted",
+    (s, dir) => {
+      val hourMicros = 3600000000L
+      val t = graft.layouts.RangeBanded.ensure(s, dir, "events",
+        Tables.events(s, dir), "ts", hourMicros, Seq("events"),
+        salt = 4, saltCol = "event_id")
+      val errors = s.table(t).filter(col("event_type") === "error")
+        .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .hint("merge")
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.layouts.RangeBanded.rangeJoin(errors, signups,
+          "error_ts", "signup_ts", windowMicros = hourMicros,
+          bandMicros = hourMicros, salt = 4)
+        .select(col("error_id"), col("signup_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.event_id AS error_id, s.event_id AS signup_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
+
   /** Co-located fact⋈fact join over BUCKETED tables: both facts are laid
     * out bucketBy(8, key) + sortBy(key), so the sort-merge join reads
     * matching buckets directly — NO shuffle exchange and no per-task sort
@@ -691,6 +725,7 @@ object Joins extends QueryGroup {
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinBroadcastResidual, joinCross, joinThetaRange, joinLookupFormat,
     joinAsof, joinAsofNative, joinAsofColocated, joinInterval,
-    joinIntervalColocated, joinRangeBanded, joinBucketedColocated,
+    joinIntervalColocated, joinRangeBanded, joinRangeBandedSalted,
+    joinBucketedColocated,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }
