@@ -87,6 +87,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"revenue diverges for $k: $v vs ${clsRows(k)}")
   }
 
+  test("bench window_rank/sessionize layout twins: the window rides the " +
+      "resident partitioning — zero exchange — and matches the classic rows") {
+    // window_rank over orders_bc: the scan's o_custkey bucketing
+    // satisfies the window's ClusteredDistribution, so the only work
+    // above the scan is the per-bucket sort + window + filter
+    val wp = Bench.windowRankLayout(spark, sf).queryExecution.executedPlan.toString
+    assert(!wp.contains("Exchange"),
+      "window_rank layout form still exchanges:\n" + wp)
+    // sessionize over events_bu: bucketing + within-bucket (user_id, ts,
+    // event_id) sort satisfy BOTH window requirements — no exchange and
+    // no sort in the deepest (scan→windows) segment; the only exchange
+    // anywhere would be the final session agg's, which the same
+    // partitioning also covers
+    val sp = Bench.sessionizeLayout(spark, sf).queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"),
+      "sessionize layout form still exchanges:\n" + sp)
+    assert(!sp.contains("Sort [user_id"),
+      "sessionize layout form re-sorts the resident order:\n" + sp)
+    // parity with the classic rows (exact: same rows, no double-reorder
+    // sensitivity — rank ties are broken by the unique o_orderkey, and
+    // the session aggregate's doubles sum over the SAME per-group rows
+    // in layout-sorted order on both sides... compare value-insensitive
+    // columns exactly and the double with tolerance)
+    val wGot = Bench.windowRankLayout(spark, sf)
+      .select("o_orderkey", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val wWant = Bench.windowRankClassic(spark, sf)
+      .select("o_orderkey", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(wGot == wWant && wGot.nonEmpty,
+      s"window_rank layout/classic diverge: ${(wGot -- wWant).take(3)} / ${(wWant -- wGot).take(3)}")
+    def sess(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    val sGot = sess(Bench.sessionizeLayout(spark, sf))
+    val sWant = sess(Bench.sessionizeClassic(spark, sf))
+    assert(sGot == sWant && sGot.nonEmpty,
+      s"sessionize layout/classic diverge: ${(sGot -- sWant).take(3)} / ${(sWant -- sGot).take(3)}")
+  }
+
   test("bench q5 headline: the co-located star plan — zero join-key exchange, " +
       "no customer scan, only the two tiny dims broadcast") {
     // the r6 verdict's flagship item 2: the headline q5_join5 must run
