@@ -266,8 +266,13 @@ object Bench {
     * — zero exchange, zero sort, and the session aggregation reuses the
     * same partitioning (PlanSpec pins no Exchange below the final agg).
     * Raw shape stays timed as sessionize_classic. */
+  /** Keyed on the EVENTS file (the table this query reads), not orders:
+    * event-heavy corpora scale the two independently. */
+  private def eventsSmallRegime(dir: String): Boolean =
+    new java.io.File(s"$dir/events.parquet").length < (16L << 20)
+
   private[graft] def sessionize(s: SparkSession, dir: String): DataFrame =
-    if (ordersBroadcastRegime(dir)) sessionizeClassic(s, dir)
+    if (eventsSmallRegime(dir)) sessionizeClassic(s, dir)
     else sessionizeLayout(s, dir)
 
   private[graft] def sessionizeLayout(s: SparkSession, dir: String): DataFrame =

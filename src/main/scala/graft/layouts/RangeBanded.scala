@@ -77,9 +77,13 @@ object RangeBanded {
     require(salt >= 1, s"salt must be ≥ 1: $salt")
     val banded = src.withColumn("band",
       saltedBandOf(tsCol, bandMicros, salt, saltCol))
-    // salt participates in the layout name: two salts never share a table
+    // salt AND saltCol participate in the layout name: two salts — or
+    // two salt COLUMNS at the same salt — must never share a table (the
+    // cache would otherwise serve a layout salted on whichever column
+    // ran first: results stay correct, but the caller's intended skew
+    // split silently never happens)
     val nm = if (salt == 1) s"${name}_band$bandMicros"
-      else s"${name}_band${bandMicros}_s$salt"
+      else s"${name}_band${bandMicros}_s${salt}_$saltCol"
     Bucketed.ensure(s, dir, Seq(
       Bucketed.Spec(nm, banded, "band",
         srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head

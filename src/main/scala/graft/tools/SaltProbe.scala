@@ -36,15 +36,18 @@ object SaltProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fixture dir keyed by geometry; events.parquet is the layout's source
-    val dir = s"/tmp/graft_saltfix_${nRows}_${(hotFrac * 100).toInt}"
+    // fixture dir keyed by geometry at basis-point resolution — percent
+    // truncation would serve a 0.75 fixture to a 0.755 run (and quantize
+    // sub-1 % fractions to zero hot rows)
+    val hotBp = math.round(hotFrac * 10000).toInt
+    val dir = s"/tmp/graft_saltfix_${nRows}_$hotBp"
     val src = new java.io.File(s"$dir/events.parquet")
     if (!src.exists()) {
       val hotStart = 2L * W // the peak hour = band 2
       spark.range(nRows)
         .select(col("id").as("event_id"),
           expr(s"""cast(timestamp_micros(
-              if(id % 100 < ${(hotFrac * 100).toInt},
+              if(id % 10000 < $hotBp,
                  ${hotStart}L + (id * 7919) % ${W}L,
                  ((id * 104729) % 48) * ${W}L + (id * 7919) % ${W}L))
             as timestamp_ntz)""").as("ts"))

@@ -123,6 +123,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val sWant = sess(Bench.sessionizeClassic(spark, sf))
     assert(sGot == sWant && sGot.nonEmpty,
       s"sessionize layout/classic diverge: ${(sGot -- sWant).take(3)} / ${(sWant -- sGot).take(3)}")
+    // …and the double aggregate too (keyed per session, tolerance for
+    // add-order): the one column a silent layout-path corruption would hit
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "sum_value")
+      .collect().map(r => (r.getLong(0), r.get(1).toString) -> r.getDouble(2)).toMap
+    val (vGot, vWant) = (sums(Bench.sessionizeLayout(spark, sf)),
+      sums(Bench.sessionizeClassic(spark, sf)))
+    assert(vGot.keySet == vWant.keySet)
+    for ((k, v) <- vGot)
+      assert(math.abs(v - vWant(k)) <= math.abs(v) * 1e-9 + 1e-9,
+        s"sum_value diverges for $k: $v vs ${vWant(k)}")
   }
 
   test("bench q5 headline: the co-located star plan — zero join-key exchange, " +
