@@ -81,7 +81,7 @@ object Bench {
     * strategy AND q3's plan dispatch so retuning the threshold cannot
     * desynchronize them. */
   private def ordersBroadcastRegime(dir: String): Boolean =
-    new java.io.File(s"$dir/orders.parquet").length < (16L << 20)
+    layouts.LayoutUtil.pathBytes(s"$dir/orders.parquet") < (16L << 20)
 
   private def sizedOrders(df: DataFrame, dir: String): DataFrame =
     if (ordersBroadcastRegime(dir)) broadcast(df)
@@ -269,7 +269,7 @@ object Bench {
   /** Keyed on the EVENTS file (the table this query reads), not orders:
     * event-heavy corpora scale the two independently. */
   private def eventsSmallRegime(dir: String): Boolean =
-    new java.io.File(s"$dir/events.parquet").length < (16L << 20)
+    layouts.LayoutUtil.pathBytes(s"$dir/events.parquet") < (16L << 20)
 
   private[graft] def sessionize(s: SparkSession, dir: String): DataFrame =
     if (eventsSmallRegime(dir)) sessionizeClassic(s, dir)
@@ -535,7 +535,17 @@ object Bench {
         .mkString("{", ",", "}")
     // the 12-query total compares 1:1 against BASELINE.md's 12 names —
     // contrast entries (the *_classic rows) are timed but excluded
-    val total = timed.filterNot(_._1.endsWith("_classic")).map(_._2._1).sum
+    val nonClassic = timed.filterNot(_._1.endsWith("_classic"))
+    val total = nonClassic.map(_._2._1).sum
+    // `clean_total` (r9 ADVICE): a crashed non-classic shape contributes
+    // its (fast) failure time to `value`, which deflates the cross-round
+    // scalar for any consumer that never reads `errors`; the clean total
+    // is null exactly when a comparison-set shape errored, so the
+    // headline scalar can never silently include a failure time.
+    // (`value` keeps its historical all-rows semantics for r1–r9
+    // comparability.)
+    val cleanTotal =
+      if (nonClassic.forall(_._2._2.isEmpty)) f"$total%.4f" else "null"
     // testdata-vintage signature (r6 verdict item 6): the r6 regeneration
     // moved untouched-row floors 10–45% and the cross-round comparison
     // was only interpretable via prose; stamping the content signature of
@@ -548,7 +558,8 @@ object Bench {
     // registry_detail record — the r4 "must not masquerade" contract
     // applied to the comparison artifact itself
     val headlineLine =
-      s"""{"metric":"headline_total_12q","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"headline_total_12q","value":$total,"clean_total":$cleanTotal,""" +
+        s""""unit":"sec","queries":$qs,""" +
         s""""errors":${objErrs(timed)},"data_sig":"$dataSig","sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +

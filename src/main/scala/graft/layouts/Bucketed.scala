@@ -47,10 +47,7 @@ object Bucketed {
     * cache tag, so a dir re-laid-out under a different count can never be
     * served a stale mixed layout. */
   def defaultBuckets(dir: String, table: String = "lineitem"): Int = {
-    def bytes(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
-      else f.length
-    val fact = bytes(new java.io.File(s"$dir/$table.parquet"))
+    val fact = LayoutUtil.pathBytes(s"$dir/$table.parquet")
     val want = math.max(8L, fact / (32L << 20))
     Integer.highestOneBit(math.min(want, 1024L).toInt) match {
       case b if b.toLong < want => b * 2
@@ -163,8 +160,12 @@ object Bucketed {
     * state is never served. Content is invariant under compaction, so
     * compacting the tables of a multi-table family one at a time cannot
     * break their mutual consistency. */
-  def compact(s: SparkSession, qname: String): Unit = {
-    import org.apache.spark.sql.functions.col
+  /** Bucketing spec of a registered layout table, read from the CATALOG
+    * — (bucket count, bucket key, within-bucket sort columns). Every
+    * maintenance operation (append, compact) derives its write spec from
+    * this, so maintained files can never diverge from the layout they
+    * extend, whatever count/sort the original ensure() used. */
+  private[graft] def bucketSpecOf(s: SparkSession, qname: String): (Int, String, Seq[String]) = {
     val desc = s.sql(s"DESC FORMATTED $qname").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     def specCols(field: String): Seq[String] =
@@ -177,6 +178,87 @@ object Bucketed {
       case Seq() => Seq(key)
       case cs => cs
     }
+    (buckets, key, sortCols)
+  }
+
+  /** Crash-safe incremental APPEND of delta rows into a FAMILY of
+    * registered layout tables — the nightly-ingest lifecycle for the
+    * resident fact/time-series layouts (r9 verdict item 1: a 100 TB
+    * warehouse appends deltas, it does not rebuild 280 s of layouts per
+    * vintage; MinHashIndex.append proved the contract for the text
+    * index, this is the general form). All deltas land together or not
+    * at all under [[appendGuard]]'s marker window; each table's write
+    * spec comes from the catalog ([[bucketSpecOf]]), so an append can
+    * never break the bucketing of the layout it extends. Deltas are
+    * repartitioned on the bucket key first, so each append adds at most
+    * ONE file per touched bucket — fragmentation grows linearly in
+    * APPEND COUNT, not in delta partitioning.
+    *
+    * What the appended layout keeps and what it cedes until the next
+    * [[compact]]: the bucket CLUSTERING holds with multi-file buckets
+    * (every row of key k is in bucket(k)'s files), so the zero-EXCHANGE
+    * property of every consumer join/aggregation/window survives; Spark
+    * stops reporting per-bucket sort ORDER the moment any bucket holds a
+    * second file, so sorted-layout consumers pay a per-task in-bucket
+    * sort until compaction restores one file per bucket
+    * (IncrementalLayoutSpec pins both halves). `onCommit` runs INSIDE
+    * the marker window after the writes — the [[appendOnce]] stamp hook.
+    * Single-writer per layout family, same as every maintenance op (see
+    * the probe concurrency contract in MinHashIndex). */
+  def append(s: SparkSession, deltas: Seq[(String, DataFrame)],
+      onCommit: () => Unit = () => ()): Unit = {
+    import org.apache.spark.sql.functions.col
+    val specs = deltas.map { case (q, _) => bucketSpecOf(s, q) }
+    appendGuard(s, deltas.map(_._1)) {
+      deltas.zip(specs).foreach { case ((q, delta), (n, key, sortCols)) =>
+        delta.repartition(n, col(key))
+          .write.mode("append").bucketBy(n, key)
+          .sortBy(sortCols.head, sortCols.tail: _*).saveAsTable(q)
+      }
+      onCommit()
+    }
+  }
+
+  /** EXACTLY-ONCE named-batch append: applies `deltas` only if batch
+    * `tag` has not already been applied to this family, recording the
+    * application stamp inside the crash-safe marker window — so a
+    * retried ingest job (or an idempotent ensure-style caller re-run
+    * every session) can never double-append a batch. The stamp lives
+    * next to the completion marker in the FIRST table's directory
+    * (underscore-prefixed: invisible to the scan), survives JVM
+    * restarts with the layout, is carried across [[compact]], and dies
+    * with the directory on rebuild — exactly the lifetime of the data it
+    * certifies. Returns whether the append ran. */
+  def appendOnce(s: SparkSession, tag: String,
+      deltas: Seq[(String, DataFrame)]): Boolean = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"), s"batch tag must be a file-name-safe token: $tag")
+    val stamp = new java.io.File(tableDir(s, deltas.head._1), s"_GRAFT_APPLIED_$tag")
+    if (stamp.exists()) false
+    else { append(s, deltas, () => stamp.createNewFile()); true }
+  }
+
+  /** Fragmentation of a layout family: the max file count of any bucket
+    * across the tables (1 = fully compacted). The observable the
+    * maintenance cadence keys on — file metadata only, no data read. */
+  def maxFilesPerBucket(s: SparkSession, qnames: Seq[String]): Int =
+    qnames.flatMap(t => bucketFiles(s, t).valuesIterator.map(_.size))
+      .foldLeft(1)(math.max)
+
+  /** Compact each table of the family only when any bucket has
+    * accumulated ≥ `maxFiles` files — the self-driving maintenance rule
+    * an ingest job calls after its append instead of scheduling
+    * compaction by wall-clock guesswork. Returns whether a compaction
+    * ran. (Safe table-at-a-time: content is invariant under compaction,
+    * so a crash between tables cannot make family members disagree.) */
+  def compactIfFragmented(s: SparkSession, qnames: Seq[String],
+      maxFiles: Int = 8): Boolean = {
+    if (maxFilesPerBucket(s, qnames) < maxFiles) false
+    else { qnames.foreach(compact(s, _)); true }
+  }
+
+  def compact(s: SparkSession, qname: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (buckets, key, sortCols) = bucketSpecOf(s, qname)
     val dir = tableDir(s, qname)
     val schemaDdl = s.table(qname).schema.toDDL
     // STAGE (outside the marker window — a crash here costs nothing):
@@ -195,10 +277,16 @@ object Bucketed {
     // so re-registering the renamed directory preserves the bucketed-scan
     // contract (the same argument as ensure()'s re-register branch)
     appendGuard(s, Seq(qname)) {
+      // carry the exactly-once batch stamps ([[appendOnce]]) across the
+      // swap: the compacted rewrite CONTAINS every applied batch's rows,
+      // so losing the stamps would let a retried ingest double-append
+      val stamps = Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("_GRAFT_APPLIED_"))
       s.sql(s"DROP TABLE $qname")
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
       if (!tmpDir.renameTo(dir))
         throw new java.io.IOException(s"compact rename failed: $tmpDir -> $dir")
+      stamps.foreach(n => new java.io.File(dir, n).createNewFile())
       s.sql(
         s"""CREATE TABLE $qname ($schemaDdl) USING PARQUET
            |CLUSTERED BY ($key)

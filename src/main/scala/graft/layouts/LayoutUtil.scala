@@ -16,6 +16,19 @@ object LayoutUtil {
     java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Total data bytes under a parquet dataset path — file OR directory
+    * (Spark-written datasets are directories of part files, whose own
+    * java.io length is a meaningless few KB). One definition shared by
+    * the bucket-count sizing and the bench's size-driven plan regimes,
+    * so a directory-backed source can never silently pin the
+    * broadcast-regime plan at scale (r9 ADVICE). */
+  def pathBytes(path: String): Long = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length
+    bytes(new java.io.File(path))
+  }
+
   /** Content signature of a parquet dataset path (file or directory).
     * A directory's own length/mtime need not change when a part file is
     * rewritten in place, so a signature taken from the directory File

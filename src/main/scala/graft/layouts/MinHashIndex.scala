@@ -191,7 +191,18 @@ object MinHashIndex {
     * verification texts are fetched by id from the rep table for the
     * touched reps only. The candidate set is localCheckpoint-ed: it
     * feeds multiple consumers and the band join must not re-execute per
-    * consumer. */
+    * consumer.
+    *
+    * CONCURRENCY CONTRACT (r9 ADVICE): the file-pruned scan captures the
+    * bucket FILE LIST driver-side and reads those paths as plain parquet,
+    * so an [[append]] or [[compact]] racing the probe in the same session
+    * can delete or supersede a listed file mid-job (FileNotFoundException,
+    * or a probe over the pre-append file set). Probes must not overlap
+    * index MAINTENANCE on the same layout — the same single-writer window
+    * the appendGuard marker protocol already implies for writers (the
+    * ingest lifecycle is sequential by construction: probe → append →
+    * maybe compact). Concurrent probes against a quiescent index are
+    * fine. */
   def probe(s: SparkSession, bandsTable: String, repsTable: String,
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
@@ -290,9 +301,7 @@ object MinHashIndex {
     * both tables (1 = fully compacted). The observable the maintenance
     * cadence keys on — file metadata only, no data read. */
   def maxFilesPerBucket(s: SparkSession, bandsTable: String, repsTable: String): Int =
-    Seq(bandsTable, repsTable)
-      .flatMap(t => Bucketed.bucketFiles(s, t).valuesIterator.map(_.size))
-      .foldLeft(1)(math.max)
+    Bucketed.maxFilesPerBucket(s, Seq(bandsTable, repsTable))
 
   /** Compact only when any bucket has accumulated ≥ `maxFiles` files —
     * the self-driving maintenance rule a nightly ingest job calls after

@@ -351,6 +351,30 @@ object Joins extends QueryGroup {
         srcTables = Seq("events"), sortCols = Seq("user_id", "ts", "event_id"))),
       buckets = graft.layouts.Bucketed.defaultBuckets(dir, "events")).head
 
+  /** INCREMENTALLY-MAINTAINED twin of [[bucketedEvents]] (r9 verdict
+    * item 1): the layout is built from a deterministic 7/8 BASE of the
+    * events table, then the remaining 1/8 arrives as a named delta batch
+    * through `Bucketed.appendOnce` — the nightly-ingest lifecycle
+    * (build once, append deltas, never rebuild) exercised end-to-end
+    * against the DuckDB oracle, which recomputes over the FULL table:
+    * a lost, duplicated, or mis-bucketed delta row fails the hash gate.
+    * The exactly-once stamp makes repeated calls (warmup + timed bench
+    * runs, repeated verify passes, fresh JVMs over the same /tmp
+    * warehouse) idempotent. Multi-file buckets keep the bucket
+    * CLUSTERING — consumers stay zero-exchange — and cede only the
+    * reported per-bucket sort order until compaction
+    * (IncrementalLayoutSpec pins both halves plus the compact). */
+  def bucketedEventsIncremental(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val events = Tables.events(s, dir)
+    val isDelta = pmod(xxhash64(col("event_id")), lit(8)) === 0
+    val t = graft.layouts.Bucketed.ensure(s, dir, Seq(
+      graft.layouts.Bucketed.Spec("events_bui", events.filter(!isDelta), "user_id",
+        srcTables = Seq("events"), sortCols = Seq("user_id", "ts", "event_id"))),
+      buckets = graft.layouts.Bucketed.defaultBuckets(dir, "events")).head
+    graft.layouts.Bucketed.appendOnce(s, "delta-1of8", Seq(t -> events.filter(isDelta)))
+    t
+  }
+
   /** op 25 over the TIME-SERIES layout: the same native as-of merge as
     * join_asof_native, but both sides scan `events_bu` — bucketed on
     * user_id, sorted by (user_id, ts) — so EnsureRequirements inserts
@@ -362,6 +386,38 @@ object Joins extends QueryGroup {
     "join_asof_colocated",
     (s, dir) => {
       val eventsB = bucketedEvents(s, dir)
+      val e = s.table(eventsB)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("prior_click_ts"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             CAST(c.ts AS TIMESTAMP) AS prior_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.event_id ASC NULLS FIRST"""))
+
+  /** The as-of merge over the INCREMENTALLY-MAINTAINED time-series layout
+    * ([[bucketedEventsIncremental]]: 7/8 base build + a 1/8 appendOnce
+    * delta): same query and same full-table DuckDB ASOF oracle as
+    * [[joinAsofColocated]] — the layout (and its append lifecycle)
+    * changes only the physical plan, so a delta row lost, duplicated, or
+    * placed in the wrong bucket by the append path fails the hash gate.
+    * Post-append the buckets are multi-file: the merge still runs with
+    * zero EXCHANGE off the bucket clustering (PlanSpec pins it), and the
+    * per-task in-bucket sort it temporarily pays is exactly what
+    * `Bucketed.compact` removes (IncrementalLayoutSpec). */
+  private val joinAsofColocatedIncr = GraftQuery(
+    "join_asof_colocated_incr",
+    (s, dir) => {
+      val eventsB = bucketedEventsIncremental(s, dir)
       val e = s.table(eventsB)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -507,10 +563,58 @@ object Joins extends QueryGroup {
       graft.layouts.Bucketed.Spec("lineitem_b", Tables.lineitem(s, dir), "l_orderkey")),
       buckets = graft.layouts.Bucketed.defaultBuckets(dir))
 
+  /** INCREMENTALLY-MAINTAINED twin of [[bucketedFacts]]: both fact
+    * layouts built from a deterministic 7/8 base, then the 1/8 delta of
+    * BOTH tables lands as ONE named batch under a single appendGuard
+    * marker window (`Bucketed.appendOnce` family form) — the
+    * mutual-consistency contract a star schema's nightly ingest needs:
+    * a crash mid-batch can never leave orders appended but lineitem not.
+    * The orderkey-keyed delta split means a delta order arrives WITH its
+    * delta lineitems, the realistic ingest shape. */
+  def bucketedFactsIncremental(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val oDelta = pmod(xxhash64(col("o_orderkey")), lit(8)) === 0
+    val lDelta = pmod(xxhash64(col("l_orderkey")), lit(8)) === 0
+    val ts = graft.layouts.Bucketed.ensure(s, dir, Seq(
+      graft.layouts.Bucketed.Spec("orders_bi", orders.filter(!oDelta), "o_orderkey",
+        srcTables = Seq("orders")),
+      graft.layouts.Bucketed.Spec("lineitem_bi", lineitem.filter(!lDelta), "l_orderkey",
+        srcTables = Seq("lineitem"))),
+      buckets = graft.layouts.Bucketed.defaultBuckets(dir))
+    graft.layouts.Bucketed.appendOnce(s, "delta-1of8", Seq(
+      ts(0) -> orders.filter(oDelta), ts(1) -> lineitem.filter(lDelta)))
+    ts
+  }
+
   private val joinBucketedColocated = GraftQuery(
     "join_bucketed_colocated",
     (s, dir) => {
       val Seq(ordersB, lineitemB) = bucketedFacts(s, dir)
+      s.table(lineitemB).hint("merge")
+        .join(s.table(ordersB), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             ${Det.sqlSum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST"""))
+
+  /** The co-located fact⋈fact join over the INCREMENTALLY-MAINTAINED
+    * layouts ([[bucketedFactsIncremental]]): same aggregation and same
+    * full-table oracle as [[joinBucketedColocated]] — base + delta must
+    * reconstruct the raw tables exactly, across BOTH family members, or
+    * the hash gate fails. The merge join stays zero-exchange on the
+    * multi-file buckets (clustering survives appends; only the reported
+    * sort order waits for compaction — IncrementalLayoutSpec). */
+  private val joinBucketedColocatedIncr = GraftQuery(
+    "join_bucketed_colocated_incr",
+    (s, dir) => {
+      val Seq(ordersB, lineitemB) = bucketedFactsIncremental(s, dir)
       s.table(lineitemB).hint("merge")
         .join(s.table(ordersB), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -724,8 +828,9 @@ object Joins extends QueryGroup {
   override def queries: Seq[GraftQuery] = Seq(
     joinInnerEqui, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
     joinBroadcastHash, joinBroadcastResidual, joinCross, joinThetaRange, joinLookupFormat,
-    joinAsof, joinAsofNative, joinAsofColocated, joinInterval,
+    joinAsof, joinAsofNative, joinAsofColocated, joinAsofColocatedIncr,
+    joinInterval,
     joinIntervalColocated, joinRangeBanded, joinRangeBandedSalted,
-    joinBucketedColocated,
+    joinBucketedColocated, joinBucketedColocatedIncr,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }
