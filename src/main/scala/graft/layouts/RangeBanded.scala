@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * (r8 verdict item 1): a table that is joined on a pure time/value RANGE
   * predicate, with NO selective equi key, is stored with a derived
   * `band = epoch_micros(ts) div bandMicros` column, bucketed + sorted on
-  * the band. A range join with window W ≤ bandMicros then becomes an
-  * EQUI join on the band (each probe row can only match bands b and
-  * b + 1), with the range predicate left as a residual filter inside the
-  * matched band groups:
+  * the band. A range join with window W then becomes an EQUI join on the
+  * band (each probe row can only match the ⌈W/B⌉+1 bands starting at its
+  * own — two when W ≤ B, more for wider windows, never the corpus), with
+  * the range predicate left as a residual filter inside the matched band
+  * groups:
   *
   *  - the BANDED (big) side is never shuffled and never sorted — the
   *    merge join reads its buckets in resident order (the same
@@ -89,29 +90,102 @@ object RangeBanded {
         srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head
   }
 
+  /** Candidate-fan-out telemetry of the last [[rangeJoin]] call: how many
+    * candidate keys each probe row explodes to (bands × salt residues) —
+    * the route-auditability convention (MinHashIndex.lastProbeStats): an
+    * unexpectedly wide window against a narrow-banded layout shows up
+    * here as a fan-out jump, attributable from the caller without
+    * reading the plan. Single-slot; read right after the call. */
+  @volatile var lastCandidateKeys: Int = 0
+
+  /** Hard ceiling on per-probe-row candidate fan-out: past this the
+    * probe explode itself is the scale problem and the layout should be
+    * rebuilt with wider bands (fan-out = (2 + (W−1) div B) · salt, so
+    * 1024 means a window ~1000× the band width — a layout-choice error,
+    * not a workload). */
+  private val MaxCandidateKeys = 1024
+
+  /** The salt [[autoSalt]] last derived (route-auditability convention:
+    * the pick is also visible in the layout's table name via ensure's
+    * `_s<k>` suffix). Single-slot; read right after the ensure. */
+  @volatile var lastAutoSalt: Int = 1
+
+  /** AUTO-SALT (r9 verdict item 3): derive the salt factor from the
+    * OBSERVED band occupancy instead of caller guesswork — the scaladoc
+    * rule "k ≈ hot-band rows / target-task rows", computed:
+    * k = ⌈hottest-band rows / targetRowsPerTask⌉, clamped to
+    * [1, maxSalt]. One counting aggregation over the source, paid once
+    * at layout-ensure time like the banding sort itself. A uniform
+    * corpus derives k = 1 (salting pure overhead there: the probe's
+    * fan-out is ×k while no task shrinks); a 75 %-hot corpus lands
+    * within the plateau of the best manual pick (tools.SaltProbe A/B,
+    * CROSSOVER.md). `targetRowsPerTask` is the merge-task size the
+    * cluster digests comfortably — the default mirrors the ~32 MB/task
+    * sizing the bucket counts use (~1 M event-sized rows). */
+  def autoSalt(src: DataFrame, tsCol: String, bandMicros: Long,
+      targetRowsPerTask: Long = 1L << 20, maxSalt: Int = 64): Int = {
+    require(targetRowsPerTask >= 1 && maxSalt >= 1)
+    val hottest = src.groupBy(bandOf(tsCol, bandMicros).as("band"))
+      .count().agg(max(col("count"))).head().get(0) match {
+      case n: java.lang.Long => n.longValue
+      case _ => 0L // empty source
+    }
+    val k = math.max(1L, (hottest + targetRowsPerTask - 1) / targetRowsPerTask)
+    val pick = math.min(k, maxSalt.toLong).toInt
+    lastAutoSalt = pick
+    pick
+  }
+
+  /** [[ensure]] with the salt derived by [[autoSalt]] — returns
+    * (table, salt) because the probe side must enumerate exactly the
+    * derived residues ([[rangeJoin]]'s `salt` parameter). The layout
+    * name carries the pick (`_s<k>`), so retuning `targetRowsPerTask`
+    * or a shifted occupancy profile builds a fresh layout rather than
+    * silently serving the old split. */
+  def ensureAuto(s: SparkSession, dir: String, name: String, src: DataFrame,
+      tsCol: String, bandMicros: Long, srcTables: Seq[String],
+      buckets: Int = 8, targetRowsPerTask: Long = 1L << 20,
+      saltCol: String = "event_id", maxSalt: Int = 64): (String, Int) = {
+    val k = autoSalt(src, tsCol, bandMicros, targetRowsPerTask, maxSalt)
+    (ensure(s, dir, name, src, tsCol, bandMicros, srcTables, buckets,
+      salt = k, saltCol = saltCol), k)
+  }
+
   /** Pure-range join over a banded layout: pairs every `probe` row with
     * the `banded` rows whose `bandedTs` falls in
     * [probeTs, probeTs + windowMicros). `banded` must carry the layout's
-    * `band` column (scan the [[ensure]]d table); `windowMicros` must not
-    * exceed the layout's `bandMicros` (two candidate bands suffice —
-    * require()d, because silently missing matches past band b + 1 would
-    * be a correctness bug, not a perf bug). Probe columns survive with
-    * their names; callers project/rename before joining if they collide
-    * with banded columns. */
+    * `band` column (scan the [[ensure]]d table). The window may exceed
+    * the layout's band width (r9 verdict item 2 — a query whose window
+    * outgrows the layout no longer forces a rebuild): each probe row
+    * explodes to the ⌈W/B⌉+1 candidate bands that can hold a match —
+    * probeTs sits in band p, and every match ts < probeTs + W <
+    * (p+1)·B + W, so bands p .. p + 1 + (W−1) div B cover all matches
+    * (the +1 is the probe's own in-band offset; boundary rows are pinned
+    * in RangeBandedSpec). Fan-out stays bounded by the WINDOW/BAND
+    * ratio, never the corpus; the banded side is still never shuffled
+    * and never sorted. Probe columns survive with their names; callers
+    * project/rename before joining if they collide with banded
+    * columns. */
   def rangeJoin(banded: DataFrame, probe: DataFrame, bandedTs: String,
       probeTs: String, windowMicros: Long, bandMicros: Long,
       salt: Int = 1): DataFrame = {
-    require(windowMicros <= bandMicros,
-      s"window ${windowMicros}µs exceeds band width ${bandMicros}µs: " +
-        "matches past the adjacent band would be silently dropped")
+    require(windowMicros >= 1, s"window must be ≥ 1µs: $windowMicros")
     require(salt >= 1, s"salt must be ≥ 1: $salt")
+    // bands p .. p + nExtra can hold a match (see scaladoc derivation)
+    val nExtra = (1L + (windowMicros - 1) / bandMicros).toInt
+    val fanOut = (nExtra + 1) * salt
+    require(fanOut <= MaxCandidateKeys,
+      s"candidate fan-out $fanOut (window ${windowMicros}µs over " +
+        s"${bandMicros}µs bands × salt $salt) exceeds $MaxCandidateKeys: " +
+        "rebuild the layout with wider bands instead of exploding the probe")
+    lastCandidateKeys = fanOut
     val pBand = bandOf(probeTs, bandMicros)
-    // candidate keys: the two candidate bands × every salt residue —
-    // 2·salt rows per probe row, the bounded price of splitting a hot
-    // band across salt buckets
+    // candidate keys: every reachable band × every salt residue —
+    // (⌈W/B⌉+1)·salt rows per probe row, the bounded price of a window
+    // wider than the band plus hot-band salting
     val cands =
-      if (salt == 1) array(pBand, pBand + 1)
-      else array((for (b <- 0 to 1; j <- 0 until salt)
+      if (salt == 1) array((0 to nExtra).map(b => pBand + b): _*)
+      else array((for (b <- 0 to nExtra; j <- 0 until salt)
         yield (pBand + b) * salt + j): _*)
     val probed = probe.withColumn("probe_band", explode(cands))
     banded.join(probed,

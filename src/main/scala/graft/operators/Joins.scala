@@ -484,12 +484,30 @@ object Joins extends QueryGroup {
     * still, and still zero corpus shuffle). Oracle: the plain range-join
     * SQL (the layout changes only the physical plan); PlanSpec pins
     * no BNLJ, no banded-side exchange, no banded-side sort. */
+  /** 1 h in µs — the band width every range-banded events layout here
+    * uses. */
+  private[graft] val HourMicros = 3600000000L
+
+  /** The range-banded events layouts the registry rows read — exposed so
+    * the bench prewarms them under `builds` with the IDENTICAL cache
+    * keys (r9 verdict item 5: the salted row's driver-run timing was 4×
+    * its quiet-machine value because the row's first run carried the
+    * layout ensure; builds-section prewarming is the same contract every
+    * other resident format gets). */
+  def rangeBandedEvents(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.layouts.RangeBanded.ensure(s, dir, "events",
+      Tables.events(s, dir), "ts", HourMicros, Seq("events"))
+
+  def rangeBandedEventsSalted(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.layouts.RangeBanded.ensure(s, dir, "events",
+      Tables.events(s, dir), "ts", HourMicros, Seq("events"),
+      salt = 4, saltCol = "event_id")
+
   private val joinRangeBanded = GraftQuery(
     "join_range_banded",
     (s, dir) => {
-      val hourMicros = 3600000000L
-      val t = graft.layouts.RangeBanded.ensure(s, dir, "events",
-        Tables.events(s, dir), "ts", hourMicros, Seq("events"))
+      val hourMicros = HourMicros
+      val t = rangeBandedEvents(s, dir)
       val errors = s.table(t).filter(col("event_type") === "error")
         .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
         .hint("merge")
@@ -509,6 +527,41 @@ object Joins extends QueryGroup {
        AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
 
+  /** [[joinRangeBanded]] with a window WIDER than the layout's band
+    * (2.5 h over 1 h bands — r9 verdict item 2): a user whose query
+    * window outgrows the stored band width no longer hits a hard
+    * require() and a layout rebuild — the probe explodes to the
+    * ⌈W/B⌉+1 = 4 candidate bands that can hold a match (boundary
+    * math pinned in RangeBandedSpec, fan-out recorded in
+    * `RangeBanded.lastCandidateKeys`). Oracle: the plain 150-minute
+    * range-join SQL over the raw tables — the wider probe enumeration
+    * changes only the physical plan; the banded side is still never
+    * shuffled and never sorted. */
+  private val joinRangeBandedWide = GraftQuery(
+    "join_range_banded_wide",
+    (s, dir) => {
+      val hourMicros = HourMicros
+      val t = rangeBandedEvents(s, dir)
+      val errors = s.table(t).filter(col("event_type") === "error")
+        .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .hint("merge")
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.layouts.RangeBanded.rangeJoin(errors, signups,
+          "error_ts", "signup_ts", windowMicros = hourMicros * 5 / 2,
+          bandMicros = hourMicros)
+        .select(col("error_id"), col("signup_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.event_id AS error_id, s.event_id AS signup_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 150 MINUTE
+      ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
+
   /** The SALTED form of [[joinRangeBanded]] (r9: hot-band skew): the
     * layout stores `band·4 + hash(event_id) mod 4`, spreading a peak
     * hour across 4 buckets/tasks, and the probe enumerates every salt
@@ -519,10 +572,8 @@ object Joins extends QueryGroup {
   private val joinRangeBandedSalted = GraftQuery(
     "join_range_banded_salted",
     (s, dir) => {
-      val hourMicros = 3600000000L
-      val t = graft.layouts.RangeBanded.ensure(s, dir, "events",
-        Tables.events(s, dir), "ts", hourMicros, Seq("events"),
-        salt = 4, saltCol = "event_id")
+      val hourMicros = HourMicros
+      val t = rangeBandedEventsSalted(s, dir)
       val errors = s.table(t).filter(col("event_type") === "error")
         .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
         .hint("merge")
@@ -830,7 +881,8 @@ object Joins extends QueryGroup {
     joinBroadcastHash, joinBroadcastResidual, joinCross, joinThetaRange, joinLookupFormat,
     joinAsof, joinAsofNative, joinAsofColocated, joinAsofColocatedIncr,
     joinInterval,
-    joinIntervalColocated, joinRangeBanded, joinRangeBandedSalted,
+    joinIntervalColocated, joinRangeBanded, joinRangeBandedWide,
+    joinRangeBandedSalted,
     joinBucketedColocated, joinBucketedColocatedIncr,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }

@@ -227,16 +227,31 @@ object EventPipelines {
     *
     * 100 TB notes: the dim is broadcast-sized by the SCD contract
     * (versions of a reference table); the stream side never shuffles —
-    * per-event cost is one hash probe + interval check. A dim too big to
-    * broadcast is the BATCH as-of problem, which the time-series layout
-    * family covers (Joins.bucketedEvents / join_asof_colocated). */
+    * per-event cost is one hash probe + interval check.
+    *
+    * NON-BROADCASTABLE dim fallback (r9 verdict item 6): a versioned
+    * dimension past executor-broadcast size (hundreds of millions of
+    * version rows) passes `broadcastDim = false` — the join becomes a
+    * per-micro-batch SHUFFLED equi join on the key (with the interval
+    * residual), which stream-static joins support: each micro-batch
+    * shuffles only ITS OWN rows (batch-bounded, not stream-bounded) plus
+    * the dim side. To stop re-shuffling the dim every micro-batch,
+    * resident-format it: persist the VERSIONED dim (valid_to
+    * precomputed) as a `Bucketed` layout on the key and pass
+    * `spark.table(...)` in — the static side's exchange then disappears
+    * into the bucketed scan, the same storage answer the batch as-of
+    * family uses (Joins.bucketedEvents / join_asof_colocated).
+    * StreamingSpec pins the fallback's stream ≡ batch ≡ broadcast-form
+    * agreement and the no-broadcast plan shape. */
   def asofEnrich(events: DataFrame, dim: DataFrame,
       dimKey: String, dimTs: String,
-      eventKey: String = "user_id", eventTs: String = "ts"): DataFrame = {
+      eventKey: String = "user_id", eventTs: String = "ts",
+      broadcastDim: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(dimKey)).orderBy(col(dimTs).asc)
     val versioned = dim.withColumn("valid_to", lead(col(dimTs), 1).over(w))
-    events.join(broadcast(versioned),
+    val dimSide = if (broadcastDim) broadcast(versioned) else versioned
+    events.join(dimSide,
       col(eventKey) === col(dimKey) &&
         col(eventTs) >= col(dimTs) &&
         (col("valid_to").isNull || col(eventTs) < col("valid_to")),

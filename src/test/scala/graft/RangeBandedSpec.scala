@@ -5,8 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** layouts.RangeBanded: the banded rewrite of a pure-range join must be
   * EXACTLY the brute-force join — including rows sitting precisely on
-  * band boundaries (the case the two-candidate-band argument has to
-  * cover) — and must refuse a window wider than the band. */
+  * band boundaries (the case the candidate-band enumeration has to
+  * cover), for windows NARROWER and WIDER than the band (the wide case
+  * explodes each probe row to ⌈W/B⌉+1 bands — r9 verdict item 2), with
+  * fan-out bounded by the window/band ratio and an absurd ratio refused
+  * as a layout-choice error. */
 class RangeBandedSpec extends AnyFunSuite with SparkTestBase {
 
   private val W = 3600000000L // 1h in µs
@@ -87,15 +90,97 @@ class RangeBandedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("rangeJoin refuses a window wider than the band (silent misses)") {
+  test("WIDE windows (W > band): rangeJoin ≡ brute force across band-boundary " +
+      "rows, salted and unsalted, with window/band-ratio-bounded fan-out") {
+    import spark.implicits._
+    // banded rows sprinkled across 6 bands, with exact-boundary and ±1 µs
+    // neighbors around every band edge a 2.5-band window can reach
+    val bandedRows = (0L to 5L).flatMap { b =>
+      Seq(b * W - 1, b * W, b * W + 1, b * W + W / 3, b * W + W - 1)
+    }.filter(_ >= 0).distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val probeRows = Seq(0L, 1L, W - 1, W, 2 * W - 1, 2 * W + 7L, 3 * W)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def toDf(rows: Seq[(Long, Long)], idCol: String, tsCol: String) =
+      rows.toDF(idCol, s"${tsCol}_us")
+        .withColumn(tsCol, expr(s"timestamp_micros(${tsCol}_us)").cast("timestamp_ntz"))
+        .drop(s"${tsCol}_us")
+    val probe = toDf(probeRows, "p_id", "p_ts")
+    // windows 2.5×, exactly 2×, and 3×+1µs the band width — each needs a
+    // different candidate-band count (4, 3, 5)
+    for ((win, wantFan) <- Seq((W * 5 / 2, 4), (2 * W, 3), (3 * W + 1, 5));
+         salt <- Seq(1, 3)) {
+      val banded = toDf(bandedRows, "b_id", "b_ts").withColumn("band",
+        graft.layouts.RangeBanded.saltedBandOf("b_ts", W, salt, "b_id"))
+      val got = graft.layouts.RangeBanded.rangeJoin(
+          banded, probe, "b_ts", "p_ts", windowMicros = win, bandMicros = W,
+          salt = salt)
+        .select("b_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (bi, bt) <- bandedRows
+        (pi, pt) <- probeRows
+        if bt >= pt && bt < pt + win
+      } yield (bi, pi)).toSet
+      assert(got == want, s"win=$win salt=$salt diverges from brute force: " +
+        s"extra=${got -- want} missing=${want -- got}")
+      // fan-out telemetry: bounded by the window/band ratio × salt,
+      // never by the corpus
+      assert(graft.layouts.RangeBanded.lastCandidateKeys == wantFan * salt,
+        s"win=$win salt=$salt fan-out ${graft.layouts.RangeBanded.lastCandidateKeys}")
+    }
+  }
+
+  test("autoSalt derives k from observed band occupancy: hot corpus → " +
+      "⌈hot rows / target⌉, uniform corpus → 1, clamped at maxSalt; the " +
+      "auto-salted join stays exact") {
+    import spark.implicits._
+    val edge = 2L * W
+    // 160 rows in the hot band, 3 elsewhere — the 75 %-hot shape
+    val hotRows = (0 until 160).map(i => (i.toLong, edge + (i * 7919L) % W)) ++
+      Seq((900L, 1L), (901L, W + 5L), (902L, 3L * W + 12345L))
+    def toDf(rows: Seq[(Long, Long)], idCol: String, tsCol: String) =
+      rows.toDF(idCol, s"${tsCol}_us")
+        .withColumn(tsCol, expr(s"timestamp_micros(${tsCol}_us)").cast("timestamp_ntz"))
+        .drop(s"${tsCol}_us")
+    val hot = toDf(hotRows, "b_id", "b_ts")
+    // ⌈160/40⌉ = 4; the pick is also in the telemetry slot
+    assert(graft.layouts.RangeBanded.autoSalt(hot, "b_ts", W,
+      targetRowsPerTask = 40) == 4)
+    assert(graft.layouts.RangeBanded.lastAutoSalt == 4)
+    // clamp: a tiny target cannot explode the fan-out past maxSalt
+    assert(graft.layouts.RangeBanded.autoSalt(hot, "b_ts", W,
+      targetRowsPerTask = 1, maxSalt = 16) == 16)
+    // a uniform corpus derives k = 1 — salting would be pure probe fan-out
+    val uniform = toDf((0 until 96).map(i =>
+      (i.toLong, (i % 48) * W + (i * 7919L) % W)), "b_id", "b_ts")
+    assert(graft.layouts.RangeBanded.autoSalt(uniform, "b_ts", W,
+      targetRowsPerTask = 40) == 1)
+    // and the auto-derived salt joins EXACTLY like unsalted brute force
+    val k = graft.layouts.RangeBanded.autoSalt(hot, "b_ts", W, targetRowsPerTask = 40)
+    val banded = hot.withColumn("band",
+      graft.layouts.RangeBanded.saltedBandOf("b_ts", W, k, "b_id"))
+    val probe = toDf(Seq((0L, edge - 1), (1L, edge), (2L, edge + W / 2), (3L, 0L)),
+      "p_id", "p_ts")
+    val got = graft.layouts.RangeBanded.rangeJoin(
+        banded, probe, "b_ts", "p_ts", windowMicros = W, bandMicros = W, salt = k)
+      .select("b_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (bi, bt) <- hotRows
+      (pi, pt) <- Seq((0L, edge - 1), (1L, edge), (2L, edge + W / 2), (3L, 0L))
+      if bt >= pt && bt < pt + W
+    } yield (bi, pi)).toSet
+    assert(got == want)
+  }
+
+  test("rangeJoin refuses an absurd fan-out (window ~1000x the band = " +
+      "layout-choice error, rebuild with wider bands)") {
     import spark.implicits._
     val df = Seq((1L, 0L)).toDF("id", "us")
       .withColumn("ts", expr("timestamp_micros(us)").cast("timestamp_ntz"))
     val banded = df.withColumn("band", graft.layouts.RangeBanded.bandOf("ts", W))
     val e = intercept[IllegalArgumentException] {
       graft.layouts.RangeBanded.rangeJoin(banded, df, "ts", "ts",
-        windowMicros = W + 1, bandMicros = W)
+        windowMicros = 2000L * W, bandMicros = W)
     }
-    assert(e.getMessage.contains("exceeds band width"))
+    assert(e.getMessage.contains("rebuild the layout with wider bands"))
   }
 }

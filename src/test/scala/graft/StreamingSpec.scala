@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** SURVEY §2-K streaming semantics: the EventPipelines transforms running
   * under Structured Streaming (MemoryStream), including the FIXTURES.md
@@ -165,6 +166,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> 200L, 5L -> 102L),
       s"asof enrich rows: $got")
     assert(got == rows(run(batchEvents.toDF())), "stream != batch twin")
+
+    // NON-BROADCASTABLE dim fallback (broadcastDim = false): same
+    // results under readStream — each micro-batch pays a batch-bounded
+    // shuffled join instead of a broadcast build
+    val stream2 = MemoryStream[Ev](spark)
+    stream2.addData(batchEvents)
+    val q2 = EventPipelines.asofEnrich(stream2.toDF(), dim,
+        "o_custkey", "o_orderdate", broadcastDim = false)
+      .select(col("event_id"), col("asof_orderkey"))
+      .writeStream.format("memory").queryName("asof_enrich_nb_out")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(spark.table("asof_enrich_nb_out")) == got,
+      "non-broadcast fallback != broadcast form")
+    // and the fallback genuinely does not broadcast: in a child session
+    // with auto-broadcast off, the batch twin plans a shuffled join
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val nb = EventPipelines.asofEnrich(
+      s2.createDataFrame(batchEvents.toDF().collect().toList.asJava, batchEvents.toDF().schema),
+      s2.createDataFrame(dim.collect().toList.asJava, dim.schema),
+      "o_custkey", "o_orderdate", broadcastDim = false)
+    val p = nb.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop"),
+      "fallback still broadcasts the dim:\n" + p)
   }
 
   test("stream-static enrich runs under readStream semantics (stream join static)") {
