@@ -60,7 +60,7 @@ object SaltProbe {
         expr(s"cast(timestamp_micros(${2L * W}L + id * (${W}L div ${nProbe + 1})) " +
           "as timestamp_ntz)").as("p_ts"))
       .localCheckpoint()
-    for (salt <- salts) {
+    def measure(salt: Int, label: String): Unit = {
       val t = graft.layouts.RangeBanded.ensure(spark, dir, "saltev", events,
         "ts", W, srcTables = Seq("events"), buckets = 32,
         salt = salt, saltCol = "event_id")
@@ -72,10 +72,18 @@ object SaltProbe {
           .count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      println(f"SALTPROBE n=$nRows hot=${(hotFrac * 100).toInt}%% salt=$salt%2d " +
+      println(f"SALTPROBE n=$nRows hot=${(hotFrac * 100).toInt}%% salt=$salt%2d$label " +
         f"join_min=${times.map(_._1).min}%6.2f s " +
         f"all=${times.map(x => f"${x._1}%.2f").mkString(",")} rows=${times.head._2}")
     }
+    salts.foreach(measure(_, ""))
+    // the AUTO pick (r10): k from observed band occupancy at the stated
+    // merge-task budget — the A/B answers "does the occupancy rule land on
+    // the manual plateau?" (target 100 k hot-side rows/task, the
+    // production-ish budget the ensureAuto scaladoc reasons from)
+    val auto = graft.layouts.RangeBanded.autoSalt(
+      events, "ts", W, targetRowsPerTask = 100000)
+    measure(auto, " (auto)")
     spark.stop()
   }
 }

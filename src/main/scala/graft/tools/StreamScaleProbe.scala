@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: the AT-SCALE STREAMING datapoint (r9 verdict item 4) — the
+  * stateful streaming family's "bounded state" claim, measured instead of
+  * argued. Drives a scaled events corpus through a FILE stream (one
+  * time-slice file per micro-batch, modification-time order = arrival
+  * order, the realistic ingest shape) and records, per batch, the
+  * throughput and the state store's row count + bytes from
+  * `StreamingQueryProgress.stateOperators`:
+  *
+  *  - stateful SESSIONS (flatMapGroupsWithState + event-time timeout):
+  *    state rows = users with an OPEN session at the watermark, so the
+  *    curve must be FLAT while input grows — the watermark timeout is
+  *    the eviction mechanism; without it state would be cumulative
+  *    users. This is the claim worth a number: an unbounded-state
+  *    sessionizer dies on day two of a 100 TB stream.
+  *  - stream-static AS-OF ENRICH: stateless by construction (the SCD
+  *    lookup is versioned on the static side) — the probe records
+  *    throughput and asserts the plan keeps NO state store at all.
+  *
+  * Usage: runMain graft.tools.StreamScaleProbe [dir] [nSlices]
+  */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf12"
+    val nSlices = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+
+    // time-slice the scaled events into nSlices arrival files: ntile over
+    // event time, one parquet file per slice, written in order so the
+    // file source's modification-time ordering replays them as the
+    // stream's micro-batches
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).head()
+    val (tMin, tMax) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val sliceMs = math.max(1L, (tMax - tMin) / nSlices + 1)
+    val srcDir = new java.io.File(s"/tmp/graft_streamscale_${dir.split('/').last}_$nSlices")
+    if (!new java.io.File(srcDir, "_SLICES_DONE").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      for (i <- 0 until nSlices) {
+        events.filter(
+            (unix_millis(col("ts")) - tMin).cast("long").divide(sliceMs).cast("int") === i)
+          .coalesce(4)
+          .write.mode("append").parquet(srcDir.getAbsolutePath)
+        Thread.sleep(1100) // distinct mtimes: arrival order = slice order
+      }
+      new java.io.File(srcDir, "_SLICES_DONE").createNewFile()
+    }
+    val total = events.count()
+    println(s"STREAMSCALE $dir slices=$nSlices total_rows=$total " +
+      s"span=${(tMax - tMin) / 3600000.0}%.1f h".replace("%.1f", ""))
+
+    def report(label: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+        expectState: Boolean): Unit = {
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      progs.foreach { p =>
+        val st = p.stateOperators.headOption
+        println(f"STREAMSCALE $label%-10s batch=${p.batchId}%3d " +
+          f"rows=${p.numInputRows}%9d rps=${p.processedRowsPerSecond}%11.0f " +
+          f"state_rows=${st.map(_.numRowsTotal).getOrElse(0L)}%9d " +
+          f"state_mb=${st.map(_.memoryUsedBytes).getOrElse(0L) / 1048576.0}%7.1f")
+      }
+      val states = progs.flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      if (expectState) {
+        // FLAT-state assertion: the last batch's state must not exceed the
+        // max mid-stream state by more than 2x — cumulative-user state
+        // would grow ~linearly in batch count
+        val (mid, last) = (states.dropRight(1).max, states.last)
+        assert(last <= 2 * mid,
+          s"$label state grows with the stream: mid=$mid last=$last")
+        println(s"STREAMSCALE $label state FLAT: mid_max=$mid last=$last " +
+          s"(input grew ${progs.length}x by batches)")
+      } else assert(states.forall(_ == 0) || states.isEmpty,
+        s"$label unexpectedly keeps a state store: ${states.toSeq}")
+    }
+
+    // 1. stateful sessions over the file stream
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4) // 4 files per slice (coalesce above)
+      .parquet(srcDir.getAbsolutePath)
+      .as[graft.streaming.StatefulSessions.SessionEvent]
+    val t0 = System.nanoTime()
+    val q1 = graft.streaming.StatefulSessions.sessions(stream)
+      .writeStream.format("noop").outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val dt1 = (System.nanoTime() - t0) / 1e9
+    report("sessions", q1, expectState = true)
+    println(f"STREAMSCALE sessions   TOTAL ${total / dt1}%.0f rows/s wall=$dt1%.1f s")
+
+    // 2. stream-static as-of enrich (stateless: versioned SCD lookup)
+    val dim = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(srcDir.getAbsolutePath)
+    val t1 = System.nanoTime()
+    val q2 = graft.streaming.EventPipelines.asofEnrich(
+        stream2.withColumn("ts", col("ts").cast("timestamp_ntz")),
+        dim, "o_custkey", "o_orderdate")
+      .writeStream.format("noop").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    report("asofenrich", q2, expectState = false)
+    println(f"STREAMSCALE asofenrich TOTAL ${total / dt2}%.0f rows/s wall=$dt2%.1f s")
+    spark.stop()
+  }
+}
