@@ -61,7 +61,8 @@ object IncrementalPrep {
       rowsPerBand: Int = 4,
       append: Boolean = false,
       compactIndex: Boolean = false,
-      autoCompactAt: Int = 0): Outputs = {
+      autoCompactAt: Int = 0,
+      batchTag: Option[String] = None): Outputs = {
     graft.functions.GraftFunctions.register(s)
     // scanned by three consumers (stage-1 groupBy, the b1 join, the
     // dropped report) — cache once, count eagerly (fills the cache)
@@ -132,13 +133,16 @@ object IncrementalPrep {
 
     // 6. fold the kept docs into the index: reps of the surviving norms
     // (append's jaccard-1.0 filter is a no-op here — stage 3 already
-    // dropped every batch doc with ANY corpus match ≥ threshold)
+    // dropped every batch doc with ANY corpus match ≥ threshold).
+    // `batchTag` makes the fold EXACTLY-ONCE: a retried nightly run
+    // (scheduler re-fire, crash after commit) is a no-op instead of
+    // double-indexing the batch (MinHashIndex.append's stamp contract).
     if (append) {
       val keptReps = b5.withColumn("norm", TextOps.normalize(col("text")))
         .select(col("norm")).distinct()
         .join(bReps, "norm").select(col("rep"), col("norm"))
       MinHashIndex.append(s, bandsTable, repsTable, pairsCk, keptReps,
-        shingleWords, nHashes, nBands, rowsPerBand)
+        shingleWords, nHashes, nBands, rowsPerBand, batchTag)
       // index MAINTENANCE on the caller's cadence: every append adds a
       // file per touched bucket, so a nightly job compacts periodically
       // to keep the probe's per-bucket file count bounded. Placement-only

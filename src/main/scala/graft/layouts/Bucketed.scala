@@ -231,10 +231,20 @@ object Bucketed {
     * certifies. Returns whether the append ran. */
   def appendOnce(s: SparkSession, tag: String,
       deltas: Seq[(String, DataFrame)]): Boolean = {
-    require(tag.matches("[A-Za-z0-9_\\-]+"), s"batch tag must be a file-name-safe token: $tag")
-    val stamp = new java.io.File(tableDir(s, deltas.head._1), s"_GRAFT_APPLIED_$tag")
+    val stamp = appliedStamp(s, deltas.head._1, tag)
     if (stamp.exists()) false
     else { append(s, deltas, () => stamp.createNewFile()); true }
+  }
+
+  /** The exactly-once stamp file for batch `tag` on a layout family,
+    * keyed by the family's FIRST table — shared by [[appendOnce]] and
+    * writers with their own append bodies (MinHashIndex) so every
+    * layout family spells batch idempotence the same way (and compact's
+    * stamp carry-over covers them all). */
+  private[layouts] def appliedStamp(s: SparkSession, qname: String,
+      tag: String): java.io.File = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"), s"batch tag must be a file-name-safe token: $tag")
+    new java.io.File(tableDir(s, qname), s"_GRAFT_APPLIED_$tag")
   }
 
   /** Fragmentation of a layout family: the max file count of any bucket

@@ -256,10 +256,24 @@ object MinHashIndex {
     * band rows). Appended files preserve the tables' bucketing spec
     * (same [[Buckets]] count and keys); multi-file buckets keep the
     * CLUSTERING the probe join rides (Spark just stops reporting
-    * per-bucket sort order, which the probe never needed). */
+    * per-bucket sort order, which the probe never needed).
+    *
+    * `batchTag` (r10): EXACTLY-ONCE named batches — a retried nightly
+    * job (crash after the append committed, scheduler re-run, operator
+    * re-drive) must not fold the same crawl batch in twice, which would
+    * duplicate its band rows AND its rep texts. With a tag the
+    * application is recorded by a stamp written INSIDE the crash-safe
+    * marker window (Bucketed.appendOnce's contract: no completion
+    * marker → rebuild from source; marker without stamp → re-append
+    * cleanly; marker + stamp → no-op); the stamp survives JVM restarts
+    * and compaction. Returns whether the append ran (always true
+    * untagged). */
   def append(s: SparkSession, bandsTable: String, repsTable: String,
       probePairs: DataFrame, batchReps: DataFrame,
-      shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int): Unit = {
+      shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
+      batchTag: Option[String] = None): Boolean = {
+    val stamp = batchTag.map(Bucketed.appliedStamp(s, bandsTable, _))
+    if (stamp.exists(_.exists())) return false
     val exactDup = probePairs.filter(col("jaccard") === 1.0)
       .select(col("brep").as("rep")).distinct()
     val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")
@@ -278,7 +292,9 @@ object MinHashIndex {
         .saveAsTable(bandsTable)
       reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
         .saveAsTable(repsTable)
+      stamp.foreach(_.createNewFile())
     }
+    true
   }
 
   /** INDEX MAINTENANCE, part 2: compact both index tables back to one

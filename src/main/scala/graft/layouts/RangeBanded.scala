@@ -90,6 +90,31 @@ object RangeBanded {
         srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head
   }
 
+  /** Incremental APPEND for a banded layout (r10 — completes the
+    * maintenance story Bucketed.append gives the equi layouts): derives
+    * the salted band key for the delta EXACTLY as [[ensure]] did — the
+    * caller must pass the layout's own (bandMicros, salt, saltCol), the
+    * same parameters already encoded in its table name — then delegates
+    * to `Bucketed.appendOnce`/`append` (crash-safe marker window,
+    * exactly-once under `tag`, ≤ 1 new file per touched bucket).
+    * Returns whether the append ran (always true untagged).
+    *
+    * Occupancy note for [[ensureAuto]] layouts: appends do NOT re-derive
+    * the salt — the layout keeps the k its name carries. If the
+    * occupancy profile drifts far enough that k is wrong, re-ensure
+    * with ensureAuto: the new pick builds a NEW layout name rather than
+    * silently re-salting files in place. */
+  def append(s: SparkSession, table: String, delta: DataFrame,
+      tsCol: String, bandMicros: Long, salt: Int = 1,
+      saltCol: String = "event_id", tag: Option[String] = None): Boolean = {
+    val banded = delta.withColumn("band",
+      saltedBandOf(tsCol, bandMicros, salt, saltCol))
+    tag match {
+      case Some(t) => Bucketed.appendOnce(s, t, Seq(table -> banded))
+      case None => Bucketed.append(s, Seq(table -> banded)); true
+    }
+  }
+
   /** Candidate-fan-out telemetry of the last [[rangeJoin]] call: how many
     * candidate keys each probe row explodes to (bands × salt residues) —
     * the route-auditability convention (MinHashIndex.lastProbeStats): an

@@ -196,6 +196,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got3.toSet == Set((20L, 12L)), s"post-reregister pairs: ${got3.toSeq}")
   }
 
+  test("MinHashIndex append with a batchTag is EXACTLY-ONCE: a retried batch " +
+      "is a no-op, and the stamp survives compaction") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val P = (5, 64, 16, 4)
+    graft.layouts.Bucketed.invalidate(spark, "mhidx_tagspec_")
+    val corpus = Seq((1L, textA), (3L, textB)).toDF("id", "text")
+    val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "tagspec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    val textD = (1 to 50).map(i => s"tagd$i").mkString(" ")
+    val batch = Seq((12L, textD)).toDF("id", "text")
+    val (pairs, reps) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch, P._1, P._2, P._3, P._4, threshold = 0.5)
+    assert(graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs, reps, P._1, P._2, P._3, P._4,
+      batchTag = Some("night-001")))
+    val afterFirst = spark.table(repsT).count()
+    // the retried nightly run: same tag → no-op, content unchanged
+    assert(!graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs, reps, P._1, P._2, P._3, P._4,
+      batchTag = Some("night-001")))
+    assert(spark.table(repsT).count() == afterFirst)
+    // compaction rewrites placement but carries the stamp — the retry
+    // stays a no-op (a lost stamp would double-append the batch)
+    graft.layouts.MinHashIndex.compact(spark, bandsT, repsT)
+    assert(!graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs, reps, P._1, P._2, P._3, P._4,
+      batchTag = Some("night-001")))
+    assert(spark.table(repsT).count() == afterFirst)
+    // a NEW tag still appends (the no-op is per-batch, not a lock)
+    val batch2 = Seq((13L, (1 to 50).map(i => s"tage$i").mkString(" "))).toDF("id", "text")
+    val (pairs2, reps2) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch2, P._1, P._2, P._3, P._4, threshold = 0.5)
+    assert(graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs2, reps2, P._1, P._2, P._3, P._4,
+      batchTag = Some("night-002")))
+    assert(spark.table(repsT).count() == afterFirst + 1)
+  }
+
   test("MinHashIndex compaction: appends accumulate files per bucket; compact() " +
       "restores one file per bucket and leaves probe results invariant") {
     import org.apache.spark.sql.functions._

@@ -171,6 +171,54 @@ class RangeBandedSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("append folds a delta into the banded layout with the layout's own " +
+      "salted key derivation: base + delta join ≡ brute force over the " +
+      "union; a retried tag is a no-op") {
+    import spark.implicits._
+    val edge = 2L * W
+    val baseRows = (0 until 60).map(i => (i.toLong, edge + (i * 7919L) % W)) ++
+      Seq((900L, 1L), (901L, W + 5L))
+    val deltaRows = (100 until 140).map(i => (i.toLong, edge + (i * 104729L) % W)) ++
+      Seq((902L, 3L * W + 12345L), (903L, edge - 1), (904L, edge + W)) // boundary rows
+    def toDf(rows: Seq[(Long, Long)]) =
+      rows.toDF("b_id", "b_ts_us")
+        .withColumn("b_ts", expr("timestamp_micros(b_ts_us)").cast("timestamp_ntz"))
+        .drop("b_ts_us")
+    val salt = 3
+    graft.layouts.Bucketed.invalidate(spark, "rbappend_")
+    // ensure needs a dir whose source tables exist for the cache sig;
+    // the fixture content itself comes from the src DataFrame
+    val t = graft.layouts.RangeBanded.ensure(spark, "/root/testdata/sf0.001",
+      "rbappend_ev", toDf(baseRows), "b_ts", W, srcTables = Seq("events"),
+      buckets = 4, salt = salt, saltCol = "b_id")
+    assert(graft.layouts.RangeBanded.append(spark, t, toDf(deltaRows),
+      "b_ts", W, salt = salt, saltCol = "b_id", tag = Some("day-1")))
+    // retried batch: no-op, content unchanged
+    val n = spark.table(t).count()
+    assert(!graft.layouts.RangeBanded.append(spark, t, toDf(deltaRows),
+      "b_ts", W, salt = salt, saltCol = "b_id", tag = Some("day-1")))
+    assert(spark.table(t).count() == n && n == (baseRows ++ deltaRows).length)
+    // the appended layout joins EXACTLY like brute force over the union —
+    // a delta row banded/salted differently from ensure()'s derivation
+    // would land in a bucket the probe never enumerates
+    val probeRows = Seq((0L, edge - 1), (1L, edge), (2L, edge + W / 2),
+      (3L, 3L * W), (4L, 0L))
+    val probe = probeRows.toDF("p_id", "p_ts_us")
+      .withColumn("p_ts", expr("timestamp_micros(p_ts_us)").cast("timestamp_ntz"))
+      .drop("p_ts_us")
+    val got = graft.layouts.RangeBanded.rangeJoin(
+        spark.table(t), probe, "b_ts", "p_ts", windowMicros = W,
+        bandMicros = W, salt = salt)
+      .select("b_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (bi, bt) <- baseRows ++ deltaRows
+      (pi, pt) <- probeRows
+      if bt >= pt && bt < pt + W
+    } yield (bi, pi)).toSet
+    assert(got == want,
+      s"appended banded layout diverges: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("rangeJoin refuses an absurd fan-out (window ~1000x the band = " +
       "layout-choice error, rebuild with wider bands)") {
     import spark.implicits._
