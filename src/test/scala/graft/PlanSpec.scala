@@ -34,6 +34,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bucketed fact join still shuffles its inputs:\n" + p)
   }
 
+  test("join_bucketed_colocated_incr / join_asof_colocated_incr: the pins " +
+      "survive MULTI-FILE buckets — zero exchange on the appended layouts") {
+    // the incremental twins run over base-build + appendOnce-delta
+    // layouts (fpb = 2 after the delta): the bucket CLUSTERING — and with
+    // it every zero-exchange pin — must hold regardless of file count;
+    // only the reported per-bucket sort order waits for compaction
+    // (IncrementalLayoutSpec pins that half)
+    val p = plan("join_bucketed_colocated_incr")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "appended fact layout join shuffles its inputs:\n" + p)
+    val pa = plan("join_asof_colocated_incr")
+    assert(!pa.contains("Exchange hashpartitioning(user_id") &&
+      !pa.contains("Exchange hashpartitioning(c_user"),
+      "appended time-series as-of shuffles a side:\n" + pa)
+  }
+
   test("join_star_colocated: no exchange and no broadcast on the fact⋈orders " +
       "and orders⋈customer edges") {
     val p = plan("join_star_colocated")
