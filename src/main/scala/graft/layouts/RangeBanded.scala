@@ -83,12 +83,19 @@ object RangeBanded {
     // cache would otherwise serve a layout salted on whichever column
     // ran first: results stay correct, but the caller's intended skew
     // split silently never happens)
-    val nm = if (salt == 1) s"${name}_band$bandMicros"
-      else s"${name}_band${bandMicros}_s${salt}_$saltCol"
+    val nm = name + layoutSuffix(bandMicros, salt, saltCol)
     Bucketed.ensure(s, dir, Seq(
       Bucketed.Spec(nm, banded, "band",
         srcTables = srcTables, sortCols = Seq("band", tsCol))), buckets).head
   }
+
+  /** The layout-name suffix encoding a banded layout's derivation
+    * parameters — ONE definition shared by [[ensure]] (names the table)
+    * and [[append]] (validates the caller's parameters against the
+    * table it extends). */
+  private def layoutSuffix(bandMicros: Long, salt: Int, saltCol: String): String =
+    if (salt == 1) s"_band$bandMicros"
+    else s"_band${bandMicros}_s${salt}_$saltCol"
 
   /** Incremental APPEND for a banded layout (r10 — completes the
     * maintenance story Bucketed.append gives the equi layouts): derives
@@ -107,6 +114,15 @@ object RangeBanded {
   def append(s: SparkSession, table: String, delta: DataFrame,
       tsCol: String, bandMicros: Long, salt: Int = 1,
       saltCol: String = "event_id", tag: Option[String] = None): Boolean = {
+    // the caller's derivation parameters MUST match the layout's own —
+    // a mismatched band width or salt would place delta rows in buckets
+    // the probe never enumerates (silently missing matches, the worst
+    // failure mode). The layout name encodes them, so verify against it.
+    val suffix = layoutSuffix(bandMicros, salt, saltCol)
+    require(table.endsWith(suffix),
+      s"append derivation (band=$bandMicros salt=$salt saltCol=$saltCol → " +
+        s"'$suffix') does not match layout '$table' — delta rows would land " +
+        "in buckets the probe never reads")
     val banded = delta.withColumn("band",
       saltedBandOf(tsCol, bandMicros, salt, saltCol))
     tag match {

@@ -217,6 +217,17 @@ class RangeBandedSpec extends AnyFunSuite with SparkTestBase {
     } yield (bi, pi)).toSet
     assert(got == want,
       s"appended banded layout diverges: extra=${got -- want} missing=${want -- got}")
+    // derivation-mismatch guard: a wrong band width / salt / salt column
+    // would place delta rows in buckets the probe never enumerates —
+    // refused against the layout name, not silently appended
+    for ((bm, sl, sc) <- Seq((W / 2, salt, "b_id"), (W, salt + 1, "b_id"),
+        (W, salt, "other_col"))) {
+      val e = intercept[IllegalArgumentException] {
+        graft.layouts.RangeBanded.append(spark, t, toDf(deltaRows),
+          "b_ts", bm, salt = sl, saltCol = sc)
+      }
+      assert(e.getMessage.contains("does not match layout"), e.getMessage)
+    }
   }
 
   test("rangeJoin refuses an absurd fan-out (window ~1000x the band = " +
