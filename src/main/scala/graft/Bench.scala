@@ -500,6 +500,8 @@ object Bench {
           // salted row's driver timing carried a per-run layout ensure)
           "build_range_banded" -> clocked(operators.Joins.rangeBandedEvents(spark, sfDir)),
           "build_range_banded_salted" -> clocked(operators.Joins.rangeBandedEventsSalted(spark, sfDir)),
+          "build_range_banded_auto" -> clocked(operators.Joins.rangeBandedEventsAuto(spark, sfDir)),
+          "build_range_banded_incr" -> clocked(operators.Joins.rangeBandedEventsIncremental(spark, sfDir)),
           "build_bucketed_facts_incr" -> clocked(operators.Joins.bucketedFactsIncremental(spark, sfDir)),
           "build_bucketed_events_incr" -> clocked(operators.Joins.bucketedEventsIncremental(spark, sfDir)),
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),

@@ -503,6 +503,21 @@ object Joins extends QueryGroup {
       Tables.events(s, dir), "ts", HourMicros, Seq("events"),
       salt = 4, saltCol = "event_id")
 
+  def rangeBandedEventsAuto(s: org.apache.spark.sql.SparkSession, dir: String): (String, Int) =
+    graft.layouts.RangeBanded.ensureAuto(s, dir, "events",
+      Tables.events(s, dir), "ts", HourMicros, Seq("events"),
+      targetRowsPerTask = 64, maxSalt = 8)
+
+  def rangeBandedEventsIncremental(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val events = Tables.events(s, dir)
+    val isDelta = pmod(xxhash64(col("event_id")), lit(8)) === 0
+    val t = graft.layouts.RangeBanded.ensure(s, dir, "events_incr",
+      events.filter(!isDelta), "ts", HourMicros, Seq("events"))
+    graft.layouts.RangeBanded.append(s, t, events.filter(isDelta),
+      "ts", HourMicros, tag = Some("delta-1of8"))
+    t
+  }
+
   private val joinRangeBanded = GraftQuery(
     "join_range_banded",
     (s, dir) => {
@@ -560,6 +575,72 @@ object Joins extends QueryGroup {
       JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
        AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 150 MINUTE
+      ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
+
+  /** The INCREMENTALLY-MAINTAINED banded layout (r10): built from a
+    * deterministic 7/8 base of events, the remaining 1/8 folded in as a
+    * named batch through `RangeBanded.append` — which re-derives the
+    * salted band key exactly as ensure() did (validated against the
+    * layout name) and lands under the crash-safe exactly-once stamp.
+    * Same full-table range-join SQL oracle: a delta row banded into the
+    * wrong bucket would be invisible to the probe's candidate bands and
+    * fail the hash gate. */
+  private val joinRangeBandedIncr = GraftQuery(
+    "join_range_banded_incr",
+    (s, dir) => {
+      val hourMicros = HourMicros
+      val t = rangeBandedEventsIncremental(s, dir)
+      val errors = s.table(t).filter(col("event_type") === "error")
+        .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .hint("merge")
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.layouts.RangeBanded.rangeJoin(errors, signups,
+          "error_ts", "signup_ts", windowMicros = hourMicros, bandMicros = hourMicros)
+        .select(col("error_id"), col("signup_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.event_id AS error_id, s.event_id AS signup_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
+
+  /** [[joinRangeBanded]] over an AUTO-SALTED layout (r10):
+    * `RangeBanded.ensureAuto` derives the salt factor from the observed
+    * band occupancy (k = ⌈hottest-band rows / task budget⌉ — here a
+    * deliberately small budget so even the sf0.01 gate corpus derives
+    * k > 1 and the salted probe path is what the oracle exercises) and
+    * returns it alongside the table so the probe enumerates exactly the
+    * derived residues. Same SQL oracle — the salt only rewrites
+    * placement; the A/B economics live in tools.SaltProbe
+    * (auto within 5.7 % of the best manual pick, CROSSOVER.md). */
+  private val joinRangeBandedAuto = GraftQuery(
+    "join_range_banded_autosalt",
+    (s, dir) => {
+      val hourMicros = HourMicros
+      val (t, k) = rangeBandedEventsAuto(s, dir)
+      val errors = s.table(t).filter(col("event_type") === "error")
+        .select(col("band"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .hint("merge")
+      val signups = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.layouts.RangeBanded.rangeJoin(errors, signups,
+          "error_ts", "signup_ts", windowMicros = hourMicros,
+          bandMicros = hourMicros, salt = k)
+        .select(col("error_id"), col("signup_id"), col("error_ts"), col("signup_ts"))
+        .orderBy(col("error_id").asc_nulls_first, col("signup_id").asc_nulls_first)
+    },
+    Some("""
+      SELECT e.event_id AS error_id, s.event_id AS signup_id,
+             CAST(e.ts AS TIMESTAMP) AS error_ts, CAST(s.ts AS TIMESTAMP) AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+       AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       ORDER BY error_id ASC NULLS FIRST, signup_id ASC NULLS FIRST"""))
 
   /** The SALTED form of [[joinRangeBanded]] (r9: hot-band skew): the
@@ -882,7 +963,7 @@ object Joins extends QueryGroup {
     joinAsof, joinAsofNative, joinAsofColocated, joinAsofColocatedIncr,
     joinInterval,
     joinIntervalColocated, joinRangeBanded, joinRangeBandedWide,
-    joinRangeBandedSalted,
+    joinRangeBandedSalted, joinRangeBandedIncr, joinRangeBandedAuto,
     joinBucketedColocated, joinBucketedColocatedIncr,
     joinStarColocated, joinCustkeyColocated, joinBloomRuntime)
 }
