@@ -231,16 +231,23 @@ object Bucketed {
     * certifies. Returns whether the append ran. */
   def appendOnce(s: SparkSession, tag: String,
       deltas: Seq[(String, DataFrame)]): Boolean = {
-    val stamp = appliedStamp(s, deltas.head._1, tag)
-    if (stamp.exists()) false
-    else { append(s, deltas, () => stamp.createNewFile()); true }
+    // stamp EVERY member and treat ANY existing stamp as applied: keying
+    // the head table alone would double-append the whole family when a
+    // retry lists its members in a different order (r10 review). Stamps
+    // are created together inside the marker window; a crash between
+    // creations leaves no completion marker, so the family rebuilds —
+    // a partially-stamped family is never consulted.
+    val stamps = deltas.map { case (q, _) => appliedStamp(s, q, tag) }
+    if (stamps.exists(_.exists())) false
+    else { append(s, deltas, () => stamps.foreach(_.createNewFile())); true }
   }
 
-  /** The exactly-once stamp file for batch `tag` on a layout family,
-    * keyed by the family's FIRST table — shared by [[appendOnce]] and
-    * writers with their own append bodies (MinHashIndex) so every
-    * layout family spells batch idempotence the same way (and compact's
-    * stamp carry-over covers them all). */
+  /** The exactly-once stamp file for batch `tag` on one layout table —
+    * shared by [[appendOnce]] (which stamps every family member) and
+    * writers with their own append bodies (MinHashIndex, whose two
+    * tables are fixed-order named parameters) so every layout family
+    * spells batch idempotence the same way (and compact's stamp
+    * carry-over covers them all). */
   private[layouts] def appliedStamp(s: SparkSession, qname: String,
       tag: String): java.io.File = {
     require(tag.matches("[A-Za-z0-9_\\-]+"), s"batch tag must be a file-name-safe token: $tag")

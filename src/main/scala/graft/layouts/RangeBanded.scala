@@ -177,6 +177,17 @@ object RangeBanded {
     pick
   }
 
+  /** Per-session memo of derived salts, keyed by the source CONTENT
+    * signature + derivation parameters: without it every ensureAuto
+    * call re-pays the full-table occupancy aggregation even when the
+    * layout itself is a pure cache hit — at sf96 that is a 10⁸-row scan
+    * inside what should be a catalog lookup (r10 review). Keyed by
+    * content, so regenerated data re-derives; in-JVM only, so a fresh
+    * session re-derives once (still "paid at ensure time, not per
+    * query"). */
+  private val autoSaltMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** [[ensure]] with the salt derived by [[autoSalt]] — returns
     * (table, salt) because the probe side must enumerate exactly the
     * derived residues ([[rangeJoin]]'s `salt` parameter). The layout
@@ -187,7 +198,12 @@ object RangeBanded {
       tsCol: String, bandMicros: Long, srcTables: Seq[String],
       buckets: Int = 8, targetRowsPerTask: Long = 1L << 20,
       saltCol: String = "event_id", maxSalt: Int = 64): (String, Int) = {
-    val k = autoSalt(src, tsCol, bandMicros, targetRowsPerTask, maxSalt)
+    val memoKey = srcTables.map(t => LayoutUtil.dataSig(s"$dir/$t.parquet"))
+      .mkString("_") +
+      s"|$name|$tsCol|$bandMicros|$targetRowsPerTask|$maxSalt"
+    val k: Int = autoSaltMemo.computeIfAbsent(memoKey,
+      _ => autoSalt(src, tsCol, bandMicros, targetRowsPerTask, maxSalt))
+    lastAutoSalt = k
     (ensure(s, dir, name, src, tsCol, bandMicros, srcTables, buckets,
       salt = k, saltCol = saltCol), k)
   }
@@ -212,14 +228,19 @@ object RangeBanded {
       salt: Int = 1): DataFrame = {
     require(windowMicros >= 1, s"window must be ≥ 1µs: $windowMicros")
     require(salt >= 1, s"salt must be ≥ 1: $salt")
-    // bands p .. p + nExtra can hold a match (see scaladoc derivation)
-    val nExtra = (1L + (windowMicros - 1) / bandMicros).toInt
-    val fanOut = (nExtra + 1) * salt
-    require(fanOut <= MaxCandidateKeys,
-      s"candidate fan-out $fanOut (window ${windowMicros}µs over " +
+    // bands p .. p + nExtra can hold a match (see scaladoc derivation).
+    // The ceiling check stays in LONG arithmetic: a truncating .toInt
+    // BEFORE the guard would let an extreme window/band ratio wrap past
+    // it and silently drop matches — the exact failure mode the guard
+    // exists to refuse (r10 review).
+    val nExtraL = 1L + (windowMicros - 1) / bandMicros
+    val fanOutL = (nExtraL + 1) * salt
+    require(fanOutL <= MaxCandidateKeys,
+      s"candidate fan-out $fanOutL (window ${windowMicros}µs over " +
         s"${bandMicros}µs bands × salt $salt) exceeds $MaxCandidateKeys: " +
         "rebuild the layout with wider bands instead of exploding the probe")
-    lastCandidateKeys = fanOut
+    val nExtra = nExtraL.toInt
+    lastCandidateKeys = fanOutL.toInt
     val pBand = bandOf(probeTs, bandMicros)
     // candidate keys: every reachable band × every salt residue —
     // (⌈W/B⌉+1)·salt rows per probe row, the bounded price of a window

@@ -46,7 +46,13 @@ object StreamScaleProbe {
     val bounds = events.agg(min(col("ts")), max(col("ts"))).head()
     val (tMin, tMax) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     val sliceMs = math.max(1L, (tMax - tMin) / nSlices + 1)
-    val srcDir = new java.io.File(s"/tmp/graft_streamscale_${dir.split('/').last}_$nSlices")
+    // fixture keyed by the SOURCE CONTENT signature, not just the dir
+    // name: a regenerated corpus must re-slice, never replay stale files
+    // against a fresh count (r10 review — the LayoutUtil.dataSig rule
+    // every derived artifact here follows)
+    val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/events.parquet").take(8)
+    val srcDir = new java.io.File(
+      s"/tmp/graft_streamscale_${dir.split('/').last}_${nSlices}_$sig")
     if (!new java.io.File(srcDir, "_SLICES_DONE").exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
       for (i <- 0 until nSlices) {
@@ -59,8 +65,8 @@ object StreamScaleProbe {
       new java.io.File(srcDir, "_SLICES_DONE").createNewFile()
     }
     val total = events.count()
-    println(s"STREAMSCALE $dir slices=$nSlices total_rows=$total " +
-      s"span=${(tMax - tMin) / 3600000.0}%.1f h".replace("%.1f", ""))
+    println(f"STREAMSCALE $dir slices=$nSlices total_rows=$total " +
+      f"span=${(tMax - tMin) / 3600000.0}%.1f h")
 
     def report(label: String, q: org.apache.spark.sql.streaming.StreamingQuery,
         expectState: Boolean): Unit = {
@@ -76,13 +82,17 @@ object StreamScaleProbe {
       if (expectState) {
         // FLAT-state assertion: the last batch's state must not exceed the
         // max mid-stream state by more than 2x — cumulative-user state
-        // would grow ~linearly in batch count
-        val (mid, last) = (states.dropRight(1).max, states.last)
-        assert(last <= 2 * mid,
-          s"$label state grows with the stream: mid=$mid last=$last")
-        println(s"STREAMSCALE $label state FLAT: mid_max=$mid last=$last " +
-          s"(input grew ${progs.length}x by batches)")
-      } else assert(states.forall(_ == 0) || states.isEmpty,
+        // would grow ~linearly in batch count. Needs >= 2 stateful
+        // batches to compare; a single-batch run reports without judging
+        if (states.length >= 2) {
+          val (mid, last) = (states.dropRight(1).max, states.last)
+          assert(last <= 2 * mid,
+            s"$label state grows with the stream: mid=$mid last=$last")
+          println(s"STREAMSCALE $label state FLAT: mid_max=$mid last=$last " +
+            s"(input grew ${progs.length}x by batches)")
+        } else println(s"STREAMSCALE $label single-batch run: flat-state " +
+          s"comparison skipped (states=${states.toSeq})")
+      } else assert(states.forall(_ == 0),
         s"$label unexpectedly keeps a state store: ${states.toSeq}")
     }
 

@@ -241,5 +241,13 @@ class RangeBandedSpec extends AnyFunSuite with SparkTestBase {
         windowMicros = 2000L * W, bandMicros = W)
     }
     assert(e.getMessage.contains("rebuild the layout with wider bands"))
+    // Int-overflow hardening: a ratio past 2^31 must ALSO hit the guard —
+    // a truncating Long→Int before the check would wrap past it and
+    // silently drop matches (the failure mode the guard refuses)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.layouts.RangeBanded.rangeJoin(banded, df, "ts", "ts",
+        windowMicros = (1L << 40), bandMicros = 1L)
+    }
+    assert(e2.getMessage.contains("rebuild the layout with wider bands"), e2.getMessage)
   }
 }
