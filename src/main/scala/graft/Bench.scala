@@ -535,8 +535,13 @@ object Bench {
       }
     val allOnce = rowTimes.map(_._2._1).sum
 
+    // Locale.ROOT (r10 ADVICE): the f-interpolator formats under the
+    // default JVM locale, whose decimal separator can be a comma —
+    // invalid JSON. The emitted record must be locale-independent.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def obj(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     def objT(kvs: Seq[(String, (Double, Option[String]))]): String =
       obj(kvs.map { case (k, (v, _)) => k -> v })
     def objErrs(kvs: Seq[(String, (Double, Option[String]))]): String =
@@ -554,7 +559,7 @@ object Bench {
     // (`value` keeps its historical all-rows semantics for r1–r9
     // comparability.)
     val cleanTotal =
-      if (nonClassic.forall(_._2._2.isEmpty)) f"$total%.4f" else "null"
+      if (nonClassic.forall(_._2._2.isEmpty)) num(total) else "null"
     // testdata-vintage signature (r6 verdict item 6): the r6 regeneration
     // moved untouched-row floors 10–45% and the cross-round comparison
     // was only interpretable via prose; stamping the content signature of

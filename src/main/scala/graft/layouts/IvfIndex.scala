@@ -34,10 +34,10 @@ object IvfIndex {
     val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters)
     val idxPath = s"/tmp/graft_ivf_idx_$id"
     val centsPath = s"/tmp/graft_ivf_cents_$id"
-    val done = new java.io.File(s"$idxPath/_SUCCESS")
-    if (!done.exists() || !new java.io.File(s"$centsPath/_SUCCESS").exists()) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(centsPath))
+    if (!LayoutFs.existsAt(s"$idxPath/_SUCCESS")
+        || !LayoutFs.existsAt(s"$centsPath/_SUCCESS")) {
+      LayoutFs.deleteDirAt(idxPath)
+      LayoutFs.deleteDirAt(centsPath)
       val grouped = LayoutUtil.repsWithMembers(corpus)
       val reps = grouped.select(col("vec_id"), col("v"))
       val cents = Ivf.train(reps, k, iters)
@@ -93,7 +93,7 @@ object IvfIndex {
     * unaffected — IvfIndexSpec pins files-shrink + rows-identical. */
   def compact(s: SparkSession, idxPath: String, compactedPath: String,
       parallelism: Int = 32): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(compactedPath))
+    LayoutFs.deleteDirAt(compactedPath)
     s.read.parquet(idxPath)
       .repartition(parallelism, col("cent_id"))
       .write.partitionBy("cent_id").mode("overwrite").parquet(compactedPath)

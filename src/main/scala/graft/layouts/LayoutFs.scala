@@ -1,0 +1,103 @@
+package graft.layouts
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Filesystem seam for the layout-maintenance machinery (r10 verdict
+  * item 2): every listing, marker, stamp, lease, and staged-directory
+  * operation the lifecycle code performs goes through Hadoop
+  * [[FileSystem]], resolved PER PATH from its scheme — so the same
+  * append / compact / exactly-once code runs against `file://` (the
+  * in-repo default), HDFS, or an object store, instead of silently
+  * returning nothing from `java.io.File.listFiles` on a remote
+  * warehouse. Design constraints the call sites honour:
+  *
+  *  - NO atomic-rename dependency anywhere: [[Bucketed.compact]] swaps
+  *    by staging a versioned sibling directory, repointing the catalog,
+  *    and garbage-collecting the old directory — the only rename-shaped
+  *    operation object stores cannot give us is simply not used;
+  *  - [[createExclusive]] is atomic on local/HDFS (`create(overwrite =
+  *    false)`); on stores without atomic create it degrades to
+  *    best-effort, which is why the lease it backs is an EXCLUSION
+  *    GUARD layered on top of the marker protocol, not the sole
+  *    correctness mechanism (a crashed or raced writer still leaves no
+  *    completion marker, and an uncertified family is rebuilt, never
+  *    served);
+  *  - reads/writes here are metadata-scale only (markers, one-line-per-
+  *    tag manifests, owner-id leases) — data files still move through
+  *    Spark's own committers.
+  *
+  * Callers pass the session's `sparkContext.hadoopConfiguration` so
+  * scheme resolution sees the deployment's credentials/filesystems; the
+  * zero-argument default serves plain `file:` paths. */
+object LayoutFs {
+
+  def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
+
+  def exists(p: Path, conf: Configuration): Boolean = fs(p, conf).exists(p)
+
+  /** Create-or-truncate an empty file (the marker/stamp primitive). */
+  def touch(p: Path, conf: Configuration): Unit =
+    fs(p, conf).create(p, true).close()
+
+  /** Atomically create `p` with `content` iff it does not exist —
+    * returns false when another writer got there first. Atomic on
+    * local/HDFS; best-effort on object stores (see the object scaladoc
+    * for why that is acceptable for the lease). */
+  def createExclusive(p: Path, content: String, conf: Configuration): Boolean =
+    try {
+      val out = fs(p, conf).create(p, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if exists(p, conf) => false
+    }
+
+  /** Delete one file (quiet: a missing path is not an error). */
+  def delete(p: Path, conf: Configuration): Unit =
+    try { fs(p, conf).delete(p, false); () } catch { case _: java.io.IOException => () }
+
+  /** Recursively delete a directory (quiet). Returns whether the path
+    * is gone afterwards — compact's old-dir GC treats a survivor as a
+    * harmless unmarked orphan, not a failure. */
+  def deleteDir(p: Path, conf: Configuration): Boolean =
+    try { fs(p, conf).delete(p, true); !exists(p, conf) }
+    catch { case _: java.io.IOException => false }
+
+  /** Children of `dir` (empty when the directory is missing). */
+  def list(dir: Path, conf: Configuration): Seq[FileStatus] =
+    try fs(dir, conf).listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  def listNames(dir: Path, conf: Configuration): Seq[String] =
+    list(dir, conf).map(_.getPath.getName)
+
+  def readString(p: Path, conf: Configuration): String = {
+    val in = fs(p, conf).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  def writeString(p: Path, content: String, conf: Configuration): Unit = {
+    val out = fs(p, conf).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def mtime(p: Path, conf: Configuration): Long =
+    fs(p, conf).getFileStatus(p).getModificationTime
+
+  // String-path conveniences against the default configuration — for
+  // the sidecar/guard checks of the artifact layouts (ZOrder, PqIndex,
+  // IvfIndex), whose paths are plain strings end to end. `file:` and
+  // any classpath-configured scheme resolve; session-specific schemes
+  // go through the Path+conf forms above.
+  private lazy val defaultConf = new Configuration()
+  def existsAt(path: String): Boolean = exists(new Path(path), defaultConf)
+  def deleteDirAt(path: String): Boolean = deleteDir(new Path(path), defaultConf)
+}

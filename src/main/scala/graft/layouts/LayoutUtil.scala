@@ -1,13 +1,26 @@
 package graft.layouts
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Shared pieces of the persisted-layout builders ([[IvfIndex]],
   * [[PqIndex]]) — one definition so a hardening fix reaches every
   * layout. Public because the operators' cached-artifact helpers key
-  * their caches with [[dataSig]] too. */
+  * their caches with [[dataSig]] too.
+  *
+  * Path handling goes through Hadoop FileSystem (r10 verdict item 2,
+  * the [[LayoutFs]] seam): a signature or size probe over an
+  * `hdfs://`/`s3a://` dataset resolves the right filesystem from the
+  * path's scheme, while bare local paths keep working unchanged. These
+  * helpers take no SparkSession, so they resolve against the default
+  * Hadoop configuration — fine for `file:` and any scheme whose
+  * settings live in the classpath config; callers on an exotic store
+  * wire their conf into the JVM default the usual Hadoop way. */
 object LayoutUtil {
+
+  private lazy val conf = new Configuration()
 
   /** Collision-safe cache id for a layout key (the hardened ZOrder
     * convention: a 32-bit String.hashCode collision would silently serve
@@ -16,6 +29,11 @@ object LayoutUtil {
     java.security.MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  private def walk(p: Path): Seq[FileStatus] =
+    LayoutFs.list(p, conf).flatMap { st =>
+      if (st.isDirectory) walk(st.getPath) else Seq(st)
+    }
+
   /** Total data bytes under a parquet dataset path — file OR directory
     * (Spark-written datasets are directories of part files, whose own
     * java.io length is a meaningless few KB). One definition shared by
@@ -23,10 +41,12 @@ object LayoutUtil {
     * so a directory-backed source can never silently pin the
     * broadcast-regime plan at scale (r9 ADVICE). */
   def pathBytes(path: String): Long = {
-    def bytes(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
-      else f.length
-    bytes(new java.io.File(path))
+    val p = new Path(path)
+    if (!LayoutFs.exists(p, conf)) 0L
+    else {
+      val st = LayoutFs.fs(p, conf).getFileStatus(p)
+      if (st.isDirectory) walk(p).map(_.getLen).sum else st.getLen
+    }
   }
 
   /** Content signature of a parquet dataset path (file or directory).
@@ -37,16 +57,24 @@ object LayoutUtil {
     * (name, length, mtime) of the actual data files instead — any
     * part-file change rotates the signature. */
   def dataSig(path: String): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(files)).getOrElse(Nil)
-      else Seq(f)
+    val p = new Path(path)
     // key by the path RELATIVE to the dataset root, not the base name:
     // partitioned datasets (cent_id=N/part-*.parquet) reuse base names
     // across partitions, and a same-size/same-mtime file moving between
     // partitions must rotate the signature (r5 ADVICE)
-    val root = new java.io.File(path).getAbsolutePath
-    val parts = files(new java.io.File(path))
-      .map(f => s"${f.getAbsolutePath.stripPrefix(root)}:${f.length}:${f.lastModified}")
+    val root =
+      if (LayoutFs.exists(p, conf))
+        LayoutFs.fs(p, conf).getFileStatus(p).getPath.toUri.getPath
+      else p.toUri.getPath
+    val entries =
+      if (!LayoutFs.exists(p, conf)) Nil
+      else {
+        val st = LayoutFs.fs(p, conf).getFileStatus(p)
+        if (st.isDirectory) walk(p) else Seq(st)
+      }
+    val parts = entries
+      .map(st => s"${st.getPath.toUri.getPath.stripPrefix(root)}:" +
+        s"${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("|")
     cacheId(s"$path|$parts")
   }

@@ -262,18 +262,21 @@ object MinHashIndex {
     * job (crash after the append committed, scheduler re-run, operator
     * re-drive) must not fold the same crawl batch in twice, which would
     * duplicate its band rows AND its rep texts. With a tag the
-    * application is recorded by a stamp written INSIDE the crash-safe
-    * marker window (Bucketed.appendOnce's contract: no completion
+    * application is recorded by a stamp on BOTH tables written INSIDE
+    * the crash-safe marker window (Bucketed's contract: no completion
     * marker → rebuild from source; marker without stamp → re-append
-    * cleanly; marker + stamp → no-op); the stamp survives JVM restarts
-    * and compaction. Returns whether the append ran (always true
-    * untagged). */
+    * cleanly; marker + stamp on every member → no-op; members that
+    * DISAGREE → refused as corruption, the Bucketed.familyApplied rule —
+    * a bands-only stamp could otherwise mask a rebuilt reps table and a
+    * retry would duplicate its rows, r10 ADVICE). The stamps survive JVM
+    * restarts and compaction (folded into the manifest). Returns whether
+    * the append ran (always true untagged). */
   def append(s: SparkSession, bandsTable: String, repsTable: String,
       probePairs: DataFrame, batchReps: DataFrame,
       shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
       batchTag: Option[String] = None): Boolean = {
-    val stamp = batchTag.map(Bucketed.appliedStamp(s, bandsTable, _))
-    if (stamp.exists(_.exists())) return false
+    val family = Seq(bandsTable, repsTable)
+    if (batchTag.exists(Bucketed.familyApplied(s, family, _))) return false
     val exactDup = probePairs.filter(col("jaccard") === 1.0)
       .select(col("brep").as("rep")).distinct()
     val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")
@@ -292,7 +295,7 @@ object MinHashIndex {
         .saveAsTable(bandsTable)
       reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
         .saveAsTable(repsTable)
-      stamp.foreach(_.createNewFile())
+      batchTag.foreach(Bucketed.stampFamily(s, family, _))
     }
     true
   }

@@ -33,10 +33,9 @@ object PqIndex {
     val centsPath = s"/tmp/graft_pq_cents_$id"
     val booksPath = s"/tmp/graft_pq_books_$id"
     val complete = Seq(codesPath, centsPath, booksPath)
-      .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
+      .forall(p => LayoutFs.existsAt(s"$p/_SUCCESS"))
     if (!complete) {
-      Seq(codesPath, centsPath, booksPath)
-        .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      Seq(codesPath, centsPath, booksPath).foreach(LayoutFs.deleteDirAt)
       // the group artifact materializes once: encode's argmin projection
       // must not fuse into the aggregate's output method (the Janino
       // 64 KB fusion note on llm_embed_pq)

@@ -131,13 +131,19 @@ object RangeBanded {
     }
   }
 
-  /** Candidate-fan-out telemetry of the last [[rangeJoin]] call: how many
-    * candidate keys each probe row explodes to (bands × salt residues) —
-    * the route-auditability convention (MinHashIndex.lastProbeStats): an
-    * unexpectedly wide window against a narrow-banded layout shows up
-    * here as a fan-out jump, attributable from the caller without
-    * reading the plan. Single-slot; read right after the call. */
-  @volatile var lastCandidateKeys: Int = 0
+  /** Candidate-fan-out telemetry of the last [[rangeJoin]] call ON THIS
+    * THREAD: how many candidate keys each probe row explodes to (bands ×
+    * salt residues) — the route-auditability convention
+    * (MinHashIndex.lastProbeStats): an unexpectedly wide window against
+    * a narrow-banded layout shows up here as a fan-out jump,
+    * attributable from the caller without reading the plan. THREAD-LOCAL
+    * (r10 ADVICE): concurrent rangeJoin callers — parallel suites,
+    * multi-threaded drivers — must never read another query's fan-out
+    * as their own; each thread sees only the calls it made. Read right
+    * after the call. */
+  def lastCandidateKeys: Int = candKeysSlot.get()
+  private val candKeysSlot: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** Hard ceiling on per-probe-row candidate fan-out: past this the
     * probe explode itself is the scale problem and the layout should be
@@ -146,10 +152,13 @@ object RangeBanded {
     * not a workload). */
   private val MaxCandidateKeys = 1024
 
-  /** The salt [[autoSalt]] last derived (route-auditability convention:
-    * the pick is also visible in the layout's table name via ensure's
-    * `_s<k>` suffix). Single-slot; read right after the ensure. */
-  @volatile var lastAutoSalt: Int = 1
+  /** The salt [[autoSalt]] last derived ON THIS THREAD (route-
+    * auditability convention: the pick is also visible in the layout's
+    * table name via ensure's `_s<k>` suffix). Thread-local like
+    * [[lastCandidateKeys]]; read right after the ensure. */
+  def lastAutoSalt: Int = saltSlot.get()
+  private val saltSlot: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(1))
 
   /** AUTO-SALT (r9 verdict item 3): derive the salt factor from the
     * OBSERVED band occupancy instead of caller guesswork — the scaladoc
@@ -173,7 +182,7 @@ object RangeBanded {
     }
     val k = math.max(1L, (hottest + targetRowsPerTask - 1) / targetRowsPerTask)
     val pick = math.min(k, maxSalt.toLong).toInt
-    lastAutoSalt = pick
+    saltSlot.set(pick)
     pick
   }
 
@@ -198,12 +207,20 @@ object RangeBanded {
       tsCol: String, bandMicros: Long, srcTables: Seq[String],
       buckets: Int = 8, targetRowsPerTask: Long = 1L << 20,
       saltCol: String = "event_id", maxSalt: Int = 64): (String, Int) = {
+    // the memo key folds in a digest of the src PLAN, not just the
+    // source tables' bytes (r10 ADVICE): a caller reusing one `name`
+    // for a differently filtered/projected src must re-derive, not be
+    // served the previous src's occupancy-based salt (the canonicalized
+    // plan normalizes expression ids, so the same definition memoizes
+    // across calls)
+    val planSig = LayoutUtil.cacheId(
+      src.queryExecution.logical.canonicalized.toString)
     val memoKey = srcTables.map(t => LayoutUtil.dataSig(s"$dir/$t.parquet"))
       .mkString("_") +
-      s"|$name|$tsCol|$bandMicros|$targetRowsPerTask|$maxSalt"
+      s"|$name|$tsCol|$bandMicros|$targetRowsPerTask|$maxSalt|$planSig"
     val k: Int = autoSaltMemo.computeIfAbsent(memoKey,
       _ => autoSalt(src, tsCol, bandMicros, targetRowsPerTask, maxSalt))
-    lastAutoSalt = k
+    saltSlot.set(k)
     (ensure(s, dir, name, src, tsCol, bandMicros, srcTables, buckets,
       salt = k, saltCol = saltCol), k)
   }
@@ -240,7 +257,7 @@ object RangeBanded {
         s"${bandMicros}µs bands × salt $salt) exceeds $MaxCandidateKeys: " +
         "rebuild the layout with wider bands instead of exploding the probe")
     val nExtra = nExtraL.toInt
-    lastCandidateKeys = fanOutL.toInt
+    candKeysSlot.set(fanOutL.toInt)
     val pBand = bandOf(probeTs, bandMicros)
     // candidate keys: every reachable band × every salt residue —
     // (⌈W/B⌉+1)·salt rows per probe row, the bounded price of a window

@@ -42,14 +42,24 @@ object ZOrder {
   /** Size+max-mtime of a parquet source that may be a single file (the
     * driver testdata) or a directory of part files (any Spark-written
     * source) — the signature is derived from the DATA files, not the
-    * filesystem's directory entry, whose length/mtime are fs-dependent. */
-  private[graft] def sourceSig(f: java.io.File): String =
-    if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(p => p.isFile && !p.getName.startsWith("_") && !p.getName.startsWith("."))
-        .sortBy(_.getName)
-      s"${parts.map(_.length).sum}_${if (parts.isEmpty) 0L else parts.map(_.lastModified).max}"
-    } else s"${f.length}_${f.lastModified}"
+    * filesystem's directory entry, whose length/mtime are fs-dependent.
+    * Resolved through the [[LayoutFs]] seam so an hdfs://-backed source
+    * signs identically to a local one (r10 verdict item 2). */
+  private[graft] def sourceSig(path: String): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!LayoutFs.exists(p, conf)) "0_0"
+    else {
+      val st = LayoutFs.fs(p, conf).getFileStatus(p)
+      if (st.isDirectory) {
+        val parts = LayoutFs.list(p, conf)
+          .filter(c => c.isFile && !c.getPath.getName.startsWith("_") &&
+            !c.getPath.getName.startsWith("."))
+        s"${parts.map(_.getLen).sum}_${
+          if (parts.isEmpty) 0L else parts.map(_.getModificationTime).max}"
+      } else s"${st.getLen}_${st.getModificationTime}"
+    }
+  }
 
   /** Collision-safe cache tag: MD5 of the full key string (a 32-bit
     * String.hashCode tag could silently serve a WRONG cached layout on
@@ -74,11 +84,11 @@ object ZOrder {
   def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
              srcTable: String, xCol: String, yCol: String,
              rangePartitions: Int = 4, targetFiles: Int = 64): String = {
-    val f = new java.io.File(s"$dir/$srcTable.parquet")
-    val tag = cacheTag(s"$dir|$name|${sourceSig(f)}")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val tag = cacheTag(s"$dir|$name|${sourceSig(s"$dir/$srcTable.parquet")}")
     val path = s"/tmp/graft_zorder_${name}_$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists
-        || !new java.io.File(s"$path/_graft_minmax").exists) {
+    if (!LayoutFs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), conf)
+        || !LayoutFs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_minmax"), conf)) {
       // File count is the pruning granularity AND the metadata bill: a
       // fixed records-per-file cap explodes into thousands of files on a
       // big table (measured at sf3: listing+footers of 9000 files cost
@@ -97,8 +107,8 @@ object ZOrder {
         org.apache.spark.sql.functions.min(col(xCol)), org.apache.spark.sql.functions.max(col(xCol)),
         org.apache.spark.sql.functions.min(col(yCol)), org.apache.spark.sql.functions.max(col(yCol)))
         .collect().head
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/_graft_minmax"),
-        s"${b.getLong(0)} ${b.getLong(1)} ${b.getLong(2)} ${b.getLong(3)}")
+      LayoutFs.writeString(new org.apache.hadoop.fs.Path(s"$path/_graft_minmax"),
+        s"${b.getLong(0)} ${b.getLong(1)} ${b.getLong(2)} ${b.getLong(3)}", conf)
     }
     path
   }
@@ -106,9 +116,9 @@ object ZOrder {
   /** (xMin, xMax, yMin, yMax) of a layout built by [[ensure]] — four model
     * parameters read from the build-time sidecar, no data scan. */
   def stats(path: String): (Long, Long, Long, Long) = {
-    val Array(a, b, c, d) =
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$path/_graft_minmax"))).trim.split(" ").map(_.toLong)
+    val Array(a, b, c, d) = LayoutFs.readString(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_minmax"),
+      new org.apache.hadoop.conf.Configuration()).trim.split(" ").map(_.toLong)
     (a, b, c, d)
   }
 }

@@ -18,6 +18,9 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   private lazy val neardup4 =
     Seq((1L, textA), (2L, textA2), (3L, textB), (4L, textC)).toDF("id", "text")
 
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
   test("cappedBlocks bounds a hot block's candidate pairs deterministically") {
     import org.apache.spark.sql.functions._
     // one hot block of 500 docs + a small one; cap 100
@@ -308,8 +311,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.table(repsT).count() == 5) // 3 base + D + E
   }
 
-  test("MinHashIndex append is crash-safe: a torn append can never be served — " +
-      "the guard rebuilds from source instead of resurrecting half a batch") {
+  test("MinHashIndex append is crash-safe: a torn append is ROLLED BACK to the " +
+      "pre-append state — no half batch served, no applied batches lost") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
     val P = (5, 64, 16, 4)
@@ -319,6 +322,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       spark, "/root/testdata/sf0.001", corpus, "tornspec",
       P._1, P._2, P._3, P._4, Seq("region"))
     val (bandsT, repsT) = build()
+    val bandRowsBefore = sortedRows(spark.table(bandsT))
     // simulate the torn append the r8 marker protocol left undetected:
     // the bands write commits, then the reps write "crashes"
     val textD = (1 to 50).map(i => s"epsilon$i").mkString(" ")
@@ -334,16 +338,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     assert(boom.getMessage.contains("simulated crash"))
-    // in THIS JVM: the inconsistent tables are gone from the catalog
-    assert(!spark.catalog.tableExists(bandsT) && !spark.catalog.tableExists(repsT),
-      "torn-append tables still registered")
-    // and the next ensure() rebuilds a CONSISTENT layout from source:
-    // base reps only, no orphaned band rows for the half-appended batch
-    val (bandsT2, repsT2) = build()
-    val reps = spark.table(repsT2).select("rep").as[Long].collect().toSet
-    assert(reps == Set(1L, 3L), s"rebuilt reps: $reps")
-    val orphanBands = spark.table(bandsT2).join(
-      spark.table(repsT2), Seq("rep"), "left_anti").count()
+    // RESTORE, not wipe (r10 ADVICE): the family survives the failure
+    // with its pre-append content — for real ingest the deltas are not
+    // re-derivable from the base spec, so a transient failure must not
+    // discard previously applied batches
+    assert(spark.catalog.tableExists(bandsT) && spark.catalog.tableExists(repsT),
+      "torn-append family should be restored, not dropped")
+    assert(sortedRows(spark.table(bandsT)) == bandRowsBefore,
+      "restored bands table content diverges from the pre-append state")
+    val reps = spark.table(repsT).select("rep").as[Long].collect().toSet
+    assert(reps == Set(1L, 3L), s"restored reps: $reps")
+    // no orphaned band rows for the half-appended batch
+    val orphanBands = spark.table(bandsT).join(
+      spark.table(repsT), Seq("rep"), "left_anti").count()
     assert(orphanBands == 0, s"$orphanBands band rows without a rep")
+    // the family is CERTIFIED again: a re-ensure serves it (no rebuild)
+    val (bandsT2, repsT2) = build()
+    assert((bandsT2, repsT2) == (bandsT, repsT))
+    // and the failed batch re-drives cleanly (its stamp was never kept)
+    val (pairs, batchReps) = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch, P._1, P._2, P._3, P._4, threshold = 0.5)
+    assert(graft.layouts.MinHashIndex.append(
+      spark, bandsT, repsT, pairs, batchReps, P._1, P._2, P._3, P._4,
+      batchTag = Some("redrive-001")))
+    assert(spark.table(repsT).select("rep").as[Long].collect().toSet ==
+      Set(1L, 3L, 30L))
   }
 }

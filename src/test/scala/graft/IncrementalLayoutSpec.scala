@@ -192,31 +192,60 @@ class IncrementalLayoutSpec extends AnyFunSuite with SparkTestBase {
       "compacted time-series layout still sorts per query:\n" + pc)
   }
 
-  test("torn family append: a failure mid-batch drops every member so a " +
-      "half-appended family is never served") {
+  test("schema guard: a delta whose (name, type) schema diverges from the " +
+      "layout is refused BEFORE any file lands; a torn mid-family failure is " +
+      "ROLLED BACK to the pre-append state, not wiped") {
     import graft.layouts.Bucketed
     Bucketed.invalidate(spark, "torn_ispec")
     val orders = Tables.orders(spark, dir)
-    val Seq(aT, bT) = Bucketed.ensure(spark, dir, Seq(
+    def ensure() = Bucketed.ensure(spark, dir, Seq(
       Bucketed.Spec("torn_ispec_a", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
         srcTables = Seq("orders")),
       Bucketed.Spec("torn_ispec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
         srcTables = Seq("orders"))), buckets = 4)
-    // first member's delta is fine; second member's delta has the wrong
-    // schema → the family body throws AFTER table a committed its files
-    intercept[Exception] {
+    val Seq(aT, bT) = ensure()
+    val aBefore = sortedRows(spark.table(aT))
+    val bBefore = sortedRows(spark.table(bT))
+
+    // 1. SCHEMA GUARD (r10 verdict item 5): a dropped column is refused
+    // with a layout-terms message before ANY member writes — member a's
+    // valid delta must not land either (the family moves together)
+    val refusal = intercept[IllegalArgumentException] {
       Bucketed.append(spark, Seq(
         aT -> slice(orders, "o_orderkey", 7),
         bT -> slice(orders, "o_orderkey", 7).drop("o_totalprice")))
     }
-    assert(!spark.catalog.tableExists(aT) && !spark.catalog.tableExists(bT),
-      "a torn family append must drop every member table")
-    // and the next ensure() rebuilds from source (no completion marker)
-    val Seq(aT2, _) = Bucketed.ensure(spark, dir, Seq(
-      Bucketed.Spec("torn_ispec_a", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
-        srcTables = Seq("orders")),
-      Bucketed.Spec("torn_ispec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
-        srcTables = Seq("orders"))), buckets = 4)
-    assert(spark.table(aT2).count() == slices(orders, "o_orderkey", 0 to 6).count())
+    assert(refusal.getMessage.contains("does not match layout") &&
+      refusal.getMessage.contains("o_totalprice"), refusal.getMessage)
+    assert(sortedRows(spark.table(aT)) == aBefore,
+      "a refused family append must not have written member a's delta")
+    // a retyped column is refused too
+    val retyped = intercept[IllegalArgumentException] {
+      Bucketed.append(spark, Seq(aT -> slice(orders, "o_orderkey", 7)
+        .withColumn("o_totalprice", col("o_totalprice").cast("string"))))
+    }
+    assert(retyped.getMessage.contains("does not match layout"), retyped.getMessage)
+
+    // 2. TORN MID-FAMILY failure (after both writes, inside the marker
+    // window): the guard RESTORES the pre-append files and re-certifies —
+    // applied history survives, and the failed batch re-drives cleanly
+    val boom = intercept[RuntimeException] {
+      Bucketed.append(spark, Seq(
+        aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7)),
+        onCommit = () => throw new RuntimeException("simulated commit-time crash"))
+    }
+    assert(boom.getMessage.contains("simulated commit-time crash"))
+    assert(spark.catalog.tableExists(aT) && spark.catalog.tableExists(bT),
+      "a torn family append must restore, not drop, the members")
+    assert(sortedRows(spark.table(aT)) == aBefore &&
+      sortedRows(spark.table(bT)) == bBefore,
+      "restored family content diverges from the pre-append state")
+    // certified: re-ensure serves the same layout without rebuilding
+    assert(ensure() == Seq(aT, bT))
+    // the failed batch's tag was never stamped → the re-drive applies
+    assert(Bucketed.appendOnce(spark, "redrive-7", Seq(
+      aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
+    assert(sortedRows(spark.table(aT)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 7)))
   }
 }

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Round-11 layout-store lifecycle hardening (r10 verdict items 2–6):
+  *
+  *  - RENAME-FREE compact: the swap stages a versioned sibling
+  *    (`<name>__v<N>`), repoints the catalog, and GC's the old dir — no
+  *    atomic-rename dependency, so the same code runs on object stores;
+  *    re-ensure in a "fresh JVM" resolves the highest certified version;
+  *  - WRITER-WRITER EXCLUSION: a heartbeat lease refuses a second
+  *    concurrent maintainer loudly; a stale (dead-holder) lease is
+  *    broken after `spark.graft.layout.leaseStaleMs`;
+  *  - STAMP RETENTION: compact folds the per-batch exactly-once stamps
+  *    into one `_GRAFT_MANIFEST`, keeping the marker population O(batches
+  *    since last compact) while every historical tag still replays as a
+  *    no-op;
+  *  - MIXED-STAMP CORRUPTION (r10 ADVICE, medium): a family whose
+  *    members disagree about a tag is refused loudly instead of silently
+  *    skipping (divergence forever) or re-appending (duplication);
+  *  - EXACTLY-ONCE STREAMING INGEST: `foreachBatchInto` routes micro-
+  *    batches through appendOnce under `<prefix>-<batchId>`, so a
+  *    crash-and-restart replay of the last uncommitted batch lands
+  *    exactly one copy in the layout. */
+class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
+  import graft.layouts.Bucketed
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def slice(df: DataFrame, key: String, i: Int, n: Int = 8) =
+    df.filter(pmod(xxhash64(col(key)), lit(n)) === i)
+  private def slices(df: DataFrame, key: String, is: Seq[Int], n: Int = 8) =
+    df.filter(pmod(xxhash64(col(key)), lit(n)).isin(is.map(_.toLong): _*))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Local directory backing a layout table (tests run on file://). */
+  private def localDir(qname: String): java.io.File =
+    new java.io.File(new java.net.URI(
+      spark.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
+        .head().getString(1)))
+
+  test("rename-free compact: each compaction repoints the catalog at a new " +
+      "versioned directory, GCs the old one, and a fresh JVM's ensure() " +
+      "resolves the highest certified version") {
+    Bucketed.invalidate(spark, "swap_lspec")
+    val orders = Tables.orders(spark, dir)
+    def ensure() = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("swap_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val Seq(t) = ensure()
+    val d0 = localDir(t)
+    assert(d0.getName == "swap_lspec")
+    val wh = d0.getParentFile
+
+    Bucketed.appendOnce(spark, "b-6", Seq(t -> slice(orders, "o_orderkey", 6)))
+    val expect6 = sortedRows(slices(orders, "o_orderkey", 0 to 6))
+    assert(sortedRows(spark.table(t)) == expect6)
+
+    // first compact: catalog repoints to __v1, base dir is GC'd
+    Bucketed.compact(spark, t)
+    val d1 = localDir(t)
+    assert(d1.getName == "swap_lspec__v1", s"expected __v1, got ${d1.getName}")
+    assert(!d0.exists(), "old layout dir should be GC'd after the swap")
+    assert(new java.io.File(d1, "_GRAFT_COMPLETE").exists(), "new dir uncertified")
+    assert(sortedRows(spark.table(t)) == expect6, "compaction changed results")
+
+    // second compact cycle: __v1 → __v2
+    Bucketed.appendOnce(spark, "b-7", Seq(t -> slice(orders, "o_orderkey", 7)))
+    Bucketed.compact(spark, t)
+    val d2 = localDir(t)
+    assert(d2.getName == "swap_lspec__v2", s"expected __v2, got ${d2.getName}")
+    assert(!d1.exists(), "superseded __v1 should be GC'd")
+    assert(sortedRows(spark.table(t)) == sortedRows(orders))
+
+    // "fresh JVM": the in-memory catalog forgets the (external) table;
+    // ensure() must resolve the highest CERTIFIED version — including
+    // when a crashed swap left an unmarked orphan sibling behind
+    val orphan = new java.io.File(wh, "swap_lspec__v9")
+    orphan.mkdirs() // unmarked: a crash between stage and certification
+    spark.sql(s"DROP TABLE $t")
+    val Seq(t2) = ensure()
+    assert(t2 == t)
+    assert(localDir(t2).getName == "swap_lspec__v2",
+      s"re-register must pick the certified version, got ${localDir(t2).getName}")
+    assert(sortedRows(spark.table(t2)) == sortedRows(orders),
+      "re-registered compacted layout lost content")
+    orphan.delete()
+  }
+
+  test("stamp retention: compact folds per-batch stamps into one manifest " +
+      "(O(1) marker files) while every historical tag replays as a no-op") {
+    Bucketed.invalidate(spark, "mf_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("mf_lspec", slice(orders, "o_orderkey", 0, 12), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    for (i <- 1 to 10)
+      assert(Bucketed.appendOnce(spark, s"night-$i",
+        Seq(t -> slice(orders, "o_orderkey", i, 12))))
+    def names() = localDir(t).list().toSeq
+    assert(names().count(_.startsWith("_GRAFT_APPLIED_")) == 10)
+
+    Bucketed.compact(spark, t)
+    // O(1) after the fold: one manifest, no stamp files
+    assert(names().count(_.startsWith("_GRAFT_APPLIED_")) == 0,
+      s"stamps not folded: ${names()}")
+    assert(names().count(_ == "_GRAFT_MANIFEST") == 1)
+    // every historical tag is still exactly-once
+    val rows = spark.table(t).count()
+    for (i <- 1 to 10) {
+      assert(!Bucketed.appendOnce(spark, s"night-$i",
+        Seq(t -> slice(orders, "o_orderkey", i, 12))), s"night-$i replayed!")
+    }
+    assert(spark.table(t).count() == rows)
+    // post-compact batches stamp normally and fold on the NEXT compact
+    assert(Bucketed.appendOnce(spark, "night-11",
+      Seq(t -> slice(orders, "o_orderkey", 11, 12))))
+    assert(names().count(_.startsWith("_GRAFT_APPLIED_")) == 1)
+    Bucketed.compact(spark, t)
+    assert(names().count(_.startsWith("_GRAFT_APPLIED_")) == 0)
+    assert(!Bucketed.appendOnce(spark, "night-3",
+      Seq(t -> slice(orders, "o_orderkey", 3, 12))))
+    assert(!Bucketed.appendOnce(spark, "night-11",
+      Seq(t -> slice(orders, "o_orderkey", 11, 12))))
+    assert(sortedRows(spark.table(t)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 11, 12)))
+  }
+
+  test("mixed-stamp family state is refused as corruption, not silently " +
+      "skipped or double-appended") {
+    Bucketed.invalidate(spark, "mix_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(aT, bT) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("mix_lspec_a", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders")),
+      Bucketed.Spec("mix_lspec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    assert(Bucketed.appendOnce(spark, "m-1", Seq(
+      aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
+    // simulate the ADVICE scenario: member b was rebuilt (stamp lost)
+    // while member a kept its stamp
+    val bStamp = new java.io.File(localDir(bT), "_GRAFT_APPLIED_m-1")
+    assert(bStamp.exists())
+    assert(bStamp.delete())
+    val boom = intercept[IllegalStateException] {
+      Bucketed.appendOnce(spark, "m-1", Seq(
+        aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7)))
+    }
+    assert(boom.getMessage.contains("diverged"), boom.getMessage)
+    // a DIFFERENT tag is unaffected (the corruption check is per-batch)
+    assert(Bucketed.appendOnce(spark, "m-2", Seq(
+      aT -> slice(orders, "o_orderkey", 6, 16), bT -> slice(orders, "o_orderkey", 6, 16))))
+  }
+
+  test("writer-writer exclusion: a second concurrent maintainer is refused " +
+      "while the lease is held, and proceeds after release; a stale " +
+      "(dead-holder) lease is broken") {
+    Bucketed.invalidate(spark, "lease_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("lease_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Bucketed.appendGuard(spark, Seq(t)) {
+        inside.countDown()
+        release.await()
+      }
+    })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // the racing maintainer fails LOUDLY, naming the lease — it must not
+    // interleave marker windows with the holder
+    val refused = intercept[IllegalStateException] {
+      Bucketed.appendOnce(spark, "race-1", Seq(t -> slice(orders, "o_orderkey", 6)))
+    }
+    assert(refused.getMessage.contains("lease"), refused.getMessage)
+    release.countDown()
+    holder.join(30000)
+    assert(!holder.isAlive)
+    // after release the same batch applies cleanly — exactly one copy
+    assert(Bucketed.appendOnce(spark, "race-1", Seq(t -> slice(orders, "o_orderkey", 6))))
+    assert(sortedRows(spark.table(t)) == sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+
+    // DEAD HOLDER: a lease whose heartbeats stopped (old mtime) is broken
+    val lease = new java.io.File(localDir(t), "_GRAFT_LEASE")
+    assert(lease.createNewFile())
+    assert(lease.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    assert(Bucketed.appendOnce(spark, "race-2", Seq(t -> slice(orders, "o_orderkey", 7))),
+      "a stale lease must be broken, not block maintenance forever")
+    assert(!lease.exists(), "the breaking maintainer must release the lease")
+    assert(sortedRows(spark.table(t)) == sortedRows(slices(orders, "o_orderkey", 0 to 7)))
+  }
+
+  test("exactly-once streaming ingest: a kill-and-restart replay of the last " +
+      "micro-batch lands exactly one copy in the layout; consumers keep the " +
+      "zero-exchange plan") {
+    import spark.implicits._
+    Bucketed.invalidate(spark, "sing_lspec")
+    val base = Files.createTempDirectory("graft_stream_layout")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+
+    // base layout: an empty shell with the stream's schema, bucketed on id
+    val empty = spark.range(0).select(col("id"), lit(0.0).as("v"))
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("sing_lspec", empty, "id", srcTables = Seq("orders"))), buckets = 4)
+
+    val sink = Bucketed.foreachBatchInto(spark, "sq1", Seq(t -> (b => b)))
+    def startQuery() = spark.readStream
+      .schema("id LONG, v DOUBLE")
+      .parquet(src.toString)
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // batch 0 commits end-to-end
+    (1L to 40L).map(i => (i, i / 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table(t).count() == 40)
+
+    // CRASH INJECTION: drop the commit record of the last batch — the
+    // foreachBatch body already ran (files are in the layout), but the
+    // engine never learned; the restart REPLAYS the batch with the same
+    // batchId and data (file source replays from the offset log)
+    val commits = new java.io.File(base.resolve("ckpt").toFile, "commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    // the local ChecksumFileSystem keeps a .crc sidecar per entry; a
+    // real crash loses both together, so the injection must too (a
+    // leftover sidecar makes the replayed commit write look like a
+    // concurrent writer)
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table(t).count() == 40,
+      "the replayed micro-batch must hit its stamp and be a no-op")
+    assert(spark.table(t).select(countDistinct(col("id"))).head().getLong(0) == 40)
+
+    // a genuinely new batch still lands
+    (41L to 60L).map(i => (i, i / 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table(t).count() == 60)
+
+    // the ingested layout still serves the zero-exchange colocated join
+    Bucketed.invalidate(spark, "sing2_lspec")
+    val Seq(t2) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("sing2_lspec",
+        spark.range(1, 61).select(col("id"), lit("x").as("tag2")), "id",
+        srcTables = Seq("orders"))), buckets = 4)
+    val q = spark.table(t).hint("merge").join(spark.table(t2), "id")
+      .groupBy(col("tag2")).agg(sum(col("v")).as("sv"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"stream-ingested layout join shuffles:\n$p")
+    assert(q.collect().map(_.getDouble(1)).head == (1 to 60).map(_ / 2.0).sum)
+  }
+}
