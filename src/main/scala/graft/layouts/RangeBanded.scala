@@ -149,7 +149,18 @@ object RangeBanded {
     * probe explode itself is the scale problem and the layout should be
     * rebuilt with wider bands (fan-out = (2 + (W−1) div B) · salt, so
     * 1024 means a window ~1000× the band width — a layout-choice error,
-    * not a workload). */
+    * not a workload).
+    *
+    * REBUILD vs FAN-OUT, measured (tools.WideWindowProbe at sf12, 12 M
+    * events, 2.4 k-row probe): fan-out is the default WINNER, not the
+    * compromise — candidate bands p..p+1+(W−1) div B cover ~W+2B of
+    * banded rows while a rebuilt band=W layout's two bands cover 2W, so
+    * for W ≫ B the narrow-band explode is also the lower-IO plan
+    * (W=10×B: fan-out 11 keys 1.92 s vs rebuilt-layout 2.38 s per
+    * query, rebuild never amortizes; W=2.5×B: 0.94 vs 0.93 s — the
+    * 5.5 s rebuild breaks even after ~466 queries). Rebuild wider only
+    * when the EXPLODE itself dominates: probe × fan-out approaching the
+    * banded row volume, or fan-out near this cap. */
   private val MaxCandidateKeys = 1024
 
   /** The salt [[autoSalt]] last derived ON THIS THREAD (route-

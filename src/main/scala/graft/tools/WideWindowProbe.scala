@@ -86,8 +86,9 @@ object WideWindowProbe {
           f"pairs=$nFan (baseline; no rebuild arm)")
       } else {
         // ARM B: rebuild at band = W, probe with the minimal 2 bands
-        val (tBuild, tw) = timed(RangeBanded.ensure(spark, dir, s"events_w$mult",
-          events, "ts", w, Seq("events")))
+        // dot-free layout name (a '.' would split the table identifier)
+        val (tBuild, tw) = timed(RangeBanded.ensure(spark, dir,
+          s"events_w${(mult * 10).toInt}", events, "ts", w, Seq("events")))
         val (tRe, nRe) = timed2(arm(tw, w, w))
         val reKeys = RangeBanded.lastCandidateKeys
         val perQuerySaving = tFan - tRe
