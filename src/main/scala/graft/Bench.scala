@@ -504,6 +504,7 @@ object Bench {
           "build_range_banded_incr" -> clocked(operators.Joins.rangeBandedEventsIncremental(spark, sfDir)),
           "build_bucketed_facts_incr" -> clocked(operators.Joins.bucketedFactsIncremental(spark, sfDir)),
           "build_bucketed_events_incr" -> clocked(operators.Joins.bucketedEventsIncremental(spark, sfDir)),
+          "build_stream_ingest" -> clocked(streaming.StreamIngest.ensureStreamedLayout(spark, sfDir)),
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),

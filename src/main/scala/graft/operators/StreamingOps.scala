@@ -280,9 +280,39 @@ object StreamingOps extends QueryGroup {
        AND (v.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < CAST(v.valid_to AS TIMESTAMP))
       ORDER BY event_id ASC NULLS FIRST"""))
 
+  /** STREAM → LAYOUT ingest, driver-oracled end to end (r11 — the
+    * exactly-once `Bucketed.foreachBatchInto` path under the hash gate,
+    * not just specs): a REAL Structured Streaming query drains the
+    * delta 1/4 of events through foreachBatch(appendOnce) into the
+    * resident time-series layout (3 source files, maxFilesPerTrigger=1
+    * → separate micro-batches, each an exactly-once named append), then
+    * the row aggregates per user OFF THE LAYOUT. The DuckDB oracle
+    * recomputes over the FULL raw events table, so a micro-batch lost
+    * (stale checkpoint), duplicated (replayed batch whose stamp
+    * failed), or mis-bucketed by the streaming append path fails the
+    * hash gate. Consumer shape: the groupBy rides the layout's
+    * user_id bucketing — zero exchange below the final projection,
+    * multi-file buckets included. Restart/replay crash injection is
+    * pinned in LayoutLifecycleSpec; this row gates the committed
+    * result. */
+  private val streamLayoutIngest = GraftQuery(
+    "stream_layout_ingest",
+    (s, dir) => {
+      val t = graft.streaming.StreamIngest.ensureStreamedLayout(s, dir)
+      s.table(t)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT user_id, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id ASC NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     streamStreamJoin, streamNeardupLsh,
     streamTumblingCounts, streamSlidingAvg, streamSessionWindows,
     streamSessionNative, streamWatermarkLate, streamDedupStateful,
-    streamStaticEnrich, streamAsofEnrich)
+    streamStaticEnrich, streamAsofEnrich, streamLayoutIngest)
 }

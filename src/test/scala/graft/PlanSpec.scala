@@ -52,6 +52,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "appended time-series as-of shuffles a side:\n" + pa)
   }
 
+  test("stream_layout_ingest: the per-user aggregation rides the stream-" +
+      "ingested layout's bucketing — zero exchange on user_id") {
+    // the layout's buckets are multi-file after the streamed appends
+    // (one file per micro-batch per touched bucket); the bucket
+    // CLUSTERING must still carry the groupBy with no shuffle
+    val p = plan("stream_layout_ingest")
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      "stream-ingested layout aggregation shuffles on user_id:\n" + p)
+  }
+
   test("join_star_colocated: no exchange and no broadcast on the fact⋈orders " +
       "and orders⋈customer edges") {
     val p = plan("join_star_colocated")
