@@ -195,6 +195,16 @@ object Bucketed {
   private def isApplied(s: SparkSession, qname: String, tag: String): Boolean =
     appliedTags(s, tableDir(s, qname)).contains(tag)
 
+  /** The batch tags applied to a registered layout table (stamps ∪
+    * folded manifest) — the public "which batches does this layout
+    * hold" observable. Ingest drivers derive their catch-up decision
+    * from THIS, not from a sidecar of their own: these tags live and
+    * die with the layout directory (and survive compaction via the
+    * manifest), so they can never claim completeness for a rebuilt
+    * layout that lost its batches (r11 review, StreamIngest). */
+  def appliedBatchTags(s: SparkSession, qname: String): Set[String] =
+    appliedTags(s, tableDir(s, qname))
+
   /** Family-wide applied state of batch `tag` — true iff EVERY member
     * carries it, false iff NONE does. A MIXED family is treated as
     * CORRUPTION and refused loudly (r10 ADVICE, medium): members can
@@ -259,35 +269,64 @@ object Bucketed {
     * not the sole correctness mechanism: on a store without atomic
     * create-exclusive it degrades to best-effort, and torn state is
     * still never served (no completion marker → rebuild). */
-  private def withLease[T](s: SparkSession, dir: Path)(body: => T): T = {
+  private def withLease[T](s: SparkSession, dir: Path)(body: => T): T =
+    withLeases(s, Seq(dir))(body)
+
+  /** Acquire the maintenance lease on EVERY directory of a family, in
+    * CANONICAL (sorted-path) order, before running `body`. One lease
+    * per member — not just the head — because a family append and a
+    * compaction of a NON-head member must conflict (r11 review: with a
+    * head-only lease they held disjoint locks and could interleave
+    * marker windows), and sorted acquisition gives two maintainers that
+    * list the members in different orders one consistent global order —
+    * the first contended member decides, the loser releases what it
+    * holds and fails loudly.
+    *
+    * Stale (dead-holder) leases are broken by ATOMIC RENAME to a
+    * tombstone, not delete-then-create (r11 review: two breakers that
+    * both observed staleness could each delete the other's fresh lease
+    * — rename is atomic on local/HDFS, so exactly one breaker wins and
+    * the loser falls through to the normal refusal path). */
+  private def withLeases[T](s: SparkSession, dirs: Seq[Path])(body: => T): T = {
     val c = hconf(s)
-    val lease = new Path(dir, LeaseName)
     val staleMs = s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong
     val owner = s"pid=${ProcessHandle.current().pid()} " +
       s"thread=${Thread.currentThread().getId}"
-    def acquire(): Boolean = LayoutFs.createExclusive(lease, owner, c)
-    if (!acquire()) {
-      val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
-        catch { case _: java.io.IOException => 0L } // holder just released: retry below
-      val stale = age > staleMs
-      if (stale) LayoutFs.delete(lease, c)
-      if (!acquire()) {
-        val holder = try LayoutFs.readString(lease, c)
-          catch { case _: java.io.IOException => "<unreadable>" }
-        throw new IllegalStateException(
-          s"layout maintenance lease on $dir is held by [$holder] " +
-            s"(age ${age} ms, stale after $staleMs ms): a second concurrent " +
-            "maintainer must not interleave marker windows with the holder")
+    val leases = dirs.map(_.toString).distinct.sorted
+      .map(d => new Path(d, LeaseName))
+    def acquire(lease: Path): Boolean = LayoutFs.createExclusive(lease, owner, c)
+    def acquireOrBreak(lease: Path): Unit =
+      if (!acquire(lease)) {
+        val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
+          catch { case _: java.io.IOException => 0L } // holder just released: retry below
+        if (age > staleMs) {
+          // atomic tombstone rename: only ONE of N racing breakers wins
+          val tomb = new Path(lease.getParent,
+            s"${LeaseName}_broken_${System.nanoTime()}")
+          val won = try LayoutFs.fs(lease, c).rename(lease, tomb)
+            catch { case _: java.io.IOException => false }
+          if (won) LayoutFs.delete(tomb, c)
+        }
+        if (!acquire(lease)) {
+          val holder = try LayoutFs.readString(lease, c)
+            catch { case _: java.io.IOException => "<unreadable>" }
+          throw new IllegalStateException(
+            s"layout maintenance lease ${lease} is held by [$holder] " +
+              s"(age ${age} ms, stale after $staleMs ms): a second concurrent " +
+              "maintainer must not interleave marker windows with the holder")
+        }
       }
-    }
+    val held = scala.collection.mutable.ListBuffer.empty[Path]
+    try leases.foreach { l => acquireOrBreak(l); held += l }
+    catch { case e: Throwable => held.foreach(LayoutFs.delete(_, c)); throw e }
     val hb = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(math.max(1L, staleMs / 4))
-          LayoutFs.writeString(lease, owner, c)
+          leases.foreach(LayoutFs.writeString(_, owner, c))
         }
       } catch { case _: InterruptedException => () }
-    }, s"graft-lease-heartbeat-${dir.getName}")
+    }, s"graft-lease-heartbeat-${dirs.head.getName}")
     hb.setDaemon(true)
     hb.start()
     try body
@@ -295,7 +334,7 @@ object Bucketed {
       // join before deleting: an in-flight heartbeat write after the
       // delete would resurrect the lease (and, post-GC, its directory)
       hb.interrupt(); hb.join(5000)
-      LayoutFs.delete(lease, c)
+      leases.foreach(LayoutFs.delete(_, c))
     }
   }
 
@@ -324,7 +363,7 @@ object Bucketed {
   def appendGuard(s: SparkSession, qnames: Seq[String])(body: => Unit): Unit = {
     val c = hconf(s)
     val dirs = qnames.map(q => tableDir(s, q))
-    withLease(s, dirs.head) {
+    withLeases(s, dirs) {
       val markers = dirs.map(d => new Path(d, Marker))
       val snapshots = dirs.map(d => LayoutFs.listNames(d, c).toSet)
       markers.foreach(LayoutFs.delete(_, c))
@@ -390,8 +429,13 @@ object Bucketed {
     * not part of the contract. */
   private def requireDeltaSchema(s: SparkSession, qname: String,
       delta: DataFrame): Unit = {
+    // compare via simpleString, which drops nullability at EVERY
+    // nesting level — the documented contract (a parquet-read layout's
+    // containsNull=true array must accept a literal-built delta's
+    // containsNull=false one), and the same rendering the error message
+    // uses, so a refusal can never name an empty divergence (r11 review)
     def shape(sch: org.apache.spark.sql.types.StructType) =
-      sch.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType))
+      sch.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.simpleString))
     val expect = s.table(qname).schema
     val got = delta.schema
     if (shape(expect) != shape(got)) {
@@ -435,15 +479,10 @@ object Bucketed {
     * lease appendGuard takes on the family. */
   def append(s: SparkSession, deltas: Seq[(String, DataFrame)],
       onCommit: () => Unit = () => ()): Unit = {
-    import org.apache.spark.sql.functions.col
     val specs = deltas.map { case (q, _) => bucketSpecOf(s, q) }
     deltas.foreach { case (q, delta) => requireDeltaSchema(s, q, delta) }
     appendGuard(s, deltas.map(_._1)) {
-      deltas.zip(specs).foreach { case ((q, delta), (n, key, sortCols)) =>
-        delta.repartition(n, col(key))
-          .write.mode("append").bucketBy(n, key)
-          .sortBy(sortCols.head, sortCols.tail: _*).saveAsTable(q)
-      }
+      writeDeltas(deltas, specs)
       onCommit()
     }
     // refresh in the CALLER's session: the delta may belong to another
@@ -452,6 +491,16 @@ object Bucketed {
     // its own relation cache — without this the caller keeps serving the
     // pre-append file listing
     deltas.foreach { case (q, _) => s.catalog.refreshTable(q) }
+  }
+
+  private def writeDeltas(deltas: Seq[(String, DataFrame)],
+      specs: Seq[(Int, String, Seq[String])]): Unit = {
+    import org.apache.spark.sql.functions.col
+    deltas.zip(specs).foreach { case ((q, delta), (n, key, sortCols)) =>
+      delta.repartition(n, col(key))
+        .write.mode("append").bucketBy(n, key)
+        .sortBy(sortCols.head, sortCols.tail: _*).saveAsTable(q)
+    }
   }
 
   /** EXACTLY-ONCE named-batch append: applies `deltas` only if batch
@@ -477,8 +526,23 @@ object Bucketed {
   def appendOnce(s: SparkSession, tag: String,
       deltas: Seq[(String, DataFrame)]): Boolean = {
     val qnames = deltas.map(_._1)
-    if (familyApplied(s, qnames, tag)) false
-    else { append(s, deltas, () => stampFamily(s, qnames, tag)); true }
+    if (familyApplied(s, qnames, tag)) return false // fast path, no lease
+    val specs = deltas.map { case (q, _) => bucketSpecOf(s, q) }
+    deltas.foreach { case (q, delta) => requireDeltaSchema(s, q, delta) }
+    var ran = false
+    appendGuard(s, qnames) {
+      // RE-CHECK under the lease (r11 review): the fast-path check is
+      // check-then-act across the lock boundary — a concurrent retry
+      // that lost the lease race re-evaluates here AFTER the winner's
+      // stamps landed, and skips instead of double-appending
+      if (!familyApplied(s, qnames, tag)) {
+        writeDeltas(deltas, specs)
+        stampFamily(s, qnames, tag)
+        ran = true
+      }
+    }
+    if (ran) deltas.foreach { case (q, _) => s.catalog.refreshTable(q) }
+    ran
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a layout family (r10 verdict
@@ -492,6 +556,13 @@ object Bucketed {
     * maps the micro-batch to each member's delta rows (derive columns,
     * project to the layout schema); `tagPrefix` must be unique per
     * (streaming query → family) pairing — include the query name/id.
+    *
+    * LINEAGE CAVEAT: batchId-keyed tags are exactly-once within ONE
+    * checkpoint lineage. Wiping the checkpoint while keeping the layout
+    * restarts ids at 0 over possibly different batch contents — a
+    * stamped positional tag could then mask NEW data. Keep checkpoint
+    * and layout lifetimes together, or derive content-addressed tags
+    * instead (streaming.StreamIngest's per-file form).
     *
     * Usage: `df.writeStream.foreachBatch(Bucketed.foreachBatchInto(s,
     * "q1", Seq(table -> (b => b))) ).option("checkpointLocation", …)` */
@@ -673,6 +744,13 @@ object Bucketed {
     val locPath = new Path(loc)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     specs.map { sp =>
+      // the __v<N> suffix is RESERVED for compact versions: a spec
+      // literally named that way would collide with a sibling spec's
+      // versioned directories — resolution could serve its data under
+      // the sibling's table, and a rebuild would wipe it (r11 review)
+      require(!sp.name.matches(".*__v\\d+$"),
+        s"layout name '${sp.name}' ends in the reserved compact-version " +
+          "suffix __v<N>; pick another name")
       val qname = s"$db.${sp.name}"
       if (!s.catalog.tableExists(qname)) {
         resolveCurrentDir(s, locPath, sp.name) match {

@@ -289,15 +289,22 @@ object MinHashIndex {
     // constant), so an append can never break the bucketing spec of a
     // layout built with a non-default count
     val (bandB, repB) = (bucketsOf(s, bandsTable), bucketsOf(s, repsTable))
-    Bucketed.appendGuard(s, Seq(bandsTable, repsTable)) {
-      bands.select(col("bkey64"), col("rep"))
-        .write.mode("append").bucketBy(bandB, "bkey64").sortBy("bkey64")
-        .saveAsTable(bandsTable)
-      reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
-        .saveAsTable(repsTable)
-      batchTag.foreach(Bucketed.stampFamily(s, family, _))
+    var ran = false
+    Bucketed.appendGuard(s, family) {
+      // re-check under the lease (the Bucketed.appendOnce TOCTOU rule):
+      // a retry that raced the original past the fast-path check must
+      // skip here, after the winner's stamps landed
+      if (!batchTag.exists(Bucketed.familyApplied(s, family, _))) {
+        bands.select(col("bkey64"), col("rep"))
+          .write.mode("append").bucketBy(bandB, "bkey64").sortBy("bkey64")
+          .saveAsTable(bandsTable)
+        reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
+          .saveAsTable(repsTable)
+        batchTag.foreach(Bucketed.stampFamily(s, family, _))
+        ran = true
+      }
     }
-    true
+    ran
   }
 
   /** INDEX MAINTENANCE, part 2: compact both index tables back to one

@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.LongType
   */
 object ZOrder {
 
+  /** One shared Hadoop configuration for the sidecar/signature probes
+    * (construction parses the default XML resources — not something to
+    * repeat twice per ensure call). */
+  private lazy val hconf = new org.apache.hadoop.conf.Configuration()
+
   /** Morton interleave of two non-negative keys, 31 bits per dimension
     * (fits a signed 64-bit result; replica-offset ids up to 2³¹ keep
     * their full ordering). Static bit expansion — stays inside
@@ -46,7 +51,7 @@ object ZOrder {
     * Resolved through the [[LayoutFs]] seam so an hdfs://-backed source
     * signs identically to a local one (r10 verdict item 2). */
   private[graft] def sourceSig(path: String): String = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = hconf
     val p = new org.apache.hadoop.fs.Path(path)
     if (!LayoutFs.exists(p, conf)) "0_0"
     else {
@@ -84,7 +89,7 @@ object ZOrder {
   def ensure(s: SparkSession, dir: String, name: String, src: DataFrame,
              srcTable: String, xCol: String, yCol: String,
              rangePartitions: Int = 4, targetFiles: Int = 64): String = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = hconf
     val tag = cacheTag(s"$dir|$name|${sourceSig(s"$dir/$srcTable.parquet")}")
     val path = s"/tmp/graft_zorder_${name}_$tag"
     if (!LayoutFs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), conf)
@@ -118,7 +123,7 @@ object ZOrder {
   def stats(path: String): (Long, Long, Long, Long) = {
     val Array(a, b, c, d) = LayoutFs.readString(
       new org.apache.hadoop.fs.Path(s"$path/_graft_minmax"),
-      new org.apache.hadoop.conf.Configuration()).trim.split(" ").map(_.toLong)
+      hconf).trim.split(" ").map(_.toLong)
     (a, b, c, d)
   }
 }

@@ -200,6 +200,74 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(sortedRows(spark.table(t)) == sortedRows(slices(orders, "o_orderkey", 0 to 7)))
   }
 
+  test("the lease covers EVERY family member: a maintainer holding a " +
+      "non-head member's lease blocks the family append (r11 review)") {
+    Bucketed.invalidate(spark, "leaseb_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(aT, bT) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("leaseb_lspec_a", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders")),
+      Bucketed.Spec("leaseb_lspec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    // a concurrent compact of member b would lease ONLY b's dir — the
+    // family append must conflict with it, not slip past on a head-only
+    // lease (fresh mtime: not stale, not breakable)
+    val bLease = new java.io.File(localDir(bT), "_GRAFT_LEASE")
+    assert(bLease.createNewFile())
+    try {
+      val refused = intercept[IllegalStateException] {
+        Bucketed.appendOnce(spark, "famlease-1", Seq(
+          aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7)))
+      }
+      assert(refused.getMessage.contains("lease"), refused.getMessage)
+      // nothing landed on EITHER member and no lease leaked onto a
+      assert(sortedRows(spark.table(aT)) ==
+        sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+      assert(!new java.io.File(localDir(aT), "_GRAFT_LEASE").exists(),
+        "the loser must release the member leases it already held")
+    } finally bLease.delete()
+    // released: the same batch applies
+    assert(Bucketed.appendOnce(spark, "famlease-1", Seq(
+      aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
+  }
+
+  test("spec names ending in the reserved __v<N> compact suffix are refused") {
+    val orders = Tables.orders(spark, dir)
+    val boom = intercept[IllegalArgumentException] {
+      Bucketed.ensure(spark, dir, Seq(
+        Bucketed.Spec("resv_lspec__v2", orders, "o_orderkey",
+          srcTables = Seq("orders"))), buckets = 4)
+    }
+    assert(boom.getMessage.contains("reserved"), boom.getMessage)
+  }
+
+  test("StreamIngest: catch-up is derived from layout stamps — a rebuilt " +
+      "layout re-streams its delta, a compacted one replays as no-ops, and " +
+      "the result always equals the full raw table") {
+    import graft.streaming.StreamIngest
+    Bucketed.invalidate(spark, "events_si")
+    val t = StreamIngest.ensureStreamedLayout(spark, dir)
+    val want = Tables.events(spark, dir).count()
+    assert(spark.table(t).count() == want)
+    // idempotent re-run: complete check short-circuits, content stable
+    assert(StreamIngest.ensureStreamedLayout(spark, dir) == t)
+    assert(spark.table(t).count() == want)
+    // COMPACT folds the stamps into the manifest; the derived check must
+    // still read complete (no re-stream, no doubling)
+    graft.layouts.Bucketed.compact(spark, t)
+    assert(StreamIngest.ensureStreamedLayout(spark, dir) == t)
+    assert(spark.table(t).count() == want,
+      "compacted layout re-streamed its delta (stamps lost or ignored)")
+    // REBUILD (the r11-review hole): the layout loses its streamed
+    // quarter AND its stamps; the next ensure must detect incompleteness
+    // from the stamps and re-stream — never claim caught-up from a
+    // sidecar that outlived the layout
+    Bucketed.invalidate(spark, "events_si")
+    val t2 = StreamIngest.ensureStreamedLayout(spark, dir)
+    assert(spark.table(t2).count() == want,
+      "rebuilt layout served as 'caught up' while missing the streamed delta")
+  }
+
   test("exactly-once streaming ingest: a kill-and-restart replay of the last " +
       "micro-batch lands exactly one copy in the layout; consumers keep the " +
       "zero-exchange plan") {
