@@ -205,6 +205,27 @@ object Bucketed {
   def appliedBatchTags(s: SparkSession, qname: String): Set[String] =
     appliedTags(s, tableDir(s, qname))
 
+  /** Whether a LIVE maintainer currently holds the lease on `qname`'s
+    * layout — the observable READERS use to enforce the documented
+    * no-probe-during-maintenance window loudly (MinHashIndex.probe)
+    * instead of racing a file-pruned scan against a concurrent
+    * append/compact and silently reading a half batch. A STALE lease
+    * (no heartbeats for > leaseStaleMs — the holder died) reads as NOT
+    * in progress: probes must not refuse forever behind a crashed
+    * maintainer whose lease only the next maintainer breaks. Advisory
+    * (a maintainer can start right after the check); the value is
+    * turning the overwhelmingly common violation into a clear error. */
+  def maintenanceInProgress(s: SparkSession, qname: String): Boolean = {
+    val c = hconf(s)
+    val lease = new Path(tableDir(s, qname), LeaseName)
+    LayoutFs.exists(lease, c) && {
+      val staleMs = s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong
+      val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
+        catch { case _: java.io.IOException => Long.MaxValue } // just released
+      age <= staleMs
+    }
+  }
+
   /** Family-wide applied state of batch `tag` — true iff EVERY member
     * carries it, false iff NONE does. A MIXED family is treated as
     * CORRUPTION and refused loudly (r10 ADVICE, medium): members can
@@ -526,7 +547,14 @@ object Bucketed {
   def appendOnce(s: SparkSession, tag: String,
       deltas: Seq[(String, DataFrame)]): Boolean = {
     val qnames = deltas.map(_._1)
-    if (familyApplied(s, qnames, tag)) return false // fast path, no lease
+    // fast path, no lease. A MIXED reading here may be transient (a
+    // concurrent winner between its stamp touches) — defer it to the
+    // under-lease re-check, where stamps are stable: real corruption
+    // still throws there, a mid-stamp read resolves to a clean skip.
+    val appliedFast =
+      try familyApplied(s, qnames, tag)
+      catch { case _: IllegalStateException => false }
+    if (appliedFast) return false
     val specs = deltas.map { case (q, _) => bucketSpecOf(s, q) }
     deltas.foreach { case (q, delta) => requireDeltaSchema(s, q, delta) }
     var ran = false

@@ -206,6 +206,19 @@ object MinHashIndex {
   def probe(s: SparkSession, bandsTable: String, repsTable: String,
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
+    // ENFORCE the concurrency contract above instead of only stating
+    // it (r11): a probe racing maintenance reads a half-appended batch
+    // or a GC'd file list — refuse loudly while the maintainer's lease
+    // is up. Advisory (maintenance can start mid-probe), but it turns
+    // the common violation — probe and ingest scheduled together —
+    // into a clear error instead of silently wrong candidates.
+    Seq(bandsTable, repsTable).foreach { t =>
+      if (Bucketed.maintenanceInProgress(s, t))
+        throw new IllegalStateException(
+          s"index maintenance holds the lease on $t: probes must not " +
+            "overlap append/compact on the same layout (probe → append → " +
+            "compact is the sequential ingest lifecycle)")
+    }
     lastProbeStats = None // cleared first: a mid-probe failure must not expose stale stats
     val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
     // FILE-PRUNED band scan (r9, the r8 verdict's item 3, sharpened):
@@ -276,7 +289,13 @@ object MinHashIndex {
       shingleWords: Int, nHashes: Int, nBands: Int, rowsPerBand: Int,
       batchTag: Option[String] = None): Boolean = {
     val family = Seq(bandsTable, repsTable)
-    if (batchTag.exists(Bucketed.familyApplied(s, family, _))) return false
+    // fast path; a transient mixed reading (concurrent winner between
+    // stamp touches) defers to the under-lease re-check — the
+    // Bucketed.appendOnce rule
+    val appliedFast =
+      try batchTag.exists(Bucketed.familyApplied(s, family, _))
+      catch { case _: IllegalStateException => false }
+    if (appliedFast) return false
     val exactDup = probePairs.filter(col("jaccard") === 1.0)
       .select(col("brep").as("rep")).distinct()
     val fresh = batchReps.join(exactDup, Seq("rep"), "left_anti")

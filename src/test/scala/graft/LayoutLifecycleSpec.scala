@@ -231,6 +231,67 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
   }
 
+  test("two genuinely RACING appendOnce calls on one family: exactly one " +
+      "applies, the other refuses or skips, and the layout holds one copy") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    Bucketed.invalidate(spark, "race2_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(aT, bT) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("race2_lspec_a", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders")),
+      Bucketed.Spec("race2_lspec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val go = new CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Boolean]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        go.await(30, TimeUnit.SECONDS)
+        outcomes.add(
+          try Right(Bucketed.appendOnce(spark, "race2-batch", Seq(
+            aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
+          catch { case e: IllegalStateException => Left(e) })
+      })
+    }
+    threads.foreach(_.start()); go.countDown(); threads.foreach(_.join(120000))
+    val res = outcomes.toArray(Array.empty[Either[Throwable, Boolean]]).toSeq
+    assert(res.length == 2, s"both racers must finish: $res")
+    // exactly one applied; the other either lost the lease race (loud
+    // refusal) or arrived after the winner's stamps (clean skip)
+    assert(res.count(_ == Right(true)) == 1, s"outcomes: $res")
+    assert(res.forall {
+      case Right(true) => true
+      case Right(false) => true
+      case Left(e) => e.getMessage.contains("lease")
+    }, s"outcomes: $res")
+    // one copy, consistent and certified
+    assert(sortedRows(spark.table(aT)) == sortedRows(slices(orders, "o_orderkey", 0 to 7)))
+    assert(sortedRows(spark.table(bT)) == sortedRows(slices(orders, "o_orderkey", 0 to 7)))
+    assert(!Bucketed.appendOnce(spark, "race2-batch", Seq(
+      aT -> slice(orders, "o_orderkey", 7), bT -> slice(orders, "o_orderkey", 7))))
+  }
+
+  test("MinHashIndex.probe refuses while maintenance holds the lease") {
+    import graft.layouts.MinHashIndex
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Bucketed.invalidate(spark, "mhidx_probelock_")
+    val corpus = Seq((1L, (1 to 40).map(i => s"pl$i").mkString(" ")))
+      .toDF("id", "text")
+    val (bandsT, repsT) = MinHashIndex.ensure(
+      spark, dir, corpus, "probelock", 5, 64, 16, 4, Seq("region"))
+    val lease = new java.io.File(localDir(bandsT), "_GRAFT_LEASE")
+    assert(lease.createNewFile())
+    try {
+      val boom = intercept[IllegalStateException] {
+        MinHashIndex.probe(spark, bandsT, repsT, corpus, 5, 64, 16, 4, 0.5)
+      }
+      assert(boom.getMessage.contains("maintenance"), boom.getMessage)
+    } finally lease.delete()
+    // lease released: the probe serves
+    val (pairs, _) = MinHashIndex.probe(spark, bandsT, repsT, corpus, 5, 64, 16, 4, 0.5)
+    assert(pairs.count() == 1) // the exact self-match
+  }
+
   test("spec names ending in the reserved __v<N> compact suffix are refused") {
     val orders = Tables.orders(spark, dir)
     val boom = intercept[IllegalArgumentException] {
