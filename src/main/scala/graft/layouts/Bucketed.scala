@@ -217,9 +217,21 @@ object Bucketed {
     * turning the overwhelmingly common violation into a clear error. */
   def maintenanceInProgress(s: SparkSession, qname: String): Boolean = {
     val c = hconf(s)
-    val lease = new Path(tableDir(s, qname), LeaseName)
+    // a table that does not RESOLVE is itself the strongest maintenance
+    // signal: compact's swap drops and re-registers the catalog entry
+    // under its lease (r11 review — without this the probe's refusal
+    // would surface as a bare table-not-found mid-swap)
+    val dir = try tableDir(s, qname)
+      catch { case _: org.apache.spark.sql.AnalysisException => return true }
+    val lease = new Path(dir, LeaseName)
     LayoutFs.exists(lease, c) && {
-      val staleMs = s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong
+      // staleness is judged by the HOLDER's staleMs (written into the
+      // lease, heartbeat at ITS staleMs/4) — re-deriving it from the
+      // reader's conf would let a probe configured with a shorter
+      // threshold declare a live maintainer dead (r11 review). Fall
+      // back to the reader's conf only for unreadable/legacy leases.
+      val staleMs = holderStaleMsOf(lease, c).getOrElse(
+        s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong)
       val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
         catch { case _: java.io.IOException => Long.MaxValue } // just released
       age <= staleMs
@@ -308,19 +320,34 @@ object Bucketed {
     * both observed staleness could each delete the other's fresh lease
     * — rename is atomic on local/HDFS, so exactly one breaker wins and
     * the loser falls through to the normal refusal path). */
+  /** The staleMs the lease's HOLDER wrote into its content (None for
+    * unreadable or legacy content) — every liveness judgement uses the
+    * holder's own heartbeat contract, never the reader's config. */
+  private def holderStaleMsOf(lease: Path,
+      c: org.apache.hadoop.conf.Configuration): Option[Long] =
+    try LayoutFs.readString(lease, c).split('|').collectFirst {
+      case p if p.startsWith("staleMs=") => p.stripPrefix("staleMs=").toLong
+    } catch {
+      case _: java.io.IOException => None
+      case _: NumberFormatException => None
+    }
+
   private def withLeases[T](s: SparkSession, dirs: Seq[Path])(body: => T): T = {
     val c = hconf(s)
     val staleMs = s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong
+    // owner id + the heartbeat contract INSIDE the lease, so readers
+    // and breakers judge staleness by the holder's own threshold
     val owner = s"pid=${ProcessHandle.current().pid()} " +
-      s"thread=${Thread.currentThread().getId}"
+      s"thread=${Thread.currentThread().getId}|staleMs=$staleMs"
     val leases = dirs.map(_.toString).distinct.sorted
       .map(d => new Path(d, LeaseName))
     def acquire(lease: Path): Boolean = LayoutFs.createExclusive(lease, owner, c)
     def acquireOrBreak(lease: Path): Unit =
       if (!acquire(lease)) {
+        val holderStale = holderStaleMsOf(lease, c).getOrElse(staleMs)
         val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
           catch { case _: java.io.IOException => 0L } // holder just released: retry below
-        if (age > staleMs) {
+        if (age > holderStale) {
           // atomic tombstone rename: only ONE of N racing breakers wins
           val tomb = new Path(lease.getParent,
             s"${LeaseName}_broken_${System.nanoTime()}")
@@ -333,7 +360,7 @@ object Bucketed {
             catch { case _: java.io.IOException => "<unreadable>" }
           throw new IllegalStateException(
             s"layout maintenance lease ${lease} is held by [$holder] " +
-              s"(age ${age} ms, stale after $staleMs ms): a second concurrent " +
+              s"(age ${age} ms, stale after $holderStale ms): a second concurrent " +
               "maintainer must not interleave marker windows with the holder")
         }
       }
@@ -382,39 +409,56 @@ object Bucketed {
     * fails does the handler fall back to dropping the family so torn
     * state is never certified. */
   def appendGuard(s: SparkSession, qnames: Seq[String])(body: => Unit): Unit = {
+    appendGuardIf(s, qnames)(() => true)(body); ()
+  }
+
+  /** [[appendGuard]] with a PRE-MARKER gate: `pre` runs under the
+    * family lease but BEFORE the completion markers come down, and the
+    * marker window opens only if it returns true. This is where
+    * [[appendOnce]]'s applied-state decision lives (r11 review): under
+    * the lease the stamps are stable — a transient mid-stamp reading is
+    * impossible and a REAL mixed-family corruption throws out of `pre`
+    * with the family still fully certified, markers intact, nothing to
+    * restore. Returns whether the window opened (i.e. `body` ran). */
+  private[layouts] def appendGuardIf(s: SparkSession, qnames: Seq[String])(
+      pre: () => Boolean)(body: => Unit): Boolean = {
     val c = hconf(s)
     val dirs = qnames.map(q => tableDir(s, q))
     withLeases(s, dirs) {
-      val markers = dirs.map(d => new Path(d, Marker))
-      val snapshots = dirs.map(d => LayoutFs.listNames(d, c).toSet)
-      markers.foreach(LayoutFs.delete(_, c))
-      try {
-        body
-        markers.foreach(LayoutFs.touch(_, c))
-      } catch {
-        case e: Throwable =>
-          try {
-            dirs.zip(snapshots).foreach { case (d, snap) =>
-              LayoutFs.list(d, c)
-                .filterNot(st => snap.contains(st.getPath.getName))
-                .filterNot(_.getPath.getName == LeaseName)
-                .foreach(st =>
-                  if (st.isDirectory) LayoutFs.deleteDir(st.getPath, c)
-                  else LayoutFs.delete(st.getPath, c))
+      if (!pre()) false
+      else {
+        val markers = dirs.map(d => new Path(d, Marker))
+        val snapshots = dirs.map(d => LayoutFs.listNames(d, c).toSet)
+        markers.foreach(LayoutFs.delete(_, c))
+        try {
+          body
+          markers.foreach(LayoutFs.touch(_, c))
+        } catch {
+          case e: Throwable =>
+            try {
+              dirs.zip(snapshots).foreach { case (d, snap) =>
+                LayoutFs.list(d, c)
+                  .filterNot(st => snap.contains(st.getPath.getName))
+                  .filterNot(_.getPath.getName == LeaseName)
+                  .foreach(st =>
+                    if (st.isDirectory) LayoutFs.deleteDir(st.getPath, c)
+                    else LayoutFs.delete(st.getPath, c))
+              }
+              dirs.zip(snapshots).zip(markers).foreach { case ((_, snap), m) =>
+                if (snap.contains(Marker)) LayoutFs.touch(m, c)
+              }
+              // the manual file surgery invalidates any cached file listing
+              qnames.foreach(s.catalog.refreshTable)
+            } catch {
+              case e2: Throwable =>
+                // restore failed: wipe so a torn family is never served
+                qnames.foreach(q => s.sql(s"DROP TABLE IF EXISTS $q"))
+                dirs.foreach(LayoutFs.deleteDir(_, c))
+                e.addSuppressed(e2)
             }
-            dirs.zip(snapshots).zip(markers).foreach { case ((_, snap), m) =>
-              if (snap.contains(Marker)) LayoutFs.touch(m, c)
-            }
-            // the manual file surgery invalidates any cached file listing
-            qnames.foreach(s.catalog.refreshTable)
-          } catch {
-            case e2: Throwable =>
-              // restore failed: wipe so a torn family is never served
-              qnames.foreach(q => s.sql(s"DROP TABLE IF EXISTS $q"))
-              dirs.foreach(LayoutFs.deleteDir(_, c))
-              e.addSuppressed(e2)
-          }
-          throw e
+            throw e
+        }
+        true
       }
     }
   }
@@ -549,25 +593,25 @@ object Bucketed {
     val qnames = deltas.map(_._1)
     // fast path, no lease. A MIXED reading here may be transient (a
     // concurrent winner between its stamp touches) — defer it to the
-    // under-lease re-check, where stamps are stable: real corruption
-    // still throws there, a mid-stamp read resolves to a clean skip.
+    // under-lease gate, where stamps are stable: real corruption still
+    // throws there, a mid-stamp read resolves to a clean skip.
     val appliedFast =
       try familyApplied(s, qnames, tag)
       catch { case _: IllegalStateException => false }
     if (appliedFast) return false
     val specs = deltas.map { case (q, _) => bucketSpecOf(s, q) }
     deltas.foreach { case (q, delta) => requireDeltaSchema(s, q, delta) }
-    var ran = false
-    appendGuard(s, qnames) {
-      // RE-CHECK under the lease (r11 review): the fast-path check is
-      // check-then-act across the lock boundary — a concurrent retry
-      // that lost the lease race re-evaluates here AFTER the winner's
-      // stamps landed, and skips instead of double-appending
-      if (!familyApplied(s, qnames, tag)) {
-        writeDeltas(deltas, specs)
-        stampFamily(s, qnames, tag)
-        ran = true
-      }
+    // the applied-state DECISION runs as appendGuardIf's pre-marker
+    // gate (r11 review, twice over): (a) the fast-path check alone is
+    // check-then-act across the lock boundary — a raced retry must
+    // re-decide after the winner's stamps landed; (b) the decision must
+    // come BEFORE the markers go down — a real mixed-family corruption
+    // then throws with the family still certified and nothing to
+    // restore, instead of traversing the marker window where a crash
+    // would rebuild the stamped sibling away
+    val ran = appendGuardIf(s, qnames)(() => !familyApplied(s, qnames, tag)) {
+      writeDeltas(deltas, specs)
+      stampFamily(s, qnames, tag)
     }
     if (ran) deltas.foreach { case (q, _) => s.catalog.refreshTable(q) }
     ran

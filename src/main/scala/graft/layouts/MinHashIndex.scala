@@ -206,6 +206,8 @@ object MinHashIndex {
   def probe(s: SparkSession, bandsTable: String, repsTable: String,
       batch: DataFrame, shingleWords: Int, nHashes: Int, nBands: Int,
       rowsPerBand: Int, threshold: Double): (DataFrame, DataFrame) = {
+    lastProbeStats = None // cleared FIRST: no failure below — including
+    // the lease refusal — may expose the previous probe's stats
     // ENFORCE the concurrency contract above instead of only stating
     // it (r11): a probe racing maintenance reads a half-appended batch
     // or a GC'd file list — refuse loudly while the maintainer's lease
@@ -219,7 +221,6 @@ object MinHashIndex {
             "overlap append/compact on the same layout (probe → append → " +
             "compact is the sequential ingest lifecycle)")
     }
-    lastProbeStats = None // cleared first: a mid-probe failure must not expose stale stats
     val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
     // FILE-PRUNED band scan (r9, the r8 verdict's item 3, sharpened):
     // the probe's residual corpus-linear term was the full band-table
@@ -308,22 +309,20 @@ object MinHashIndex {
     // constant), so an append can never break the bucketing spec of a
     // layout built with a non-default count
     val (bandB, repB) = (bucketsOf(s, bandsTable), bucketsOf(s, repsTable))
-    var ran = false
-    Bucketed.appendGuard(s, family) {
-      // re-check under the lease (the Bucketed.appendOnce TOCTOU rule):
-      // a retry that raced the original past the fast-path check must
-      // skip here, after the winner's stamps landed
-      if (!batchTag.exists(Bucketed.familyApplied(s, family, _))) {
-        bands.select(col("bkey64"), col("rep"))
-          .write.mode("append").bucketBy(bandB, "bkey64").sortBy("bkey64")
-          .saveAsTable(bandsTable)
-        reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
-          .saveAsTable(repsTable)
-        batchTag.foreach(Bucketed.stampFamily(s, family, _))
-        ran = true
-      }
+    // applied-state decision as the PRE-MARKER gate (the
+    // Bucketed.appendOnce rule): re-decided under the lease — a raced
+    // retry skips after the winner's stamps landed — and BEFORE the
+    // markers come down, so a real mixed-family corruption throws with
+    // the family still certified
+    Bucketed.appendGuardIf(s, family)(
+      () => !batchTag.exists(Bucketed.familyApplied(s, family, _))) {
+      bands.select(col("bkey64"), col("rep"))
+        .write.mode("append").bucketBy(bandB, "bkey64").sortBy("bkey64")
+        .saveAsTable(bandsTable)
+      reps.write.mode("append").bucketBy(repB, "rep").sortBy("rep")
+        .saveAsTable(repsTable)
+      batchTag.foreach(Bucketed.stampFamily(s, family, _))
     }
-    ran
   }
 
   /** INDEX MAINTENANCE, part 2: compact both index tables back to one
