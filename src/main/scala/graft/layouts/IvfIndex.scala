@@ -32,8 +32,9 @@ object IvfIndex {
     // MD5 cache id (LayoutUtil — the hardened ZOrder convention; the
     // previous 32-bit hashCode id could collide and serve a wrong layout)
     val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters)
-    val idxPath = s"/tmp/graft_ivf_idx_$id"
-    val centsPath = s"/tmp/graft_ivf_cents_$id"
+    val root = LayoutUtil.artifactRoot(s)
+    val idxPath = s"$root/graft_ivf_idx_$id"
+    val centsPath = s"$root/graft_ivf_cents_$id"
     if (!LayoutFs.existsAt(s"$idxPath/_SUCCESS")
         || !LayoutFs.existsAt(s"$centsPath/_SUCCESS")) {
       LayoutFs.deleteDirAt(idxPath)

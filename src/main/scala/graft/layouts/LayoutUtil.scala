@@ -22,6 +22,15 @@ object LayoutUtil {
 
   private lazy val conf = new Configuration()
 
+  /** Root under which ALL persisted layout artifacts live — the
+    * bucketed warehouses (Bucketed.ensure), the ZOrder copies, the
+    * IVF/PQ index roots, the stream-ingest staging. One knob
+    * (`spark.graft.layout.root`, default /tmp) relocates the whole
+    * store to HDFS/an object store; every consumer resolves its
+    * FileSystem from the resulting path's scheme via [[LayoutFs]]. */
+  def artifactRoot(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.get("spark.graft.layout.root", "/tmp")
+
   /** Collision-safe cache id for a layout key (the hardened ZOrder
     * convention: a 32-bit String.hashCode collision would silently serve
     * a wrong layout). */

@@ -29,9 +29,10 @@ object PqIndex {
       k: Int = 16, iters: Int = 2, m: Int = 8, kpq: Int = 16, pqIters: Int = 4)
       : (String, String, String) = {
     val id = LayoutUtil.cacheId(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters")
-    val codesPath = s"/tmp/graft_pq_idx_$id"
-    val centsPath = s"/tmp/graft_pq_cents_$id"
-    val booksPath = s"/tmp/graft_pq_books_$id"
+    val root = LayoutUtil.artifactRoot(s)
+    val codesPath = s"$root/graft_pq_idx_$id"
+    val centsPath = s"$root/graft_pq_cents_$id"
+    val booksPath = s"$root/graft_pq_books_$id"
     val complete = Seq(codesPath, centsPath, booksPath)
       .forall(p => LayoutFs.existsAt(s"$p/_SUCCESS"))
     if (!complete) {

@@ -91,7 +91,7 @@ object ZOrder {
              rangePartitions: Int = 4, targetFiles: Int = 64): String = {
     val conf = hconf
     val tag = cacheTag(s"$dir|$name|${sourceSig(s"$dir/$srcTable.parquet")}")
-    val path = s"/tmp/graft_zorder_${name}_$tag"
+    val path = s"${LayoutUtil.artifactRoot(s)}/graft_zorder_${name}_$tag"
     if (!LayoutFs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), conf)
         || !LayoutFs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_minmax"), conf)) {
       // File count is the pruning granularity AND the metadata bill: a

@@ -64,7 +64,7 @@ object StreamIngest {
     // signature: regenerated testdata rotates them with the layout
     val sig = LayoutUtil.cacheId(
       dir + "|" + LayoutUtil.dataSig(s"$dir/events.parquet") + "|si2")
-    val root = s"/tmp/graft_stream_ingest_$sig"
+    val root = s"${LayoutUtil.artifactRoot(s)}/graft_stream_ingest_$sig"
     val srcDir = s"$root/src"
 
     // stage the "arriving crawl files" EXACTLY once (3 parquet files)
