@@ -292,6 +292,35 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count() == 1) // the exact self-match
   }
 
+  test("spark.graft.layout.root relocates the store: the full ensure → " +
+      "appendOnce → compact lifecycle runs under a non-default root") {
+    val customRoot = Files.createTempDirectory("graft_custom_root").toString
+    spark.conf.set("spark.graft.layout.root", customRoot)
+    try {
+      val orders = Tables.orders(spark, dir)
+      val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+        Bucketed.Spec("root_lspec", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+          srcTables = Seq("orders"))), buckets = 4)
+      // the layout physically lives under the custom root
+      assert(localDir(t).getAbsolutePath.startsWith(customRoot),
+        s"layout at ${localDir(t)} not under $customRoot")
+      assert(Bucketed.appendOnce(spark, "root-7",
+        Seq(t -> slice(orders, "o_orderkey", 7))))
+      Bucketed.compact(spark, t)
+      assert(localDir(t).getAbsolutePath.startsWith(customRoot))
+      assert(localDir(t).getName == "root_lspec__v1")
+      assert(sortedRows(spark.table(t)) == sortedRows(orders))
+      assert(!Bucketed.appendOnce(spark, "root-7",
+        Seq(t -> slice(orders, "o_orderkey", 7))), "manifest lost in relocation")
+      // invalidate honours the custom root too
+      Bucketed.invalidate(spark, "root_lspec")
+      assert(!spark.catalog.tableExists(t))
+    } finally {
+      spark.conf.unset("spark.graft.layout.root")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(customRoot))
+    }
+  }
+
   test("spec names ending in the reserved __v<N> compact suffix are refused") {
     val orders = Tables.orders(spark, dir)
     val boom = intercept[IllegalArgumentException] {
