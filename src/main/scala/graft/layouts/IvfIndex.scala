@@ -41,7 +41,12 @@ object IvfIndex {
       LayoutFs.deleteDirAt(centsPath)
       val grouped = LayoutUtil.repsWithMembers(corpus)
       val reps = grouped.select(col("vec_id"), col("v"))
-      val cents = Ivf.train(reps, k, iters)
+      // sample-capped Lloyd (~256 training points per centroid, floored
+      // at 16 Ki — Ivf.trainSampleCap): at vector scale the train pass
+      // must not rescan the full corpus per iteration; below the floor
+      // (every oracled fixture) the cap never samples, so persisted-row
+      // oracles see bit-identical centroids
+      val cents = Ivf.train(reps, k, iters, Ivf.trainSampleCap(k))
       // one write task per centroid bucket → one file per partition dir
       Ivf.assign(reps, cents)
         .join(grouped.select(col("vec_id"), col("members")), "vec_id")

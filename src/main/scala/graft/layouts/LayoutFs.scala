@@ -16,8 +16,10 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   *    by staging a versioned sibling directory, repointing the catalog,
   *    and garbage-collecting the old directory — the only rename-shaped
   *    operation object stores cannot give us is simply not used;
-  *  - [[createExclusive]] is atomic on local/HDFS (`create(overwrite =
-  *    false)`); on stores without atomic create it degrades to
+  *  - [[createExclusive]] is atomic on local paths (java.nio
+  *    `CREATE_NEW` — Hadoop's own local `create(overwrite = false)` is
+  *    a non-atomic exists-then-truncate) and on HDFS (NameNode-side);
+  *    on stores without atomic/conditional create it degrades to
   *    best-effort, which is why the lease it backs is an EXCLUSION
   *    GUARD layered on top of the marker protocol, not the sole
   *    correctness mechanism (a crashed or raced writer still leaves no
@@ -41,18 +43,46 @@ object LayoutFs {
     fs(p, conf).create(p, true).close()
 
   /** Atomically create `p` with `content` iff it does not exist —
-    * returns false when another writer got there first. Atomic on
-    * local/HDFS; best-effort on object stores (see the object scaladoc
-    * for why that is acceptable for the lease). */
-  def createExclusive(p: Path, content: String, conf: Configuration): Boolean =
-    try {
-      val out = fs(p, conf).create(p, false)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if exists(p, conf) => false
-    }
+    * returns false when another writer got there first.
+    *
+    * ATOMICITY BY STORE (r11 ADVICE, medium): Hadoop's LOCAL filesystem
+    * implements `create(overwrite = false)` as an exists-check followed
+    * by a truncating open — a TOCTOU window in which two same-root
+    * maintainers can both "win" the lease and double-apply a batch, so
+    * local paths use java.nio `CREATE_NEW` instead (one atomic
+    * open(O_CREAT|O_EXCL) syscall). HDFS `create(overwrite = false)` is
+    * atomic in the NameNode. Object stores give whatever their
+    * connector gives — S3A turns create into a conditional
+    * (If-None-Match) PUT only where the store and connector support it;
+    * absent that it degrades to best-effort, which is why the lease
+    * this backs is an exclusion GUARD layered on top of the marker
+    * protocol, not the sole correctness mechanism. */
+  def createExclusive(p: Path, content: String, conf: Configuration): Boolean = {
+    val filesystem = fs(p, conf)
+    val isLocal = filesystem.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      filesystem.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        if (local.getParent != null)
+          java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try {
+        val out = filesystem.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if exists(p, conf) => false
+      }
+  }
 
   /** Delete one file (quiet: a missing path is not an error). */
   def delete(p: Path, conf: Configuration): Unit =

@@ -1,0 +1,171 @@
+package graft.tools
+
+import graft.etl.Ivf
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN evidence at VECTOR SCALE (r11 verdict item 5): the registry's ANN
+  * rows pin exact-recall oracles and partition pruning at fixture scale
+  * (2 k vectors); this probe measures the same persisted-IVF probe route
+  * on a >= 2 M-vector corpus (tools/make_embeddings.py — 1000 "spread"
+  * replicas of the sf0.1 embeddings: direction-diverse, cross-replica
+  * cosine ~0.65, so recall@k measures genuine neighborhood retrieval):
+  *
+  *  - BUILD: sample-capped Lloyd train + assign + cent_id-partitioned
+  *    write (the table's resident format), each timed;
+  *  - GROUND TRUTH: exact brute-force top-k per query (TakeOrdered — a
+  *    linear scan + heap, no shuffle), ALSO the honest latency baseline;
+  *  - PROBE: per query and per nprobe, rank centroids driver-side (the
+  *    k×dims model is KB-scale), scan ONLY the probed cent_id=
+  *    partitions (literal IN filter → static partition pruning), exact
+  *    top-k inside; report recall@k vs brute force, latency, files and
+  *    rows actually read vs total;
+  *  - BATCHED: the llm_knn_join_ivf shape — all queries joined to the
+  *    index on cent_id in one plan — timed with its mean recall.
+  *
+  * Usage: runMain graft.tools.AnnScaleProbe [dirWithEmbeddingsParquet]
+  *   ANN_NLIST (default 1024), ANN_NPROBES (default 1,4,16,64),
+  *   ANN_TOPK (default 10), SPARK_GRAFT_CPUS (default 32).
+  * Results print as PROBE lines (CROSSOVER.md protocol). */
+object AnnScaleProbe {
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_emb2m")
+    val nlist = sys.env.getOrElse("ANN_NLIST", "1024").toInt
+    val nprobes = sys.env.getOrElse("ANN_NPROBES", "1,4,16,64").split(",").map(_.toInt).toSeq
+    val topK = sys.env.getOrElse("ANN_TOPK", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // plain (non-adaptive) plans so the scan node's numFiles metric is
+      // directly reachable for the pruning report
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = corpus.count()
+    println(f"PROBE ann_scale corpus=$dir n=$n nlist=$nlist topk=$topK")
+
+    // ~64 deterministic query vectors
+    val queries = corpus.filter(pmod(xxhash64(col("vec_id")), lit(32749)) === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).take(64)
+    println(s"PROBE ann_scale queries=${queries.length}")
+
+    // BUILD: capped train + assign + partitioned write (resident format)
+    val (cents, tTrain) = timed {
+      Ivf.train(corpus, nlist, iters = 2, sampleCap = Ivf.trainSampleCap(nlist)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    import spark.implicits._
+    val centsDf = cents.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("cent_id", "cv")
+    val idxPath = s"/tmp/graft_annscale_idx_${n}_$nlist"
+    val (_, tWrite) = timed {
+      if (!graft.layouts.LayoutFs.existsAt(s"$idxPath/_SUCCESS")) {
+        graft.layouts.LayoutFs.deleteDirAt(idxPath)
+        Ivf.assign(corpus, centsDf)
+          .repartition(nlist, col("cent_id"))
+          .write.partitionBy("cent_id").mode("overwrite").parquet(idxPath)
+      }
+    }
+    val index = spark.read.parquet(idxPath)
+    val totalFiles = index.inputFiles.length
+    val cellRows = index.groupBy("cent_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(f"PROBE ann_scale build train_s=$tTrain%.1f write_s=$tWrite%.1f " +
+      f"files=$totalFiles cells=${cellRows.size} " +
+      f"cell_rows_p50=${cellRows.values.toSeq.sorted.apply(cellRows.size / 2)} " +
+      f"cell_rows_max=${cellRows.values.max}")
+
+    def cosExpr(qv: Array[Double]) =
+      round(call_function("cosine_fast", col("v"), typedlit(qv.toSeq)), 6)
+
+    // GROUND TRUTH: exact brute force per query (scan + heap, no shuffle)
+    val gt = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val tBrute = queries.map { case (qid, qv) =>
+      val (ids, t) = timed {
+        corpus.select(col("vec_id"), cosExpr(qv).as("c"))
+          .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
+          .limit(topK).collect().map(_.getLong(0)).toSeq
+      }
+      gt(qid) = ids; t
+    }
+    println(f"PROBE ann_scale brute_force_per_query_s " +
+      f"avg=${tBrute.sum / tBrute.length}%.3f min=${tBrute.min}%.3f max=${tBrute.max}%.3f")
+
+    // PROBED SEARCH per nprobe: driver-side centroid ranking (KB-scale
+    // model), literal IN filter → static partition pruning, exact top-k
+    for (np <- nprobes) {
+      var filesRead = 0L; var rowsRead = 0L
+      val perQ = queries.map { case (qid, qv) =>
+        val probeIds = cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
+          .sortBy { case (c, cid) => (-c, cid) }.take(np).map(_._2).toSeq
+        rowsRead += probeIds.map(cellRows.getOrElse(_, 0L)).sum
+        val (res, t) = timed {
+          val df = spark.read.parquet(idxPath)
+            .filter(col("cent_id").isin(probeIds: _*))
+            .select(col("vec_id"), cosExpr(qv).as("c"))
+            .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
+            .limit(topK)
+          val ids = df.collect().map(_.getLong(0)).toSeq
+          val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value
+          }.getOrElse(-1L)
+          (ids, nf)
+        }
+        filesRead += res._2
+        val recall = res._1.toSet.intersect(gt(qid).toSet).size.toDouble / topK
+        (recall, t)
+      }
+      val rec = perQ.map(_._1); val lat = perQ.map(_._2)
+      println(f"PROBE ann_scale nprobe=$np%-3d recall@$topK=${rec.sum / rec.length}%.3f " +
+        f"lat_avg_s=${lat.sum / lat.length}%.3f lat_max_s=${lat.max}%.3f " +
+        f"files_read_frac=${filesRead.toDouble / (perQ.length * totalFiles)}%.4f " +
+        f"rows_scanned_frac=${rowsRead.toDouble / (perQ.length * n)}%.4f")
+    }
+
+    // BATCHED kNN-join shape (llm_knn_join_ivf): all queries in ONE plan,
+    // probes joined to the index on cent_id
+    val npB = 16
+    val probesDf = queries.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(npB)
+        .map { case (_, cid) => (qid, cid, qv.toSeq) }
+    }.toSeq.toDF("q_id", "cent_id", "qv")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
+    val (batch, tBatch) = timed {
+      spark.read.parquet(idxPath)
+        .join(probesDf.hint("broadcast"), "cent_id")
+        .select(col("q_id"), col("vec_id"),
+          round(call_function("cosine_fast", col("v"), col("qv")), 6).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .select("q_id", "vec_id").collect()
+    }
+    val batchRecall = batch.groupBy(_.getLong(0)).map { case (qid, rows) =>
+      rows.map(_.getLong(1)).toSet.intersect(gt(qid).toSet).size.toDouble / topK
+    }
+    println(f"PROBE ann_scale knn_join_batched queries=${queries.length} nprobe=$npB " +
+      f"wall_s=$tBatch%.2f recall@$topK=${batchRecall.sum / batchRecall.size}%.3f")
+    spark.stop()
+  }
+}

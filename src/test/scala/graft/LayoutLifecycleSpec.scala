@@ -45,6 +45,15 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       spark.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
         .head().getString(1)))
 
+  /** The NAME-SCOPED maintenance lease of a layout member: one file per
+    * layout name in the WAREHOUSE dir (r12 — previously inside the
+    * member dir), shared by every compact version of the member. */
+  private def nameLease(qname: String): java.io.File = {
+    val d = localDir(qname)
+    new java.io.File(d.getParentFile,
+      "_GRAFT_LEASE_" + d.getName.replaceAll("__v\\d+$", ""))
+  }
+
   test("rename-free compact: each compaction repoints the catalog at a new " +
       "versioned directory, GCs the old one, and a fresh JVM's ensure() " +
       "resolves the highest certified version") {
@@ -62,20 +71,27 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val expect6 = sortedRows(slices(orders, "o_orderkey", 0 to 6))
     assert(sortedRows(spark.table(t)) == expect6)
 
-    // first compact: catalog repoints to __v1, base dir is GC'd
+    // first compact: catalog repoints to __v1. The superseded base dir
+    // is KEPT (decertified) for one more cycle — the GC grace window
+    // (gcGraceVersions = 1) that lets an in-flight reader who resolved
+    // the old location just before the repoint finish its scan.
     Bucketed.compact(spark, t)
     val d1 = localDir(t)
     assert(d1.getName == "swap_lspec__v1", s"expected __v1, got ${d1.getName}")
-    assert(!d0.exists(), "old layout dir should be GC'd after the swap")
+    assert(d0.exists(), "superseded dir must survive one grace cycle for in-flight readers")
+    assert(!new java.io.File(d0, "_GRAFT_COMPLETE").exists(),
+      "superseded dir must be decertified (resolution must never pick it)")
     assert(new java.io.File(d1, "_GRAFT_COMPLETE").exists(), "new dir uncertified")
     assert(sortedRows(spark.table(t)) == expect6, "compaction changed results")
 
-    // second compact cycle: __v1 → __v2
+    // second compact cycle: __v1 → __v2; the grace window advances —
+    // v1 is retained, the base dir (two versions behind) is GC'd
     Bucketed.appendOnce(spark, "b-7", Seq(t -> slice(orders, "o_orderkey", 7)))
     Bucketed.compact(spark, t)
     val d2 = localDir(t)
     assert(d2.getName == "swap_lspec__v2", s"expected __v2, got ${d2.getName}")
-    assert(!d1.exists(), "superseded __v1 should be GC'd")
+    assert(d1.exists(), "v1 must survive its grace cycle")
+    assert(!d0.exists(), "base dir beyond the grace window should be GC'd")
     assert(sortedRows(spark.table(t)) == sortedRows(orders))
 
     // "fresh JVM": the in-memory catalog forgets the (external) table;
@@ -191,7 +207,7 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(sortedRows(spark.table(t)) == sortedRows(slices(orders, "o_orderkey", 0 to 6)))
 
     // DEAD HOLDER: a lease whose heartbeats stopped (old mtime) is broken
-    val lease = new java.io.File(localDir(t), "_GRAFT_LEASE")
+    val lease = nameLease(t)
     assert(lease.createNewFile())
     assert(lease.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
     assert(Bucketed.appendOnce(spark, "race-2", Seq(t -> slice(orders, "o_orderkey", 7))),
@@ -209,10 +225,10 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
         srcTables = Seq("orders")),
       Bucketed.Spec("leaseb_lspec_b", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
         srcTables = Seq("orders"))), buckets = 4)
-    // a concurrent compact of member b would lease ONLY b's dir — the
+    // a concurrent compact of member b would lease ONLY b's name — the
     // family append must conflict with it, not slip past on a head-only
     // lease (fresh mtime: not stale, not breakable)
-    val bLease = new java.io.File(localDir(bT), "_GRAFT_LEASE")
+    val bLease = nameLease(bT)
     assert(bLease.createNewFile())
     try {
       val refused = intercept[IllegalStateException] {
@@ -223,7 +239,7 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       // nothing landed on EITHER member and no lease leaked onto a
       assert(sortedRows(spark.table(aT)) ==
         sortedRows(slices(orders, "o_orderkey", 0 to 6)))
-      assert(!new java.io.File(localDir(aT), "_GRAFT_LEASE").exists(),
+      assert(!nameLease(aT).exists(),
         "the loser must release the member leases it already held")
     } finally bLease.delete()
     // released: the same batch applies
@@ -279,7 +295,7 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       .toDF("id", "text")
     val (bandsT, repsT) = MinHashIndex.ensure(
       spark, dir, corpus, "probelock", 5, 64, 16, 4, Seq("region"))
-    val lease = new java.io.File(localDir(bandsT), "_GRAFT_LEASE")
+    val lease = nameLease(bandsT)
     assert(lease.createNewFile())
     try {
       val boom = intercept[IllegalStateException] {
@@ -425,5 +441,214 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning(id"),
       s"stream-ingested layout join shuffles:\n$p")
     assert(q.collect().map(_.getDouble(1)).head == (1 to 60).map(_ / 2.0).sum)
+  }
+
+  test("compact is invisible to concurrent readers: a reader loop across " +
+      "20+ compactions sees zero resolution errors and stable content " +
+      "(ALTER-based repoint + GC grace window, r11 verdict item 1)") {
+    Bucketed.invalidate(spark, "rdr_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("rdr_lspec", slices(orders, "o_orderkey", 0 to 7), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val expect = slices(orders, "o_orderkey", 0 to 7).count()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get) {
+        try {
+          val n = spark.table(t).count()
+          if (n != expect) errors.add(s"wrong count $n (want $expect)")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable =>
+            errors.add(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }, "graft-compact-reader")
+    reader.start()
+    try {
+      for (_ <- 1 to 21) Bucketed.compact(spark, t)
+    } finally {
+      stop.set(true); reader.join(60000)
+    }
+    assert(!reader.isAlive)
+    assert(errors.isEmpty,
+      s"reader hit ${errors.size} errors across compactions: " +
+        errors.toArray.take(3).mkString(" | "))
+    assert(reads.get > 20, s"reader only completed ${reads.get} reads — not racing")
+    // the layout still serves the zero-exchange plan after 21 swaps
+    val qy = spark.table(t).groupBy(col("o_orderkey")).count()
+    val plan = qy.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"compacted layout lost the zero-exchange property:\n$plan")
+    assert(sortedRows(spark.table(t)) == sortedRows(slices(orders, "o_orderkey", 0 to 7)))
+  }
+
+  test("ensure()'s rebuild path refuses while a maintainer's marker window " +
+      "is open (r11 ADVICE, medium): a fresh-JVM rebuilder must not wipe " +
+      "the live directories out from under the lease holder") {
+    Bucketed.invalidate(spark, "reb_lspec")
+    val orders = Tables.orders(spark, dir)
+    def ensure() = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("reb_lspec", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val Seq(t) = ensure()
+    val d0 = localDir(t)
+
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Bucketed.appendGuard(spark, Seq(t)) { // markers down, lease held
+        inside.countDown()
+        release.await()
+      }
+    })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // simulate a fresh JVM: the catalog forgot the table; with the
+      // marker legitimately DOWN, ensure() sees no certified version —
+      // it must refuse on the holder's lease, not wipe and rebuild
+      spark.sql(s"DROP TABLE $t")
+      val refused = intercept[IllegalStateException] { ensure() }
+      assert(refused.getMessage.contains("lease"), refused.getMessage)
+      assert(d0.exists(), "the rebuilder wiped the holder's live directory")
+    } finally release.countDown()
+    holder.join(30000)
+    assert(!holder.isAlive)
+    // holder released (markers back up): ensure() re-registers, content intact
+    val Seq(t2) = ensure()
+    assert(sortedRows(spark.table(t2)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+  }
+
+  test("leaseWaitMs: an acquirer waits out a live holder instead of " +
+      "refusing — the streaming-ingest-vs-compaction setting") {
+    Bucketed.invalidate(spark, "wait_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("wait_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Bucketed.appendGuard(spark, Seq(t)) {
+        inside.countDown()
+        Thread.sleep(2000) // hold the lease ~2 s, then release normally
+      }
+    })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    spark.conf.set("spark.graft.layout.leaseWaitMs", "30000")
+    try {
+      // without the wait this refused (see the writer-writer test); with
+      // it, the acquirer parks behind the holder and then applies
+      assert(Bucketed.appendOnce(spark, "wait-6",
+        Seq(t -> slice(orders, "o_orderkey", 6))))
+    } finally spark.conf.unset("spark.graft.layout.leaseWaitMs")
+    holder.join(30000)
+    assert(sortedRows(spark.table(t)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+  }
+
+  test("streaming ingest under concurrent maintenance: the family lease " +
+      "serializes the micro-batch append behind the maintenance window; " +
+      "the stream completes after, content exact (r11 verdict item 7)") {
+    import spark.implicits._
+    Bucketed.invalidate(spark, "sconc_lspec")
+    val base = Files.createTempDirectory("graft_stream_conc")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val empty = spark.range(0).select(col("id"), lit(0.0).as("v"))
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("sconc_lspec", empty, "id", srcTables = Seq("orders"))), buckets = 4)
+    (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+
+    // the "compaction": a maintainer holding the family lease with the
+    // marker window open — the exact lock compact takes, held long
+    // enough to overlap the stream's first micro-batch deterministically
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Bucketed.appendGuard(spark, Seq(t)) { inside.countDown(); release.await() }
+    })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+
+    spark.conf.set("spark.graft.layout.leaseWaitMs", "60000")
+    try {
+      val sink = Bucketed.foreachBatchInto(spark, "sc1", Seq(t -> (b => b)))
+      val q = spark.readStream.schema("id LONG, v DOUBLE").parquet(src.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try {
+        // while the maintenance window is open, the micro-batch append is
+        // parked on the lease — nothing may land
+        Thread.sleep(3000)
+        assert(spark.table(t).count() == 0,
+          "a micro-batch landed INSIDE the maintenance window")
+        release.countDown()
+        q.processAllAvailable()
+      } finally q.stop()
+      holder.join(30000)
+      assert(spark.table(t).count() == 30)
+      assert(spark.table(t).select(countDistinct(col("id"))).head().getLong(0) == 30)
+      // a real compaction + a restarted stream replay: exactly-once holds
+      Bucketed.compact(spark, t)
+      val q2 = spark.readStream.schema("id LONG, v DOUBLE").parquet(src.toString)
+        .writeStream.foreachBatch(Bucketed.foreachBatchInto(spark, "sc1", Seq(t -> (b => b))))
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.table(t).count() == 30, "replay after compaction doubled the batch")
+    } finally spark.conf.unset("spark.graft.layout.leaseWaitMs")
+  }
+
+  test("stamp retention at micro-batch cadence: 500 applied tags fold into " +
+      "ONE bounded manifest at compact, and every historical tag still " +
+      "replays as a no-op (r11 verdict item 6)") {
+    Bucketed.invalidate(spark, "ret_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("ret_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    // two REAL batches through the protocol...
+    assert(Bucketed.appendOnce(spark, "real-6", Seq(t -> slice(orders, "o_orderkey", 6))))
+    assert(Bucketed.appendOnce(spark, "real-7", Seq(t -> slice(orders, "o_orderkey", 7))))
+    // ...plus a micro-batch-cadence stamp population (stamps ARE the
+    // exactly-once state — files, created here exactly as appendOnce does)
+    for (i <- 1 to 500)
+      assert(new java.io.File(localDir(t), f"_GRAFT_APPLIED_synth-$i%03d").createNewFile())
+    assert(localDir(t).list().count(_.startsWith("_GRAFT_APPLIED_")) == 502)
+
+    Bucketed.compact(spark, t)
+    def names() = localDir(t).list().toSeq
+    assert(names().count(_.startsWith("_GRAFT_APPLIED_")) == 0, "stamps not folded")
+    assert(names().count(_ == "_GRAFT_MANIFEST") == 1)
+    assert(Bucketed.appliedBatchTags(spark, t).size == 502)
+    // every historical tag — real and synthetic — replays as a no-op
+    val rows = spark.table(t).count()
+    assert(!Bucketed.appendOnce(spark, "real-6", Seq(t -> slice(orders, "o_orderkey", 6))))
+    for (i <- Seq(1, 137, 250, 499, 500))
+      assert(!Bucketed.appendOnce(spark, f"synth-$i%03d",
+        Seq(t -> slice(orders, "o_orderkey", 6))), s"synth-$i replayed!")
+    assert(spark.table(t).count() == rows)
+    // a second compact folds the folded manifest stably (no growth, no loss)
+    Bucketed.compact(spark, t)
+    assert(names().count(_ == "_GRAFT_MANIFEST") == 1)
+    assert(Bucketed.appliedBatchTags(spark, t).size == 502)
+  }
+
+  test("maintenanceInProgress on a missing table surfaces table-not-found, " +
+      "not a misleading maintenance refusal (r11 ADVICE, low)") {
+    val boom = intercept[org.apache.spark.sql.AnalysisException] {
+      Bucketed.maintenanceInProgress(spark, "graft_no_such_db.no_such_layout")
+    }
+    assert(boom.getMessage.toUpperCase.contains("NOT_FOUND") ||
+      boom.getMessage.toLowerCase.contains("cannot be found") ||
+      boom.getMessage.toLowerCase.contains("not found"), boom.getMessage)
   }
 }
