@@ -87,7 +87,10 @@ object AnnScaleProbe {
     }
     val index = spark.read.parquet(idxPath)
     val totalFiles = index.inputFiles.length
-    val cellRows = index.groupBy("cent_id").count().collect()
+    // partition-dir columns are type-inferred (cent_id= reads back as
+    // int) — normalize to long before collecting
+    val cellRows = index.groupBy(col("cent_id").cast("long").as("cent_id"))
+      .count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     println(f"PROBE ann_scale build train_s=$tTrain%.1f write_s=$tWrite%.1f " +
       f"files=$totalFiles cells=${cellRows.size} " +
@@ -111,7 +114,16 @@ object AnnScaleProbe {
       f"avg=${tBrute.sum / tBrute.length}%.3f min=${tBrute.min}%.3f max=${tBrute.max}%.3f")
 
     // PROBED SEARCH per nprobe: driver-side centroid ranking (KB-scale
-    // model), literal IN filter → static partition pruning, exact top-k
+    // model), literal IN filter → static partition pruning, exact top-k.
+    // The index RELATION is read once and shared across queries — the
+    // serving shape: a fresh spark.read.parquet per query would re-list
+    // all nlist partition dirs (measured ~1.5 s of pure discovery at
+    // nlist=1024, dwarfing the pruned scan); a served table keeps its
+    // file index cached and per-query planning prunes against it. Each
+    // query still builds a FRESH plan (new filter literals), and this
+    // path has no shuffle whose reuse could flatter the timing.
+    val (_, tList) = timed(index.count())
+    println(f"PROBE ann_scale first_touch_listing_s=$tList%.2f (one-time, cached after)")
     for (np <- nprobes) {
       var filesRead = 0L; var rowsRead = 0L
       val perQ = queries.map { case (qid, qv) =>
@@ -119,7 +131,7 @@ object AnnScaleProbe {
           .sortBy { case (c, cid) => (-c, cid) }.take(np).map(_._2).toSeq
         rowsRead += probeIds.map(cellRows.getOrElse(_, 0L)).sum
         val (res, t) = timed {
-          val df = spark.read.parquet(idxPath)
+          val df = index
             .filter(col("cent_id").isin(probeIds: _*))
             .select(col("vec_id"), cosExpr(qv).as("c"))
             .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
@@ -153,7 +165,7 @@ object AnnScaleProbe {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
       .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
     val (batch, tBatch) = timed {
-      spark.read.parquet(idxPath)
+      index
         .join(probesDf.hint("broadcast"), "cent_id")
         .select(col("q_id"), col("vec_id"),
           round(call_function("cosine_fast", col("v"), col("qv")), 6).as("c"))
