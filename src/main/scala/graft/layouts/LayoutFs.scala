@@ -59,8 +59,11 @@ object LayoutFs {
     * protocol, not the sole correctness mechanism. */
   def createExclusive(p: Path, content: String, conf: Configuration): Boolean = {
     val filesystem = fs(p, conf)
-    val isLocal = filesystem.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      filesystem.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // scheme-based, not instanceof: a store connector may subclass the
+    // local FS classes (and the seam's spec registers exactly such a
+    // mock), and only genuine file: paths may take the NIO shortcut
+    val isLocal = (try filesystem.getScheme == "file"
+      catch { case _: UnsupportedOperationException => false })
     if (isLocal) {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       try {
