@@ -593,20 +593,31 @@ object LlmOps extends QueryGroup {
     * 4 mutants) then shares the query's centroid neighborhood, and genuine
     * 4/16 probing recovers it exactly. Brute force (`llm_knn_join`) remains
     * the right shape only for tiny query sets. */
+  /** Planted kNN verification corpus shared by `llm_knn_join_ivf`
+    * (inline index) and `llm_knn_join_ivf_persisted` (resident index):
+    * the base embeddings plus 4 perturbed mutants of every 100th vector
+    * (cos ≥ 0.9 vs ≤ 0.55 background — mutant offsets as parsed decimal
+    * literals, identical binary doubles to the oracle SQL's constants),
+    * so each query's exact top-5 is self + its mutants and a probed
+    * search must reproduce the brute-force oracle bit-for-bit. */
+  private def knnPlantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docVec(s, dir)
+    val qIds = base.filter(col("vec_id") % 100 === 0)
+    val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
+      case (off, i) =>
+        qIds.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
+          transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
+    }.reduce(_ unionByName _)
+    base.unionByName(planted)
+  }
+
   private val llmKnnJoinIvf = GraftQuery(
     "llm_knn_join_ivf",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val base = docVec(s, dir)
       val qIds = base.filter(col("vec_id") % 100 === 0)
-      // mutant offsets as parsed decimal literals — identical binary doubles
-      // to the oracle SQL's constants
-      val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
-        case (off, i) =>
-          qIds.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
-            transform(col("v"), x => x * lit(0.9) + lit(off.toDouble)).as("v"))
-      }.reduce(_ unionByName _)
-      val corpus = base.unionByName(planted)
+      val corpus = knnPlantedCorpus(s, dir)
       // index, probe, and score over DISTINCT vectors only (vecGroups
       // scaladoc): duplicate corpus entries multiply every probed bucket
       // and duplicate queries rescan them — dedup-first makes the scored
@@ -649,6 +660,81 @@ object LlmOps extends QueryGroup {
       val wFinal = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
       val perRep = candExp
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= 5)
+      qGrouped.select(col("rep_id").as("q_id"), col("members").as("q_members"))
+        .join(perRep, "q_id")
+        .select(explode(col("q_members")).as("q_id"),
+          col("rn"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("q_id").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      qv AS (SELECT vec_id, v FROM base WHERE vec_id % 100 = 0),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 0.9 + 0.005) FROM qv
+        UNION ALL SELECT vec_id + 2000000, list_transform(v, x -> x * 0.9 + 0.010) FROM qv
+        UNION ALL SELECT vec_id + 3000000, list_transform(v, x -> x * 0.9 + 0.015) FROM qv
+        UNION ALL SELECT vec_id + 4000000, list_transform(v, x -> x * 0.9 + 0.020) FROM qv)
+      SELECT q_id, rn, vec_id, cos_sim
+      FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC NULLS LAST,
+                 c.vec_id ASC NULLS FIRST) AS rn
+        FROM qv q CROSS JOIN corpus c)
+      WHERE rn <= 5
+      ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST"""))
+
+  /** op 72 at its SERVING shape — the k-NN join routed through the
+    * PERSISTED IVF index (the corpus's resident cent_id-partitioned
+    * layout, `layouts.IvfIndex`) instead of an inline train/assign:
+    * train + partition + write amortize across every query batch
+    * against the table, exactly how a vector table is actually served
+    * at 100 TB. The probes⋈index join is a broadcast hash join ON THE
+    * PARTITION COLUMN, so each probed cell is read off disk while
+    * unprobed `cent_id=` directories are skipped; index rows carry the
+    * identity-group members, so the dedup-first expansion needs no
+    * second corpus pass. Measured at 2 M vectors (CROSSOVER.md round
+    * 12): 0.033 s/query batched at 0.997 recall@10, reading 1.6 % of
+    * the index files. Same brute-force oracle as `llm_knn_join_ivf` —
+    * the persisted, pruned plan must reproduce the exact answer. */
+  private val llmKnnJoinIvfPersisted = GraftQuery(
+    "llm_knn_join_ivf_persisted",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet")
+      val (idxPath, centsPath) = graft.layouts.IvfIndex.ensure(
+        s, s"knnp_${dir}_$sig", knnPlantedCorpus(s, dir), k = 16, iters = 2)
+      val cents = s.read.parquet(centsPath)
+      val qGrouped = vecGroups(docVec(s, dir).filter(col("vec_id") % 100 === 0))
+      val q = qGrouped.select(col("rep_id").as("q_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("c", cosR("qv", "cv"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("cent_id"), col("qv"))
+      // the persisted layout: (vec_id = rep, v, members) under cent_id=
+      // partition dirs (the partition column reads back type-inferred)
+      val idx = s.read.parquet(idxPath)
+        .select(col("cent_id").cast("long").as("cent_id"),
+          col("vec_id"), col("v"), col("members"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      val repTop = idx.join(broadcast(probes), "cent_id")
+        .select(col("q_id"), col("vec_id"), col("members"),
+          cosR("v", "qv").as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+      val wFinal = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      val perRep = repTop
+        .select(col("q_id"), explode(col("members")).as("vec_id"), col("cos_sim"))
         .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= 5)
       qGrouped.select(col("rep_id").as("q_id"), col("members").as("q_members"))
@@ -3860,7 +3946,8 @@ object LlmOps extends QueryGroup {
     llmShingleGenerate,
     llmDedupExact, llmDedupMinhash, llmDedupMinhashIncremental,
     llmDedupSimhash, llmDedupClusters, llmJaccardPairs,
-    llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmEmbedNeardup, llmAnnIvf,
+    llmCosineTopk, llmKnnJoin, llmKnnJoinIvf, llmKnnJoinIvfPersisted,
+    llmEmbedNeardup, llmAnnIvf,
     llmAnnIvfPersisted, llmAnnLsh, llmAnnLshMultiprobe,
     llmTextStats, llmTfidf, llmMultimodalStruct, llmHistogram,
     llmLangId, llmQualityScore, llmTokenCount, llmFingerprint,

@@ -72,4 +72,48 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         s"index $d was rebuilt on the second run")
     }
   }
+
+  test("batched kNN join over the persisted index: probes broadcast onto " +
+      "the partitioned layout (no BNLJ, no index-side exchange before the " +
+      "join), answers exactly the inline-index form") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val persisted = SparkEntry.queries("llm_knn_join_ivf_persisted")(s, sf)
+    val rows = persisted.collect().map(_.toString).toSeq
+    val inline = SparkEntry.queries("llm_knn_join_ivf")(s, sf)
+      .collect().map(_.toString).toSeq
+    assert(rows == inline,
+      "persisted-index kNN join diverged from the inline-index form")
+    val plan = persisted.queryExecution.executedPlan
+    // the only tolerable nested-loop is the tiny queries×centroids model
+    // scoring (k rows); the INDEX must never be a nested-loop side
+    val idxBnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if j.collectLeaves().exists {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metadata.get("Location").exists(_.contains("graft_ivf_idx"))
+            case _ => false
+          } => j
+    }
+    assert(idxBnlj.isEmpty, s"the index feeds a nested-loop join:\n$plan")
+    // the probe join: a BroadcastHashJoin keyed on the PARTITION column,
+    // whose index side feeds straight from the persisted layout's scan —
+    // no exchange of index rows before the join (the plan's only
+    // exchanges are the per-query window re-ranks downstream)
+    val probeJoin = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cent_id")) => j
+    }
+    assert(probeJoin.nonEmpty, s"no broadcast probe join on cent_id:\n$plan")
+    val idxSide = probeJoin.head.children.find(_.collectLeaves().exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.get("Location").exists(_.contains("graft_ivf_idx"))
+      case _ => false
+    })
+    assert(idxSide.nonEmpty, s"persisted-index scan not under the probe join:\n$plan")
+    val shuffles = idxSide.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"index side shuffled before the probe join:\n$plan")
+  }
 }
