@@ -507,6 +507,7 @@ object Bench {
           "build_stream_ingest" -> clocked(streaming.StreamIngest.ensureStreamedLayout(spark, sfDir)),
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
+          "build_knn_ivf_index" -> clocked(operators.LlmOps.persistedKnnIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),
           "build_fixture_neardup" -> clocked(Fixtures.neardupCorpus(spark, sfDir)),

@@ -59,6 +59,18 @@ object Bucketed {
   private[layouts] def leasePathFor(dir: Path): Path =
     new Path(dir.getParent, LeasePrefix + splitVersion(dir.getName)._1)
 
+  /** Tables whose registered location was certification-checked this JVM
+    * (the cross-process staleness heal in [[ensure]]) — one marker probe
+    * per table per JVM, so the hot ensure() path stays a pure catalog
+    * lookup. A fresh JVM re-validates, which is the deployment case the
+    * heal exists for. */
+  private val validatedLocations =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: simulate a fresh consumer JVM's first ensure(). */
+  private[graft] def resetLocationValidationMemo(): Unit =
+    validatedLocations.clear()
+
   private def hconf(s: SparkSession) = s.sparkContext.hadoopConfiguration
 
   /** Root under which layout warehouses live (`file://`-style local path
@@ -125,6 +137,8 @@ object Bucketed {
     * amnesia. */
   def invalidate(s: SparkSession, namePrefix: String): Unit = {
     val c = hconf(s)
+    validatedLocations.removeIf(k =>
+      k.substring(k.indexOf('.') + 1).startsWith(namePrefix))
     s.catalog.listDatabases().collect()
       .filter(_.name.startsWith("graftbuckets_"))
       .foreach { db =>
@@ -924,6 +938,33 @@ object Bucketed {
           .sortBy(sortCols.head, sortCols.tail: _*).saveAsTable(qname)
         // marker last: its presence certifies the saveAsTable completed
         LayoutFs.touch(new Path(tdir, Marker), c)
+      }
+      if (s.catalog.tableExists(qname)) {
+        // CROSS-PROCESS STALENESS HEAL: another process may have
+        // compacted this layout — repointed ITS catalog, decertified
+        // the directory OUR catalog still points at, and put the old
+        // dir on the GC grace clock. Without this check the entry
+        // works until that grace expires, then fails mid-scan. One
+        // marker-exists probe per (table, location) per JVM (memoized
+        // — fresh-JVM semantics, the deployment case): if the
+        // registered location lost its marker, re-resolve the
+        // certified version and repoint, exactly like a fresh
+        // registration would.
+        if (!validatedLocations.contains(qname)) {
+          val cur = tableDir(s, qname)
+          if (LayoutFs.exists(new Path(cur, Marker), c))
+            validatedLocations.add(qname)
+          else resolveCurrentDir(s, locPath, sp.name) match {
+            case Some(fresh) =>
+              s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
+              s.catalog.refreshTable(qname)
+              validatedLocations.add(qname)
+            case None =>
+              // uncertified everywhere: the other process crashed
+              // mid-swap — drop and take the rebuild path below
+              s.sql(s"DROP TABLE $qname")
+          }
+        }
       }
       if (!s.catalog.tableExists(qname)) {
         resolveCurrentDir(s, locPath, sp.name) match {

@@ -702,13 +702,22 @@ object LlmOps extends QueryGroup {
     * 12): 0.033 s/query batched at 0.997 recall@10, reading 1.6 % of
     * the index files. Same brute-force oracle as `llm_knn_join_ivf` —
     * the persisted, pruned plan must reproduce the exact answer. */
+  /** The persisted IVF layout `llm_knn_join_ivf_persisted` serves from —
+    * exposed so the bench prewarms it under the IDENTICAL cache key and
+    * reports the one-time build as a separate line item (the
+    * [[persistedIvfIndex]] convention). */
+  def persistedKnnIvfIndex(s: SparkSession, dir: String): (String, String) = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet")
+    graft.layouts.IvfIndex.ensure(
+      s, s"knnp_${dir}_$sig", knnPlantedCorpus(s, dir), k = 16, iters = 2)
+  }
+
   private val llmKnnJoinIvfPersisted = GraftQuery(
     "llm_knn_join_ivf_persisted",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sig = graft.layouts.LayoutUtil.dataSig(s"$dir/embeddings.parquet")
-      val (idxPath, centsPath) = graft.layouts.IvfIndex.ensure(
-        s, s"knnp_${dir}_$sig", knnPlantedCorpus(s, dir), k = 16, iters = 2)
+      val (idxPath, centsPath) = persistedKnnIvfIndex(s, dir)
       val cents = s.read.parquet(centsPath)
       val qGrouped = vecGroups(docVec(s, dir).filter(col("vec_id") % 100 === 0))
       val q = qGrouped.select(col("rep_id").as("q_id"), col("v").as("qv"))

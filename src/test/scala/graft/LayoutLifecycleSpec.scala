@@ -642,6 +642,38 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(Bucketed.appliedBatchTags(spark, t).size == 502)
   }
 
+  test("ensure() heals a catalog entry whose location was compacted away " +
+      "by ANOTHER process: the registered dir lost its marker, a certified " +
+      "sibling exists — repoint, don't fail or rebuild") {
+    Bucketed.invalidate(spark, "heal_lspec")
+    val orders = Tables.orders(spark, dir)
+    def ensure() = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("heal_lspec", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val Seq(t) = ensure()
+    val d0 = localDir(t)
+    val expect = sortedRows(spark.table(t))
+    // simulate the OTHER process's compact, which our catalog never saw:
+    // its staged sibling is certified, our registered dir is decertified
+    // and on the GC grace clock
+    val v7 = new java.io.File(d0.getParentFile, "heal_lspec__v7")
+    org.apache.commons.io.FileUtils.copyDirectory(d0, v7)
+    assert(new java.io.File(v7, "_GRAFT_COMPLETE").exists())
+    assert(new java.io.File(d0, "_GRAFT_COMPLETE").delete())
+    // a fresh consumer JVM's first ensure() (memo cleared) must detect
+    // the decertified location and repoint to the certified sibling
+    graft.layouts.Bucketed.resetLocationValidationMemo()
+    val Seq(t2) = ensure()
+    assert(t2 == t)
+    assert(localDir(t2).getName == "heal_lspec__v7",
+      s"expected repoint to the certified sibling, got ${localDir(t2)}")
+    assert(sortedRows(spark.table(t2)) == expect, "heal changed results")
+    // memoized: the next ensure() is the pure catalog-lookup fast path
+    // and stays put
+    val Seq(t3) = ensure()
+    assert(localDir(t3).getName == "heal_lspec__v7")
+  }
+
   test("maintenanceInProgress on a missing table surfaces table-not-found, " +
       "not a misleading maintenance refusal (r11 ADVICE, low)") {
     val boom = intercept[org.apache.spark.sql.AnalysisException] {
