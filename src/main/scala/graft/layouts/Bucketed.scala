@@ -253,22 +253,26 @@ object Bucketed {
     * maintainer whose lease only the next maintainer breaks. Advisory
     * (a maintainer can start right after the check); the value is
     * turning the overwhelmingly common violation into a clear error. */
-  def maintenanceInProgress(s: SparkSession, qname: String): Boolean = {
-    val c = hconf(s)
+  def maintenanceInProgress(s: SparkSession, qname: String): Boolean =
     // a table that does not resolve is a MISSING table, not maintenance
     // (r11 ADVICE, low): compact's swap now repoints the catalog with
     // ALTER TABLE … SET LOCATION, so the entry resolves at every
     // instant of the window — let the AnalysisException surface as the
     // table-not-found it is instead of a misleading "maintenance holds
-    // the lease" refusal on a misspelled or never-built index
-    val dir = tableDir(s, qname)
-    val lease = leasePathFor(dir)
+    // the lease" refusal on a misspelled or never-built index. (A layout
+    // mid-REBUILD — never certified, or crashed and healing — is also
+    // genuinely absent from the catalog and reads as not-found.)
+    leaseLive(s, leasePathFor(tableDir(s, qname)))
+
+  /** Whether `lease` exists with a LIVE holder — heartbeats fresher than
+    * the HOLDER's own staleMs (written into the lease; heartbeat at ITS
+    * staleMs/4). Re-deriving the threshold from the reader's conf would
+    * let a probe configured with a shorter threshold declare a live
+    * maintainer dead (r11 review); the reader's conf is the fallback for
+    * unreadable/legacy leases only. */
+  private def leaseLive(s: SparkSession, lease: Path): Boolean = {
+    val c = hconf(s)
     LayoutFs.exists(lease, c) && {
-      // staleness is judged by the HOLDER's staleMs (written into the
-      // lease, heartbeat at ITS staleMs/4) — re-deriving it from the
-      // reader's conf would let a probe configured with a shorter
-      // threshold declare a live maintainer dead (r11 review). Fall
-      // back to the reader's conf only for unreadable/legacy leases.
       val staleMs = holderStaleMsOf(lease, c).getOrElse(
         s.conf.get("spark.graft.layout.leaseStaleMs", "60000").toLong)
       val age = try System.currentTimeMillis() - LayoutFs.mtime(lease, c)
@@ -438,8 +442,28 @@ object Bucketed {
           Thread.sleep(math.max(1L, staleMs / 4))
           leases.foreach { l =>
             if (!released.get) {
-              LayoutFs.writeString(l, owner, c)
-              if (released.get) LayoutFs.delete(l, c) // raced the release: undo
+              // never refresh a lease we no longer own: if a breaker
+              // judged us stale and a NEW holder acquired, overwriting
+              // would steal their lease (a missing/unreadable file is
+              // ours to restore — only a break replaces content)
+              val ours = try LayoutFs.readString(l, c) == owner
+                catch { case _: java.io.IOException => true }
+              if (ours) {
+                LayoutFs.writeString(l, owner, c)
+                if (released.get) {
+                  // raced the release: undo OUR write only — a newer
+                  // holder's lease written since must survive. (A write
+                  // wedged across both the release AND a successor's
+                  // acquisition can still clobber-then-delete the
+                  // successor's file for up to its staleMs/4 heartbeat
+                  // gap — narrowed here, closed only by a conditional
+                  // store write; the marker protocol keeps any
+                  // interleaving unservable regardless.)
+                  val still = try LayoutFs.readString(l, c) == owner
+                    catch { case _: java.io.IOException => false }
+                  if (still) LayoutFs.delete(l, c)
+                }
+              }
             }
           }
         }
@@ -494,10 +518,17 @@ object Bucketed {
   private[layouts] def appendGuardIf(s: SparkSession, qnames: Seq[String])(
       pre: () => Boolean)(body: => Unit): Boolean = {
     val c = hconf(s)
-    val dirs = qnames.map(q => tableDir(s, q))
-    withLeases(s, dirs) {
+    // lease paths derive from (warehouse dir, base name) — both invariant
+    // under compact versioning — so pre-lease resolution is safe for
+    // ACQUISITION; the data directories are re-resolved UNDER the lease
+    // (r12 review: a compact completing in the resolution→acquisition gap
+    // would otherwise leave this marker window operating on the
+    // superseded, grace-retained directory while the writes land in the
+    // repointed one — a crash could then certify a torn half-batch)
+    withLeases(s, qnames.map(q => tableDir(s, q))) {
       if (!pre()) false
       else {
+        val dirs = qnames.map(q => tableDir(s, q))
         val markers = dirs.map(d => new Path(d, Marker))
         val snapshots = dirs.map(d => LayoutFs.listNames(d, c).toSet)
         markers.foreach(LayoutFs.delete(_, c))
@@ -787,9 +818,15 @@ object Bucketed {
     import org.apache.spark.sql.functions.col
     val c = hconf(s)
     val (buckets, key, sortCols) = bucketSpecOf(s, qname)
-    val dir = tableDir(s, qname)
-    val (base, ver) = splitVersion(dir.getName)
-    withLease(s, dir) {
+    withLease(s, tableDir(s, qname)) {
+      // the CURRENT directory, re-resolved UNDER the lease (r12 review:
+      // a sibling compact completing in the resolution→acquisition gap
+      // — e.g. behind leaseWaitMs — repoints the catalog; staging from a
+      // stale dir name would decertify the superseded directory and
+      // version-collide with the winner's). The lease path itself is
+      // name-scoped, so pre-lease resolution is safe for acquisition.
+      val dir = tableDir(s, qname)
+      val (base, ver) = splitVersion(dir.getName)
       // STAGE (outside the marker window): repartition on the bucket key
       // first, exactly like ensure(), so the rewrite lands as one file
       // per bucket — in the next versioned sibling directory
@@ -939,32 +976,45 @@ object Bucketed {
         // marker last: its presence certifies the saveAsTable completed
         LayoutFs.touch(new Path(tdir, Marker), c)
       }
-      if (s.catalog.tableExists(qname)) {
+      if (s.catalog.tableExists(qname) && !validatedLocations.contains(qname)) {
         // CROSS-PROCESS STALENESS HEAL: another process may have
         // compacted this layout — repointed ITS catalog, decertified
         // the directory OUR catalog still points at, and put the old
         // dir on the GC grace clock. Without this check the entry
         // works until that grace expires, then fails mid-scan. One
-        // marker-exists probe per (table, location) per JVM (memoized
-        // — fresh-JVM semantics, the deployment case): if the
-        // registered location lost its marker, re-resolve the
-        // certified version and repoint, exactly like a fresh
-        // registration would.
-        if (!validatedLocations.contains(qname)) {
-          val cur = tableDir(s, qname)
-          if (LayoutFs.exists(new Path(cur, Marker), c))
-            validatedLocations.add(qname)
-          else resolveCurrentDir(s, locPath, sp.name) match {
-            case Some(fresh) =>
-              s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
-              s.catalog.refreshTable(qname)
-              validatedLocations.add(qname)
-            case None =>
-              // uncertified everywhere: the other process crashed
-              // mid-swap — drop and take the rebuild path below
-              s.sql(s"DROP TABLE $qname")
+        // marker-exists probe per table per JVM (memoized — fresh-JVM
+        // semantics, the deployment case): a decertified location with
+        // a certified sibling is repointed in place.
+        val cur = tableDir(s, qname)
+        if (LayoutFs.exists(new Path(cur, Marker), c))
+          validatedLocations.add(qname)
+        else if (!leaseLive(s, leasePathFor(cur))) {
+          // decertified with NO live maintainer: a foreign compact our
+          // catalog never saw, or a crashed swap. All handling runs
+          // under the same name lease maintainers hold (r12 review:
+          // probing markers and DROPping outside it would wipe a live
+          // maintainer's open window — the exact hole the rebuild path
+          // closed); a maintainer that acquires behind our liveness
+          // check refuses us at acquisition, never interleaves.
+          withLease(s, new Path(locPath, sp.name)) {
+            val cur2 = tableDir(s, qname)
+            if (!LayoutFs.exists(new Path(cur2, Marker), c))
+              resolveCurrentDir(s, locPath, sp.name) match {
+                case Some(fresh) =>
+                  s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
+                  s.catalog.refreshTable(qname)
+                case None =>
+                  // uncertified everywhere: crashed mid-swap — rebuild
+                  // here, inside the lease we already hold
+                  s.sql(s"DROP TABLE $qname")
+                  rebuild()
+              }
           }
+          validatedLocations.add(qname)
         }
+        // else: an OPEN maintenance window (live lease, marker
+        // legitimately down) — the holder re-certifies on commit and
+        // our entry stays valid; re-validate on a later call (no memo)
       }
       if (!s.catalog.tableExists(qname)) {
         resolveCurrentDir(s, locPath, sp.name) match {

@@ -26,12 +26,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object IvfIndex {
 
   /** Index + centroid parquet paths for `corpus` (vec_id, v) under cache
-    * key `tag`. Builds on first call, else returns the cached layout. */
+    * key `tag`. Builds on first call, else returns the cached layout.
+    *
+    * `trainSampleCap` bounds the Lloyd TRAINING set (Ivf.train's
+    * deterministic arithmetic-hash subsample). The default is UNCAPPED:
+    * the driver-oracled persisted rows pin bit-exact answers against
+    * brute force via centroid identity with their INLINE-trained twins
+    * at ANY scale factor (r12 review — a silently capped build would
+    * diverge above the 16 Ki floor and could drop a planted mutant out
+    * of the probed cells). Scale callers pass `Ivf.trainSampleCap(k)`
+    * explicitly — ~256 training points per centroid, the flat-cost path
+    * measured at 2 M vectors in CROSSOVER.md round 12 — and the cap
+    * participates in the cache id, so capped and uncapped builds never
+    * serve each other. */
   def ensure(s: SparkSession, tag: String, corpus: => DataFrame,
-      k: Int = 16, iters: Int = 2): (String, String) = {
+      k: Int = 16, iters: Int = 2,
+      trainSampleCap: Int = Int.MaxValue): (String, String) = {
     // MD5 cache id (LayoutUtil — the hardened ZOrder convention; the
     // previous 32-bit hashCode id could collide and serve a wrong layout)
-    val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters)
+    val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters +
+      (if (trainSampleCap != Int.MaxValue) "_c" + trainSampleCap else ""))
     val root = LayoutUtil.artifactRoot(s)
     val idxPath = s"$root/graft_ivf_idx_$id"
     val centsPath = s"$root/graft_ivf_cents_$id"
@@ -41,12 +55,7 @@ object IvfIndex {
       LayoutFs.deleteDirAt(centsPath)
       val grouped = LayoutUtil.repsWithMembers(corpus)
       val reps = grouped.select(col("vec_id"), col("v"))
-      // sample-capped Lloyd (~256 training points per centroid, floored
-      // at 16 Ki — Ivf.trainSampleCap): at vector scale the train pass
-      // must not rescan the full corpus per iteration; below the floor
-      // (every oracled fixture) the cap never samples, so persisted-row
-      // oracles see bit-identical centroids
-      val cents = Ivf.train(reps, k, iters, Ivf.trainSampleCap(k))
+      val cents = Ivf.train(reps, k, iters, trainSampleCap)
       // one write task per centroid bucket → one file per partition dir
       Ivf.assign(reps, cents)
         .join(grouped.select(col("vec_id"), col("members")), "vec_id")

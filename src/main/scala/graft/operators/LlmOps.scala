@@ -600,9 +600,16 @@ object LlmOps extends QueryGroup {
     * literals, identical binary doubles to the oracle SQL's constants),
     * so each query's exact top-5 is self + its mutants and a probed
     * search must reproduce the brute-force oracle bit-for-bit. */
+  /** The kNN rows' query set: every 100th vector. ONE definition (used
+    * by the corpus planting AND both query bodies) so the planted
+    * structure and the probed queries can never desynchronize; the two
+    * oracle SQL strings mirror it as `vec_id % 100 = 0`. */
+  private def knnQueryVecs(s: SparkSession, dir: String): DataFrame =
+    docVec(s, dir).filter(col("vec_id") % 100 === 0)
+
   private def knnPlantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = docVec(s, dir)
-    val qIds = base.filter(col("vec_id") % 100 === 0)
+    val qIds = knnQueryVecs(s, dir)
     val planted = Seq("0.005", "0.010", "0.015", "0.020").zipWithIndex.map {
       case (off, i) =>
         qIds.select((col("vec_id") + lit((i + 1) * 1000000L)).as("vec_id"),
@@ -615,8 +622,7 @@ object LlmOps extends QueryGroup {
     "llm_knn_join_ivf",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val base = docVec(s, dir)
-      val qIds = base.filter(col("vec_id") % 100 === 0)
+      val qIds = knnQueryVecs(s, dir)
       val corpus = knnPlantedCorpus(s, dir)
       // index, probe, and score over DISTINCT vectors only (vecGroups
       // scaladoc): duplicate corpus entries multiply every probed bucket
@@ -719,7 +725,7 @@ object LlmOps extends QueryGroup {
       graft.functions.GraftFunctions.register(s)
       val (idxPath, centsPath) = persistedKnnIvfIndex(s, dir)
       val cents = s.read.parquet(centsPath)
-      val qGrouped = vecGroups(docVec(s, dir).filter(col("vec_id") % 100 === 0))
+      val qGrouped = vecGroups(knnQueryVecs(s, dir))
       val q = qGrouped.select(col("rep_id").as("q_id"), col("v").as("qv"))
       val wProbe = Window.partitionBy(col("q_id"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)

@@ -140,7 +140,9 @@ object AnnScaleProbe {
           val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
             case f: org.apache.spark.sql.execution.FileSourceScanExec =>
               f.metrics("numFiles").value
-          }.getOrElse(-1L)
+          }.getOrElse(throw new IllegalStateException(
+            "no FileSourceScanExec in the probe plan — the files_read_frac " +
+              "metric would be silently wrong; fix the plan inspection"))
           (ids, nf)
         }
         filesRead += res._2

@@ -674,6 +674,41 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(localDir(t3).getName == "heal_lspec__v7")
   }
 
+  test("the staleness heal defers to an OPEN maintenance window: a live " +
+      "holder's marker-down state is not 'crashed' — nothing is dropped, " +
+      "the entry keeps serving (r12 review)") {
+    Bucketed.invalidate(spark, "healw_lspec")
+    val orders = Tables.orders(spark, dir)
+    def ensure() = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("healw_lspec", slices(orders, "o_orderkey", 0 to 6), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val Seq(t) = ensure()
+    val expect = spark.table(t).count()
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      Bucketed.appendGuard(spark, Seq(t)) { inside.countDown(); release.await() }
+    })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // a fresh consumer JVM's first ensure() during the window: the
+      // marker is down but the lease is LIVE — the heal must neither
+      // throw nor DROP the table out from under the holder
+      graft.layouts.Bucketed.resetLocationValidationMemo()
+      val Seq(t2) = ensure()
+      assert(t2 == t)
+      assert(spark.catalog.tableExists(t), "heal dropped a live maintainer's table")
+      assert(spark.table(t).count() == expect, "table stopped serving mid-window")
+    } finally release.countDown()
+    holder.join(30000)
+    assert(!holder.isAlive)
+    // window closed (marker restored): the next ensure validates cleanly
+    graft.layouts.Bucketed.resetLocationValidationMemo()
+    val Seq(t3) = ensure()
+    assert(spark.table(t3).count() == expect)
+  }
+
   test("maintenanceInProgress on a missing table surfaces table-not-found, " +
       "not a misleading maintenance refusal (r11 ADVICE, low)") {
     val boom = intercept[org.apache.spark.sql.AnalysisException] {
