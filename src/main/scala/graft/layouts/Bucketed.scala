@@ -349,6 +349,34 @@ object Bucketed {
   private def withLease[T](s: SparkSession, dir: Path)(body: => T): T =
     withLeases(s, Seq(dir))(body)
 
+  /** The layout's CURRENT directory by STORE truth, for a caller that
+    * HOLDS the family lease: the per-JVM catalog can lag a FOREIGN
+    * process's compact (which repointed only its own catalog), and
+    * trusting `tableDir` here would operate the marker window on — and
+    * re-certify — the superseded grace-kept directory while new data
+    * lives in the repointed one (r12 review, second pass: an appended
+    * batch could land on the doomed dir and die with its GC). Resolves
+    * the highest CERTIFIED version from the store, repoints our catalog
+    * when it lags, and throws when NO version is certified: with the
+    * caller holding the lease no maintenance window can be open, so
+    * that state is a crashed swap — rebuild via ensure(). */
+  private def currentDirUnderLease(s: SparkSession, qname: String): Path = {
+    val catDir = tableDir(s, qname)
+    val (base, _) = splitVersion(catDir.getName)
+    resolveCurrentDir(s, catDir.getParent, base) match {
+      case Some(cur) =>
+        if (cur.toString != catDir.toString) {
+          s.sql(s"ALTER TABLE $qname SET LOCATION '${cur.toString}'")
+          s.catalog.refreshTable(qname)
+        }
+        cur
+      case None => throw new IllegalStateException(
+        s"layout $qname has no certified version on the store (a crashed " +
+          "maintenance swap): rebuild via ensure() before appending or " +
+          "compacting")
+    }
+  }
+
   /** Acquire the maintenance lease on EVERY directory of a family, in
     * CANONICAL (sorted-path) order, before running `body`. One lease
     * per member — not just the head — because a family append and a
@@ -440,7 +468,11 @@ object Bucketed {
       try {
         while (!Thread.interrupted() && !released.get) {
           Thread.sleep(math.max(1L, staleMs / 4))
-          leases.foreach { l =>
+          // a transient store error must not kill the heartbeat — a
+          // silently dead heartbeat freezes the lease mtime and a live
+          // multi-minute maintainer gets "stale"-broken mid-window (r12
+          // review, second pass); skip the tick and retry next interval
+          try leases.foreach { l =>
             if (!released.get) {
               // never refresh a lease we no longer own: if a breaker
               // judged us stale and a NEW holder acquired, overwriting
@@ -452,20 +484,24 @@ object Bucketed {
                 LayoutFs.writeString(l, owner, c)
                 if (released.get) {
                   // raced the release: undo OUR write only — a newer
-                  // holder's lease written since must survive. (A write
-                  // wedged across both the release AND a successor's
-                  // acquisition can still clobber-then-delete the
-                  // successor's file for up to its staleMs/4 heartbeat
-                  // gap — narrowed here, closed only by a conditional
-                  // store write; the marker protocol keeps any
-                  // interleaving unservable regardless.)
+                  // holder's lease written since must survive. On an
+                  // unreadable re-check, DELETE (a wrongly deleted
+                  // successor lease is re-established by its next
+                  // heartbeat in staleMs/4; a wrongly KEPT ghost lease
+                  // refuses every maintainer for a full staleMs). (A
+                  // write wedged across both the release AND a
+                  // successor's acquisition can still clobber the
+                  // successor for one heartbeat gap — narrowed here,
+                  // closed only by a conditional store write; the
+                  // marker protocol keeps any interleaving unservable
+                  // regardless.)
                   val still = try LayoutFs.readString(l, c) == owner
-                    catch { case _: java.io.IOException => false }
+                    catch { case _: java.io.IOException => true }
                   if (still) LayoutFs.delete(l, c)
                 }
               }
             }
-          }
+          } catch { case _: java.io.IOException => () }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${dirs.head.getName}")
@@ -526,9 +562,12 @@ object Bucketed {
     // superseded, grace-retained directory while the writes land in the
     // repointed one — a crash could then certify a torn half-batch)
     withLeases(s, qnames.map(q => tableDir(s, q))) {
+      // STORE-truth resolution (and catalog repoint if a foreign compact
+      // left ours stale) BEFORE the applied-state gate, so pre()'s stamp
+      // reads consult the directory the family actually serves
+      val dirs = qnames.map(q => currentDirUnderLease(s, q))
       if (!pre()) false
       else {
-        val dirs = qnames.map(q => tableDir(s, q))
         val markers = dirs.map(d => new Path(d, Marker))
         val snapshots = dirs.map(d => LayoutFs.listNames(d, c).toSet)
         markers.foreach(LayoutFs.delete(_, c))
@@ -819,13 +858,15 @@ object Bucketed {
     val c = hconf(s)
     val (buckets, key, sortCols) = bucketSpecOf(s, qname)
     withLease(s, tableDir(s, qname)) {
-      // the CURRENT directory, re-resolved UNDER the lease (r12 review:
-      // a sibling compact completing in the resolution→acquisition gap
-      // — e.g. behind leaseWaitMs — repoints the catalog; staging from a
-      // stale dir name would decertify the superseded directory and
-      // version-collide with the winner's). The lease path itself is
-      // name-scoped, so pre-lease resolution is safe for acquisition.
-      val dir = tableDir(s, qname)
+      // the CURRENT directory by STORE truth, resolved UNDER the lease
+      // (r12 review, both passes: a sibling compact completing in the
+      // resolution→acquisition gap — same JVM behind leaseWaitMs, or a
+      // FOREIGN process whose repoint our catalog never saw — would
+      // otherwise leave this swap staging against the superseded
+      // grace-kept directory and colliding with the winner's version).
+      // The lease path itself is name-scoped and version-invariant, so
+      // pre-lease resolution is safe for acquisition.
+      val dir = currentDirUnderLease(s, qname)
       val (base, ver) = splitVersion(dir.getName)
       // STAGE (outside the marker window): repartition on the bucket key
       // first, exactly like ensure(), so the rewrite lands as one file
@@ -994,23 +1035,33 @@ object Bucketed {
           // under the same name lease maintainers hold (r12 review:
           // probing markers and DROPping outside it would wipe a live
           // maintainer's open window — the exact hole the rebuild path
-          // closed); a maintainer that acquires behind our liveness
-          // check refuses us at acquisition, never interleaves.
-          withLease(s, new Path(locPath, sp.name)) {
-            val cur2 = tableDir(s, qname)
-            if (!LayoutFs.exists(new Path(cur2, Marker), c))
-              resolveCurrentDir(s, locPath, sp.name) match {
-                case Some(fresh) =>
-                  s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
-                  s.catalog.refreshTable(qname)
-                case None =>
-                  // uncertified everywhere: crashed mid-swap — rebuild
-                  // here, inside the lease we already hold
-                  s.sql(s"DROP TABLE $qname")
-                  rebuild()
-              }
+          // closed). A racing maintainer — or a SECOND healer — that
+          // acquired behind our liveness check refuses us at
+          // acquisition; for this read-only caller that refusal means
+          // "someone else is handling it": keep serving the (grace-
+          // retained) current entry and re-validate on a later call,
+          // rather than throwing a maintainer-contention error out of
+          // ensure() (r12 review, second pass).
+          try {
+            withLease(s, new Path(locPath, sp.name)) {
+              val cur2 = tableDir(s, qname)
+              if (!LayoutFs.exists(new Path(cur2, Marker), c))
+                resolveCurrentDir(s, locPath, sp.name) match {
+                  case Some(fresh) =>
+                    s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
+                    s.catalog.refreshTable(qname)
+                  case None =>
+                    // uncertified everywhere: crashed mid-swap — rebuild
+                    // here, inside the lease we already hold
+                    s.sql(s"DROP TABLE $qname")
+                    rebuild()
+                }
+            }
+            validatedLocations.add(qname)
+          } catch {
+            case e: IllegalStateException if e.getMessage != null &&
+                e.getMessage.contains("lease") => // healed/handled by the winner
           }
-          validatedLocations.add(qname)
         }
         // else: an OPEN maintenance window (live lease, marker
         // legitimately down) — the holder re-certifies on commit and

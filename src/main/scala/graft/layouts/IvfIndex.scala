@@ -43,9 +43,13 @@ object IvfIndex {
       k: Int = 16, iters: Int = 2,
       trainSampleCap: Int = Int.MaxValue): (String, String) = {
     // MD5 cache id (LayoutUtil — the hardened ZOrder convention; the
-    // previous 32-bit hashCode id could collide and serve a wrong layout)
-    val id = LayoutUtil.cacheId(tag + "_" + k + "_" + iters +
-      (if (trainSampleCap != Int.MaxValue) "_c" + trainSampleCap else ""))
+    // previous 32-bit hashCode id could collide and serve a wrong
+    // layout). The cap is ALWAYS encoded — including the uncapped
+    // default — so an artifact built under any other training-subset
+    // policy (r12's brief always-capped window included) can never be
+    // served under this contract (r12 review, second pass).
+    val id = LayoutUtil.cacheId(
+      tag + "_" + k + "_" + iters + "_c" + trainSampleCap)
     val root = LayoutUtil.artifactRoot(s)
     val idxPath = s"$root/graft_ivf_idx_$id"
     val centsPath = s"$root/graft_ivf_cents_$id"

@@ -593,13 +593,6 @@ object LlmOps extends QueryGroup {
     * 4 mutants) then shares the query's centroid neighborhood, and genuine
     * 4/16 probing recovers it exactly. Brute force (`llm_knn_join`) remains
     * the right shape only for tiny query sets. */
-  /** Planted kNN verification corpus shared by `llm_knn_join_ivf`
-    * (inline index) and `llm_knn_join_ivf_persisted` (resident index):
-    * the base embeddings plus 4 perturbed mutants of every 100th vector
-    * (cos ≥ 0.9 vs ≤ 0.55 background — mutant offsets as parsed decimal
-    * literals, identical binary doubles to the oracle SQL's constants),
-    * so each query's exact top-5 is self + its mutants and a probed
-    * search must reproduce the brute-force oracle bit-for-bit. */
   /** The kNN rows' query set: every 100th vector. ONE definition (used
     * by the corpus planting AND both query bodies) so the planted
     * structure and the probed queries can never desynchronize; the two
@@ -607,6 +600,13 @@ object LlmOps extends QueryGroup {
   private def knnQueryVecs(s: SparkSession, dir: String): DataFrame =
     docVec(s, dir).filter(col("vec_id") % 100 === 0)
 
+  /** Planted kNN verification corpus shared by `llm_knn_join_ivf`
+    * (inline index) and `llm_knn_join_ivf_persisted` (resident index):
+    * the base embeddings plus 4 perturbed mutants of every query vector
+    * (cos ≥ 0.9 vs ≤ 0.55 background — mutant offsets as parsed decimal
+    * literals, identical binary doubles to the oracle SQL's constants),
+    * so each query's exact top-5 is self + its mutants and a probed
+    * search must reproduce the brute-force oracle bit-for-bit. */
   private def knnPlantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = docVec(s, dir)
     val qIds = knnQueryVecs(s, dir)

@@ -674,6 +674,37 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(localDir(t3).getName == "heal_lspec__v7")
   }
 
+  test("appendOnce under a STALE catalog (foreign compact our catalog never " +
+      "saw): the batch lands in the store-truth directory — the superseded " +
+      "grace-kept dir is never re-certified (r12 review, second pass)") {
+    Bucketed.invalidate(spark, "healap_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("healap_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    val d0 = localDir(t)
+    // the foreign compact: certified sibling, our registered dir
+    // decertified and on the GC grace clock — our catalog still points
+    // at it
+    val v1 = new java.io.File(d0.getParentFile, "healap_lspec__v1")
+    org.apache.commons.io.FileUtils.copyDirectory(d0, v1)
+    assert(new java.io.File(d0, "_GRAFT_COMPLETE").delete())
+    assert(localDir(t) == d0, "precondition: catalog still points at the stale dir")
+
+    assert(Bucketed.appendOnce(spark, "fc-6", Seq(t -> slice(orders, "o_orderkey", 6))))
+    // the append repointed to store truth and landed there
+    assert(localDir(t).getName == "healap_lspec__v1",
+      s"append did not follow store truth: ${localDir(t)}")
+    assert(new java.io.File(localDir(t), "_GRAFT_APPLIED_fc-6").exists(),
+      "exactly-once stamp missing from the store-truth dir")
+    assert(!new java.io.File(d0, "_GRAFT_COMPLETE").exists(),
+      "the superseded dir was re-certified — it would shadow or lose the batch")
+    assert(sortedRows(spark.table(t)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+    // replay is still a no-op against the store-truth stamps
+    assert(!Bucketed.appendOnce(spark, "fc-6", Seq(t -> slice(orders, "o_orderkey", 6))))
+  }
+
   test("the staleness heal defers to an OPEN maintenance window: a live " +
       "holder's marker-down state is not 'crashed' — nothing is dropped, " +
       "the entry keeps serving (r12 review)") {
