@@ -38,6 +38,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scheduled-compaction setting. */
 object Bucketed {
 
+  /** A live maintainer holds the family lease. TYPED so callers that
+    * must react to contention (the ensure() heal) never string-match an
+    * error message (r12 review, third pass); extends
+    * IllegalStateException so every existing loud-refusal contract and
+    * spec is unchanged. */
+  final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
   private[layouts] val Marker = "_GRAFT_COMPLETE"
   private[layouts] val StampPrefix = "_GRAFT_APPLIED_"
   private[layouts] val ManifestName = "_GRAFT_MANIFEST"
@@ -444,7 +451,7 @@ object Bucketed {
             retry = false
             val holder = try LayoutFs.readString(lease, c)
               catch { case _: java.io.IOException => "<unreadable>" }
-            throw new IllegalStateException(
+            throw new LeaseHeldException(
               s"layout maintenance lease ${lease} is held by [$holder] " +
                 s"(age ${age} ms, stale after $holderStale ms): a second concurrent " +
                 "maintainer must not interleave marker windows with the holder")
@@ -468,40 +475,44 @@ object Bucketed {
       try {
         while (!Thread.interrupted() && !released.get) {
           Thread.sleep(math.max(1L, staleMs / 4))
-          // a transient store error must not kill the heartbeat — a
-          // silently dead heartbeat freezes the lease mtime and a live
-          // multi-minute maintainer gets "stale"-broken mid-window (r12
-          // review, second pass); skip the tick and retry next interval
-          try leases.foreach { l =>
-            if (!released.get) {
-              // never refresh a lease we no longer own: if a breaker
-              // judged us stale and a NEW holder acquired, overwriting
-              // would steal their lease (a missing/unreadable file is
-              // ours to restore — only a break replaces content)
-              val ours = try LayoutFs.readString(l, c) == owner
-                catch { case _: java.io.IOException => true }
-              if (ours) {
+          leases.foreach { l =>
+            // PER-LEASE error isolation (r12 review, third pass): one
+            // member's failing store path must not starve the refresh
+            // of the other family members' healthy leases — and a
+            // transient error must not kill the thread (a silently dead
+            // heartbeat freezes the mtime and a live multi-minute
+            // maintainer gets "stale"-broken mid-window)
+            try {
+              if (!released.get && !foreignLease(l, owner, c)) {
+                // refresh unless a FOREIGN holder's content is present
+                // (a breaker judged us stale and a new holder acquired
+                // — overwriting would steal their lease). Missing,
+                // unreadable, or torn content — including the residue
+                // of our OWN failed truncating write — is ours to
+                // restore; only a genuine takeover carries another
+                // owner's parseable lease line (r12 review, third
+                // pass: the previous equality test read our own
+                // truncated write as foreign and stopped forever).
                 LayoutFs.writeString(l, owner, c)
                 if (released.get) {
                   // raced the release: undo OUR write only — a newer
-                  // holder's lease written since must survive. On an
-                  // unreadable re-check, DELETE (a wrongly deleted
-                  // successor lease is re-established by its next
-                  // heartbeat in staleMs/4; a wrongly KEPT ghost lease
-                  // refuses every maintainer for a full staleMs). (A
-                  // write wedged across both the release AND a
-                  // successor's acquisition can still clobber the
-                  // successor for one heartbeat gap — narrowed here,
-                  // closed only by a conditional store write; the
-                  // marker protocol keeps any interleaving unservable
-                  // regardless.)
+                  // holder's lease written since must survive. KEEP on
+                  // an unreadable re-check (safety over liveness: a
+                  // wrongly kept ghost lease self-heals after one
+                  // staleMs; a wrongly deleted successor lease opens a
+                  // real exclusion window). A write wedged across both
+                  // the release AND a successor's acquisition can still
+                  // clobber the successor for one heartbeat gap —
+                  // narrowed here, closed only by a conditional store
+                  // write; the marker protocol keeps torn state
+                  // unservable regardless.
                   val still = try LayoutFs.readString(l, c) == owner
-                    catch { case _: java.io.IOException => true }
+                    catch { case _: java.io.IOException => false }
                   if (still) LayoutFs.delete(l, c)
                 }
               }
-            }
-          } catch { case _: java.io.IOException => () }
+            } catch { case _: java.io.IOException => () }
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${dirs.head.getName}")
@@ -510,12 +521,31 @@ object Bucketed {
     try body
     finally {
       // flag first, then join before deleting: an in-flight heartbeat
-      // write after the delete would otherwise resurrect the lease
+      // write after the delete would otherwise resurrect the lease.
+      // Delete only leases NOT carrying a foreign holder's content
+      // (r12 review, third pass): a holder that stalled past staleMs
+      // may have been broken and SUCCEEDED — unconditionally deleting
+      // here would strip the successor's live lease mid-window, the
+      // same theft the heartbeat's foreign check prevents.
       released.set(true)
       hb.interrupt(); hb.join(5000)
-      leases.foreach(LayoutFs.delete(_, c))
+      leases.foreach(l => if (!foreignLease(l, owner, c)) LayoutFs.delete(l, c))
     }
   }
+
+  /** Whether `lease` currently carries ANOTHER owner's parseable content
+    * — the takeover signal the heartbeat and release paths must never
+    * overwrite or delete. Compared against the caller's FULL owner line
+    * (pid + thread — two threads of one JVM are distinct owners).
+    * Missing, unreadable, or torn content (e.g. the residue of the
+    * caller's own failed truncating write) reads as NOT foreign: only a
+    * genuine acquisition writes a complete lease line. */
+  private def foreignLease(lease: Path, owner: String,
+      c: org.apache.hadoop.conf.Configuration): Boolean =
+    try {
+      val content = LayoutFs.readString(lease, c)
+      content.contains("staleMs=") && content != owner
+    } catch { case _: java.io.IOException => false }
 
   // ---------------------------------------------------------------------
   // Crash-safe append
@@ -1059,8 +1089,18 @@ object Bucketed {
             }
             validatedLocations.add(qname)
           } catch {
-            case e: IllegalStateException if e.getMessage != null &&
-                e.getMessage.contains("lease") => // healed/handled by the winner
+            case e: LeaseHeldException =>
+              // a racing healer/maintainer won the lease. Swallowing is
+              // only safe while SOMETHING certified exists to serve
+              // (the decertified-with-certified-sibling case — our
+              // grace-retained entry or the sibling). If NOTHING is
+              // certified, the winner is mid-REBUILD and its first step
+              // wipes every candidate directory — serving our entry
+              // would read a half-deleted layout; stay loud (r12
+              // review, third pass).
+              if (resolveCurrentDir(s, locPath, sp.name).isEmpty &&
+                  !LayoutFs.exists(new Path(tableDir(s, qname), Marker), c))
+                throw e
           }
         }
         // else: an OPEN maintenance window (live lease, marker
