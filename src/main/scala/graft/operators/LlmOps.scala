@@ -707,7 +707,20 @@ object LlmOps extends QueryGroup {
     * second corpus pass. Measured at 2 M vectors (CROSSOVER.md round
     * 12): 0.033 s/query batched at 0.997 recall@10, reading 1.6 % of
     * the index files. Same brute-force oracle as `llm_knn_join_ivf` —
-    * the persisted, pruned plan must reproduce the exact answer. */
+    * the persisted, pruned plan must reproduce the exact answer.
+    *
+    * QUERY-BATCH BOUND (r12 ADVICE, low): the broadcast of `probes` is
+    * HINT-FORCED, because the partition pruning it buys is the entire
+    * point of the persisted layout and must not hinge on the planner's
+    * size estimate of a computed DataFrame (an AQE runtime conversion
+    * would land after the index scan already ran unpruned). The hint
+    * assumes the SERVING contract: a bounded request batch — probe rows
+    * = nprobe × distinct query vectors at ~0.5 KB each, so ~10⁴–10⁵
+    * queries stay comfortably inside executor broadcast budgets, and a
+    * batch large enough to strain them is probing most cells anyway,
+    * at which point pruning buys nothing and the right tool is the
+    * size-driven batch form `llm_knn_join_ivf` (whose comment explains
+    * why a forced broadcast is the shape that dies THERE). */
   /** The persisted IVF layout `llm_knn_join_ivf_persisted` serves from —
     * exposed so the bench prewarms it under the IDENTICAL cache key and
     * reports the one-time build as a separate line item (the

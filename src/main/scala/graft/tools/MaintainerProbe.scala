@@ -26,8 +26,26 @@ import org.apache.spark.sql.functions._
   *  - `recover TAG` — retry ensure+appendOnce until the dead holder's
   *    lease goes stale and is broken (tombstone rename), the uncertified
   *    family is rebuilt from source, and the batch applies;
-  *  - `check ROWS`  — independent verification JVM: re-ensure (must
-  *    re-register, not rebuild), count, and compare.
+  *  - `compact GO` — park on the go-file barrier (`-` skips), then
+  *    `Bucketed.compact` the layout — the cross-process
+  *    compact-vs-append conflict (r12 verdict item 2); with
+  *    `MPROBE_WAIT_MS` set, a lease loser PARKS behind the live holder
+  *    and lands after release instead of refusing;
+  *  - `stream SRC CKPT FLAG first|rerun` — exactly-once streaming
+  *    ingest (`foreachBatchInto`) into the layout while a FOREIGN
+  *    process compacts it mid-stream (r12 verdict item 4): `first`
+  *    drops batch files and raises FLAG between micro-batches so the
+  *    orchestrator can fire the compactor into the gap; `rerun`
+  *    restarts the stream on the same checkpoint (no new data → no new
+  *    batches) AND re-drives both batch tags through appendOnce, which
+  *    must no-op against the stamps — across the foreign compact, whose
+  *    manifest fold must preserve them;
+  *  - `check ROWS|slices=LO-HI` — independent verification JVM:
+  *    re-ensure (must re-register, not rebuild), count, and compare.
+  *    The `slices=` form recomputes the expectation FROM SOURCE, so
+  *    verification never depends on scraping a prior probe's output
+  *    (r12 ADVICE, low: a crashed probe made the scraped EXPECT empty
+  *    and every later comparison garbage).
   *
   * Results print as single `MPROBE {json}` lines on stdout. */
 object MaintainerProbe {
@@ -42,6 +60,11 @@ object MaintainerProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.graft.layout.root", root)
       .config("spark.graft.layout.leaseStaleMs", staleMs.toString)
+      // MPROBE_WAIT_MS > 0 turns lease contention into parking (the
+      // streaming-vs-compaction setting) — the phase-3/4 conflicts
+      // assert the loser lands AFTER release instead of refusing
+      .config("spark.graft.layout.leaseWaitMs",
+        sys.env.getOrElse("MPROBE_WAIT_MS", "0"))
       .getOrCreate()
 
   private def slice(df: DataFrame, i: Int) =
@@ -130,19 +153,85 @@ object MaintainerProbe {
           "waited_ms" -> (System.currentTimeMillis() - t0).toString,
           "last_refusal" -> jstr(lastRefusal))
 
+      case "compact" =>
+        val goFile = args(3)
+        val t = ensure(s, sfDir)
+        if (goFile != "-") {
+          // 90 s: the barrier may be raised by a stream JVM that is still
+          // booting its own session (phase 4), not just by the orchestrator
+          val go = new java.io.File(goFile)
+          val deadline = System.currentTimeMillis() + 90000
+          while (!go.exists() && System.currentTimeMillis() < deadline)
+            Thread.sleep(2)
+        }
+        val t0 = System.currentTimeMillis()
+        val (ok, refusal) =
+          try { Bucketed.compact(s, t); (true, None) }
+          catch { case e: IllegalStateException => (false, Some(e.getMessage)) }
+        val dirName = new java.io.File(new java.net.URI(
+          s.sql(s"DESC FORMATTED $t").filter(col("col_name") === "Location")
+            .head().getString(1))).getName
+        out("mode" -> jstr("compact"), "pid" -> pid.toString,
+          "compacted" -> ok.toString, "refused" -> refusal.isDefined.toString,
+          "elapsed_ms" -> (System.currentTimeMillis() - t0).toString,
+          "dir" -> jstr(dirName), "refusal" -> jstr(refusal.getOrElse("")))
+
+      case "stream" =>
+        val srcDir = args(3)
+        val ckpt = args(4)
+        val flag = new java.io.File(args(5))
+        val rerun = args(6) == "rerun"
+        val t = ensure(s, sfDir)
+        val orders = Tables.orders(s, sfDir)
+        if (!rerun) // batch 0 on the source BEFORE the stream starts
+          slice(orders, 6).write.mode("append").parquet(srcDir)
+        val q = s.readStream.schema(orders.schema).parquet(srcDir)
+          .writeStream
+          .foreachBatch(Bucketed.foreachBatchInto(s, "mstream", Seq(t -> (b => b))))
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable() // batch 0 applied (rerun: nothing new)
+          flag.createNewFile()    // the orchestrator fires the compactor now
+          if (!rerun) {
+            // give the foreign compact time to take the lease, then drive
+            // batch 1 INTO its window — appendOnce parks (leaseWaitMs)
+            // and lands after the release
+            Thread.sleep(3000)
+            slice(orders, 7).write.mode("append").parquet(srcDir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // replay evidence: both batch tags must no-op against the stamps
+        // — including across the foreign compact, whose manifest fold
+        // must have preserved them
+        val replayNoop = !Bucketed.appendOnce(s, "mstream-0",
+          Seq(t -> slice(orders, 6))) &&
+          !Bucketed.appendOnce(s, "mstream-1", Seq(t -> slice(orders, 7)))
+        out("mode" -> jstr("stream"), "pid" -> pid.toString,
+          "rerun" -> rerun.toString, "rows" -> s.table(t).count().toString,
+          "replayed_noop" -> replayNoop.toString)
+
       case "check" =>
-        val expect = args(3).toLong
+        // `slices=LO-HI` recomputes the expectation from SOURCE in this
+        // independent JVM; a plain integer compares against a pinned count
+        val SlicesArg = """slices=(\d+)-(\d+)""".r
+        val expect = args(3) match {
+          case SlicesArg(lo, hi) =>
+            slices(Tables.orders(s, sfDir), lo.toInt to hi.toInt).count()
+          case n => n.toLong
+        }
         val t = ensure(s, sfDir)
         val rows = s.table(t).count()
         // certified = a completion marker in the CURRENT table dir
         val dirUri = s.sql(s"DESC FORMATTED $t")
           .filter(col("col_name") === "Location").head().getString(1)
-        val certified = new java.io.File(
-          new java.io.File(new java.net.URI(dirUri)), "_GRAFT_COMPLETE").exists()
+        val dirFile = new java.io.File(new java.net.URI(dirUri))
+        val certified = new java.io.File(dirFile, "_GRAFT_COMPLETE").exists()
         out("mode" -> jstr("check"), "pid" -> pid.toString,
           "rows" -> rows.toString, "expect" -> expect.toString,
           "content_ok" -> (rows == expect).toString,
-          "certified" -> certified.toString)
+          "certified" -> certified.toString, "dir" -> jstr(dirFile.getName))
     }
     s.stop()
   }

@@ -1,6 +1,7 @@
 #!/bin/bash
-# Two-JVM lease/exclusion evidence (r11 verdict item 2). Launches pairs of
-# REAL JVMs (plain `java -cp`, no sbt) against one shared layout warehouse:
+# Two-JVM lease/exclusion evidence (r11 verdict item 2; phases 3-4 r12
+# verdict items 2/4). Launches pairs of REAL JVMs (plain `java -cp`, no
+# sbt) against one shared layout warehouse:
 #   phase 1: N rounds of two processes racing appendOnce on the same tag —
 #            exactly one may apply per tag; a lease-refused loser must name
 #            the holder's pid; content and certification verified by an
@@ -8,6 +9,18 @@
 #   phase 2: a maintainer is kill -9'd INSIDE its marker window; the
 #            survivor must break the stale lease (tombstone rename),
 #            rebuild the uncertified family, and land the batch.
+#   phase 3: N rounds of compact-vs-append across two processes with
+#            leaseWaitMs parking — both must land (the loser waits out the
+#            holder), content exact, family certified.
+#   phase 4: a streaming foreachBatchInto ingest in JVM A while JVM B
+#            compacts the layout mid-stream — the stream completes, a
+#            rerun + tag re-drive replays as no-ops (the compact's
+#            manifest fold preserved the exactly-once stamps), content
+#            exact, certified.
+# Verification expectations are recomputed FROM SOURCE inside the check
+# JVM (`check slices=LO-HI`), never scraped from another probe's output
+# (r12 ADVICE: a crashed probe made a scraped EXPECT empty and every
+# later comparison garbage).
 # Usage: tools/two_jvm_race.sh   (from /root/repo, after sbt compile)
 set -u
 cd "$(dirname "$0")/.."
@@ -18,13 +31,14 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 JAVA="java $ADD_OPENS -Xmx2g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP graft.tools.MaintainerProbe"
 OUT=$ROOT/out; mkdir -p "$OUT"
 ROUNDS=${ROUNDS:-6}
+CROUNDS=${CROUNDS:-3}
 echo "warehouse root: $ROOT"
 
 fail() { echo "FAIL: $1"; exit 1; }
 mp() { grep -h '^MPROBE' "$@" | sed 's/^MPROBE //'; }
 
 echo "== phase 1: $ROUNDS two-JVM appendOnce races (fresh warehouse per round) =="
-REFUSALS=0; SKIPS=0; EXPECT=""
+REFUSALS=0; SKIPS=0
 for i in $(seq 1 "$ROUNDS"); do
   rm -rf "$ROOT"/graft_bucket_wh_*
   $JAVA prepare "$ROOT" "$SF" > "$OUT/prepare_$i.log" 2>&1 || fail "prepare $i crashed"
@@ -49,14 +63,10 @@ for i in $(seq 1 "$ROUNDS"); do
     SKIPS=$((SKIPS+1))
   fi
   # independent verification JVM: base + exactly ONE copy of the delta (a
-  # double apply shows as 2x the slice), family certified, re-ensure
-  # re-registers rather than rebuilding
-  if [ -z "$EXPECT" ]; then
-    $JAVA check "$ROOT" "$SF" 0 > "$OUT/check_probe.log" 2>&1
-    EXPECT=$(mp "$OUT/check_probe.log" | sed 's/.*"rows":\([0-9]*\).*/\1/')
-    echo "   (post-round row count pinned from an independent JVM: $EXPECT)"
-  fi
-  $JAVA check "$ROOT" "$SF" "$EXPECT" > "$OUT/check_$i.log" 2>&1 || fail "check crashed"
+  # double apply shows as 2x the slice — the slices=0-6 expectation is
+  # recomputed from source inside the check JVM), family certified,
+  # re-ensure re-registers rather than rebuilding
+  $JAVA check "$ROOT" "$SF" slices=0-6 > "$OUT/check_$i.log" 2>&1 || fail "check crashed"
   CHK=$(mp "$OUT/check_$i.log")
   echo "$CHK"
   echo "$CHK" | grep -q '"content_ok":true' || fail "round $i: content wrong (double apply?)"
@@ -84,10 +94,72 @@ $JAVA recover "$ROOT" "$SF" "postcrash-1" > "$OUT/recover.log" 2>&1 || fail "rec
 REC=$(mp "$OUT/recover.log"); echo "$REC"
 echo "$REC" | grep -q '"recovered":true' || fail "survivor did not recover"
 echo "$REC" | grep -q '"ran":true' || fail "survivor did not apply the batch"
-$JAVA check "$ROOT" "$SF" "$EXPECT" > "$OUT/check_crash.log" 2>&1 || fail "post-crash check crashed"
+$JAVA check "$ROOT" "$SF" slices=0-6 > "$OUT/check_crash.log" 2>&1 || fail "post-crash check crashed"
 CHK=$(mp "$OUT/check_crash.log"); echo "$CHK"
 echo "$CHK" | grep -q '"content_ok":true' || fail "post-crash content wrong"
 echo "$CHK" | grep -q '"certified":true' || fail "post-crash family not certified"
 echo "phase 2 OK: stale lease broken, family rebuilt + batch applied, content exact"
+
+echo "== phase 3: $CROUNDS compact-vs-append conflicts across two JVMs (leaseWaitMs parking) =="
+for i in $(seq 1 "$CROUNDS"); do
+  rm -rf "$ROOT"/graft_bucket_wh_* ; rm -f "$ROOT"/go_*
+  $JAVA prepare "$ROOT" "$SF" > "$OUT/prepare_c$i.log" 2>&1 || fail "prepare_c$i crashed"
+  GO=$ROOT/go_c$i
+  MPROBE_WAIT_MS=120000 $JAVA race "$ROOT" "$SF" "cva-$i" "$GO" > "$OUT/cva_${i}_append.log" 2>&1 &
+  PA=$!
+  MPROBE_WAIT_MS=120000 $JAVA compact "$ROOT" "$SF" "$GO" > "$OUT/cva_${i}_compact.log" 2>&1 &
+  PB=$!
+  sleep 14
+  touch "$GO"
+  wait $PA $PB
+  RES=$(mp "$OUT/cva_${i}_append.log" "$OUT/cva_${i}_compact.log")
+  echo "$RES"
+  # BOTH must land: the lease loser parks behind the live holder and
+  # proceeds after release — no refusals, no interleaved marker windows
+  echo "$RES" | grep -q '"ran":true' || fail "round $i: append did not land"
+  echo "$RES" | grep -q '"compacted":true' || fail "round $i: compact did not land"
+  echo "$RES" | grep -q '"refused":true' && fail "round $i: a parked waiter refused instead"
+  echo "$RES" | grep '"mode":"compact"' | grep -q '__v1' \
+    || fail "round $i: compact did not swap to a versioned sibling"
+  $JAVA check "$ROOT" "$SF" slices=0-6 > "$OUT/check_c$i.log" 2>&1 || fail "check_c$i crashed"
+  CHK=$(mp "$OUT/check_c$i.log")
+  echo "$CHK"
+  echo "$CHK" | grep -q '"content_ok":true' || fail "round $i: content wrong (torn or doubled)"
+  echo "$CHK" | grep -q '"certified":true' || fail "round $i: family not certified"
+done
+echo "phase 3 OK: $CROUNDS conflicts, every append AND compact landed, content exact"
+
+echo "== phase 4: streaming ingest ACROSS a cross-process compact =="
+rm -rf "$ROOT"/graft_bucket_wh_* ; rm -f "$ROOT"/holding
+$JAVA prepare "$ROOT" "$SF" > "$OUT/prepare_s.log" 2>&1 || fail "prepare_s crashed"
+SRC=$ROOT/stream_src; CKPT=$ROOT/stream_ckpt; SFLAG=$ROOT/stream_b0_done
+mkdir -p "$SRC"
+# the compactor launches ALONGSIDE the stream but parks on the flag the
+# stream raises after its first micro-batch — its compact then fires into
+# the gap before the stream's second micro-batch, whose appendOnce parks
+# behind the compactor's lease (or vice versa): leaseWaitMs serializes
+# them, nobody fails. (Launching it only after the flag would miss the
+# window behind ~10 s of JVM+session startup.)
+MPROBE_WAIT_MS=120000 $JAVA stream "$ROOT" "$SF" "$SRC" "$CKPT" "$SFLAG" first > "$OUT/stream.log" 2>&1 &
+PS=$!
+MPROBE_WAIT_MS=120000 $JAVA compact "$ROOT" "$SF" "$SFLAG" > "$OUT/stream_compact.log" 2>&1 &
+PC=$!
+wait $PS $PC
+[ -f "$SFLAG" ] || fail "stream never processed its first batch"
+RES=$(mp "$OUT/stream.log" "$OUT/stream_compact.log")
+echo "$RES"
+echo "$RES" | grep '"mode":"stream"' | grep -q '"replayed_noop":true' \
+  || fail "stream tags replayed as appends — exactly-once broken across the compact"
+echo "$RES" | grep -q '"compacted":true' || fail "mid-stream compact did not land"
+# rerun the stream on the same checkpoint: no new data → no new batches,
+# and the tag re-drive must still no-op against the folded manifest
+$JAVA stream "$ROOT" "$SF" "$SRC" "$CKPT" "$SFLAG" rerun > "$OUT/stream_rerun.log" 2>&1 || fail "stream rerun crashed"
+RER=$(mp "$OUT/stream_rerun.log"); echo "$RER"
+echo "$RER" | grep -q '"replayed_noop":true' || fail "rerun replayed a batch"
+$JAVA check "$ROOT" "$SF" slices=0-7 > "$OUT/check_s.log" 2>&1 || fail "check_s crashed"
+CHK=$(mp "$OUT/check_s.log"); echo "$CHK"
+echo "$CHK" | grep -q '"content_ok":true' || fail "post-stream content wrong"
+echo "$CHK" | grep -q '"certified":true' || fail "post-stream family not certified"
+echo "phase 4 OK: stream completed across a foreign compact, replays no-op, content exact"
 
 echo "ALL OK (logs in $OUT)"
