@@ -66,9 +66,28 @@ object IvfIndex {
         .repartition(k, col("cent_id"))
         .write.partitionBy("cent_id").mode("overwrite").parquet(idxPath)
       cents.write.mode("overwrite").parquet(centsPath)
+      // a rebuild at an existing path (crashed half-build) must not be
+      // served from a pre-rebuild cached listing
+      LayoutUtil.evictServed(idxPath)
+      LayoutUtil.evictServed(centsPath)
     }
     (idxPath, centsPath)
   }
+
+  /** The index (or centroid sidecar) relation with its file listing
+    * CACHED for the session — the serving-shape accessor (r12 verdict
+    * item 6): the 2 M-vector probe measured ~1.5 s of partition
+    * re-listing per `spark.read.parquet(idxPath)` at nlist=1024, a cost
+    * a per-query-batch server pays on EVERY request unless the relation
+    * is shared. Two serve() calls return the very same DataFrame, so
+    * probes pay only the pruned read; pruning still evaluates per query
+    * against the cached listing. For the immutable ensure() outputs —
+    * a stream-appended root needs [[LayoutUtil.evictServed]] after each
+    * batch (or a fresh read), see the servedRelation scaladoc. (The
+    * MinHash layout needs no twin: its bands/reps are CATALOG tables,
+    * whose listing the session's relation cache already shares.) */
+  def serve(s: SparkSession, path: String): DataFrame =
+    LayoutUtil.servedRelation(s, path)
 
   /** STREAMING index maintenance: append a vector stream to the persisted
     * layout. `Ivf.assign` is map-side (centroids ride in as literals), so

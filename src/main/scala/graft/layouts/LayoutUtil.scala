@@ -96,4 +96,49 @@ object LayoutUtil {
     corpus.groupBy(col("v"))
       .agg(min(col("vec_id")).as("vec_id"),
         sort_array(collect_list(col("vec_id"))).as("members"))
+
+  // ---------------------------------------------------------------------
+  // Served relations: one file listing per (session, artifact path)
+  // ---------------------------------------------------------------------
+
+  /** Served-relation cache: sessions are WEAK keys (a stopped session's
+    * relations become collectable), the per-session map is keyed by
+    * artifact path. The cached value is the DataFrame whose
+    * LogicalRelation holds the eagerly-built InMemoryFileIndex — every
+    * query derived from it reuses that listing. */
+  private val served = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** The relation at `path` with its FILE LISTING CACHED for the life of
+    * the session (r12 verdict item 6): a fresh `spark.read.parquet` per
+    * query re-lists every partition directory — measured at ~1.5 s per
+    * query on an nlist=1024 IVF layout at 2 M vectors (CROSSOVER.md
+    * round 12) — while the relation itself carries the listing in its
+    * InMemoryFileIndex, so reusing ONE DataFrame makes every subsequent
+    * probe pay only the pruned read. Partition pruning still applies
+    * per query (the pruning filters evaluate against the cached listing
+    * at planning time). For IMMUTABLE build artifacts (the ensure()
+    * outputs, whose path rotates with the source signature); a path
+    * whose files change in place — a stream-appended index root, a
+    * rebuilt half-finished artifact — must be [[evictServed]] first or
+    * consumers keep the stale listing. */
+  def servedRelation(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val bySession = served.synchronized {
+      var m = served.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        served.put(s, m)
+      }
+      m
+    }
+    bySession.getOrElseUpdate(path, s.read.parquet(path))
+  }
+
+  /** Drop every session's cached relation for `path` — the rebuild /
+    * in-place-mutation complement of [[servedRelation]]. */
+  def evictServed(path: String): Unit = served.synchronized {
+    served.values.forEach(m => { m.remove(path); () })
+  }
 }

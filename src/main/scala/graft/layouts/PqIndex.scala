@@ -61,9 +61,19 @@ object PqIndex {
         // (the Ivf.train persist lifecycle — without this, callers outside
         // the bench leak the blocks for the rest of the session)
       } finally grouped.unpersist(blocking = false)
+      // a rebuild at an existing path (crashed half-build) must not be
+      // served from a pre-rebuild cached listing
+      Seq(codesPath, centsPath, booksPath).foreach(LayoutUtil.evictServed)
     }
     (codesPath, centsPath, booksPath)
   }
+
+  /** The codes (or sidecar) relation with its file listing CACHED for
+    * the session — the [[IvfIndex.serve]] twin for the PQ layout; same
+    * contract (immutable ensure() outputs; pruning evaluates per query
+    * against the cached listing; evictServed for in-place mutation). */
+  def serve(s: SparkSession, path: String): DataFrame =
+    LayoutUtil.servedRelation(s, path)
 
   /** STREAMING index maintenance — the [[IvfIndex.appendStream]] parity
     * for the PQ layout: assign + encode are both map-side literal
@@ -95,9 +105,11 @@ object PqIndex {
       .outputMode("append")
       .start()
 
-  /** Codebooks back from the sidecar, in [[Pq.train]]'s shape. */
+  /** Codebooks back from the sidecar, in [[Pq.train]]'s shape (listing
+    * served through the session cache — per-query model loads pay the
+    * KB-scale collect, not a re-list). */
   def loadBooks(s: SparkSession, booksPath: String): Seq[Pq.Codebook] =
-    s.read.parquet(booksPath)
+    serve(s, booksPath)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)

@@ -737,7 +737,7 @@ object LlmOps extends QueryGroup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val (idxPath, centsPath) = persistedKnnIvfIndex(s, dir)
-      val cents = s.read.parquet(centsPath)
+      val cents = graft.layouts.IvfIndex.serve(s, centsPath)
       val qGrouped = vecGroups(knnQueryVecs(s, dir))
       val q = qGrouped.select(col("rep_id").as("q_id"), col("v").as("qv"))
       val wProbe = Window.partitionBy(col("q_id"))
@@ -749,7 +749,7 @@ object LlmOps extends QueryGroup {
         .select(col("q_id"), col("cent_id"), col("qv"))
       // the persisted layout: (vec_id = rep, v, members) under cent_id=
       // partition dirs (the partition column reads back type-inferred)
-      val idx = s.read.parquet(idxPath)
+      val idx = graft.layouts.IvfIndex.serve(s, idxPath)
         .select(col("cent_id").cast("long").as("cent_id"),
           col("vec_id"), col("v"), col("members"))
       val wTop = Window.partitionBy(col("q_id"))
@@ -1063,11 +1063,11 @@ object LlmOps extends QueryGroup {
       // probe selection: centroids are k×dims model params (the Ivf.assign
       // pattern) — a 16-row job picks the top-4 probe ids, which enter the
       // scan as LITERALS so Catalyst prunes partitions statically
-      val probeIds = s.read.parquet(centsPath).crossJoin(broadcast(q))
+      val probeIds = graft.layouts.IvfIndex.serve(s, centsPath).crossJoin(broadcast(q))
         .select(col("cent_id"), cosR("cv", "qv").as("c"))
         .orderBy(col("c").desc_nulls_last, col("cent_id").asc_nulls_first)
         .limit(4).collect().map(_.getLong(0)).toSeq
-      val pruned = s.read.parquet(idxPath)
+      val pruned = graft.layouts.IvfIndex.serve(s, idxPath)
         .filter(col("cent_id").isin(probeIds: _*))
       pruned.crossJoin(broadcast(q))
         .select(col("vec_id"), col("members"), cosR("v", "qv").as("cos_sim"))
@@ -3052,7 +3052,7 @@ object LlmOps extends QueryGroup {
     * llm_ann_ivfpq_persisted so the persisted≡inline agreement PqSpec
     * pins cannot drift; subspace width derives from q.length and
     * books.size (never hardcoded). */
-  private def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column = {
+  private[graft] def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column = {
     val sub = q.length / books.size
     val adcDot = books.zipWithIndex.map { case (book, j) =>
       val qj = q.slice(j * sub, (j + 1) * sub)
@@ -3370,13 +3370,13 @@ object LlmOps extends QueryGroup {
       // PqIndex parameter change cannot desynchronize this row
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
       val probes = topProbes(
-        s.read.parquet(centsPath).collect()
+        graft.layouts.PqIndex.serve(s, centsPath).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
       val books = graft.layouts.PqIndex.loadBooks(s, booksPath)
       // stage 1 — ADC shortlist inside the probed cells only: top-50 reps
       // by m code lookups per row, collected (bounded — 50 reps + member
       // lists, the candidate set a serving node holds in memory)
-      val short = s.read.parquet(codesPath)
+      val short = graft.layouts.PqIndex.serve(s, codesPath)
         .filter(col("cent_id").isin(probes: _*))
         .withColumn("adc_cos", adcCosCol(books, q))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)

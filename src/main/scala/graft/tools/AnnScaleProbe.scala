@@ -63,8 +63,10 @@ object AnnScaleProbe {
     val n = corpus.count()
     println(f"PROBE ann_scale corpus=$dir n=$n nlist=$nlist topk=$topK")
 
-    // ~64 deterministic query vectors
-    val queries = corpus.filter(pmod(xxhash64(col("vec_id")), lit(32749)) === 0)
+    // ~64 deterministic query vectors (ANN_QMOD tunes the sampling rate
+    // for sub-2M validation corpora)
+    val qmod = sys.env.getOrElse("ANN_QMOD", "32749").toLong
+    val queries = corpus.filter(pmod(xxhash64(col("vec_id")), lit(qmod)) === 0)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).take(64)
     println(s"PROBE ann_scale queries=${queries.length}")
@@ -180,6 +182,92 @@ object AnnScaleProbe {
     }
     println(f"PROBE ann_scale knn_join_batched queries=${queries.length} nprobe=$npB " +
       f"wall_s=$tBatch%.2f recall@$topK=${batchRecall.sum / batchRecall.size}%.3f")
+
+    // IVF+PQ (r12 verdict item 3): the SAME cent_id cells, but rows carry
+    // m-byte PQ codes instead of d floats — the form whose code budget is
+    // what actually fits in memory/IO at 100 TB (8–16 B/vec vs dims×8 raw).
+    // Per code budget m and per nprobe: ADC shortlist inside the probed
+    // cells (the production adcCosCol kernel — m element_at lookups per
+    // row against driver-precomputed tables), then EXACT re-rank of the
+    // shortlist's raw vectors point-fetched from the probed cells of the
+    // float index. Reported: ADC-only recall, post-re-rank recall, both
+    // stage latencies, files read.
+    if (sys.env.getOrElse("ANN_PQ", "1") == "1") {
+      val dims = queries.head._2.length
+      val kpq = sys.env.getOrElse("ANN_PQ_K", "64").toInt
+      val shortlist = sys.env.getOrElse("ANN_PQ_SHORTLIST", "100").toInt
+      for (m <- sys.env.getOrElse("ANN_PQ_M", "8,16").split(",").map(_.toInt)) {
+        // codebook training on a deterministic ~kpq×256-row subsample
+        // (model fitting is sample-proportional; encode is the full pass)
+        val trainTarget = kpq * 256L
+        val mod = math.max(1L, n / trainTarget)
+        val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        val (books, tPqTrain) = timed {
+          graft.etl.Pq.train(sample, dims, m, kpq, iters = 2)
+        }
+        val codesPath = s"/tmp/graft_annscale_pq_${n}_${nlist}_m${m}_k$kpq"
+        val (_, tEncode) = timed {
+          if (!graft.layouts.LayoutFs.existsAt(s"$codesPath/_SUCCESS")) {
+            graft.layouts.LayoutFs.deleteDirAt(codesPath)
+            graft.etl.Pq.encodeWithStats(
+                Ivf.assign(corpus, centsDf), dims, books)
+              .select(col("vec_id"), col("cent_id"), col("codes"),
+                col("recon_norm2"))
+              .repartition(nlist, col("cent_id"))
+              .write.partitionBy("cent_id").mode("overwrite").parquet(codesPath)
+          }
+        }
+        val codes = graft.layouts.PqIndex.serve(spark, codesPath)
+        val codeFiles = codes.inputFiles.length
+        println(f"PROBE ann_scale ivfpq m=$m kpq=$kpq code_bytes_per_vec=$m " +
+          f"raw_bytes_per_vec=${dims * 8} train_s=$tPqTrain%.1f " +
+          f"encode_write_s=$tEncode%.1f files=$codeFiles")
+        for (np <- nprobes) {
+          var filesRead = 0L
+          val perQ = queries.map { case (qid, qv) =>
+            val probeIds = cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
+              .sortBy { case (c, cid) => (-c, cid) }.take(np).map(_._2).toSeq
+            // stage 1 — ADC shortlist inside the probed cells only
+            val (adc, tAdc) = timed {
+              val df = codes.filter(col("cent_id").isin(probeIds: _*))
+                .withColumn("adc",
+                  graft.operators.LlmOps.adcCosCol(books, qv.toSeq))
+                .orderBy(col("adc").desc_nulls_last, col("vec_id").asc_nulls_first)
+                .limit(shortlist)
+                .select(col("vec_id"))
+              val ids = df.collect().map(_.getLong(0)).toSeq
+              val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+                case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                  f.metrics("numFiles").value
+              }.getOrElse(0L)
+              (ids, nf)
+            }
+            filesRead += adc._2
+            val adcRecall =
+              adc._1.take(topK).toSet.intersect(gt(qid).toSet).size.toDouble / topK
+            // stage 2 — exact re-rank: the shortlist's raw vectors
+            // point-fetched from the probed cells of the FLOAT index
+            // (candidates live there by construction)
+            val (reranked, tRr) = timed {
+              index.filter(col("cent_id").isin(probeIds: _*))
+                .filter(col("vec_id").isin(adc._1: _*))
+                .select(col("vec_id"), cosExpr(qv).as("c"))
+                .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
+                .limit(topK).collect().map(_.getLong(0)).toSeq
+            }
+            val recall =
+              reranked.toSet.intersect(gt(qid).toSet).size.toDouble / topK
+            (adcRecall, recall, tAdc, tRr)
+          }
+          println(f"PROBE ann_scale ivfpq m=$m nprobe=$np%-3d " +
+            f"adc_recall@$topK=${perQ.map(_._1).sum / perQ.length}%.3f " +
+            f"recall@$topK=${perQ.map(_._2).sum / perQ.length}%.3f " +
+            f"adc_lat_avg_s=${perQ.map(_._3).sum / perQ.length}%.3f " +
+            f"rerank_lat_avg_s=${perQ.map(_._4).sum / perQ.length}%.3f " +
+            f"files_read_frac=${filesRead.toDouble / (perQ.length * codeFiles)}%.4f")
+        }
+      }
+    }
     spark.stop()
   }
 }

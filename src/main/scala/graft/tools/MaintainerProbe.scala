@@ -195,9 +195,11 @@ object MaintainerProbe {
           flag.createNewFile()    // the orchestrator fires the compactor now
           if (!rerun) {
             // give the foreign compact time to take the lease, then drive
-            // batch 1 INTO its window — appendOnce parks (leaseWaitMs)
-            // and lands after the release
-            Thread.sleep(3000)
+            // batch 1 INTO its window — the compact measures ~2.5 s, so a
+            // 1 s gap lands this append mid-compact and its appendOnce
+            // parks (leaseWaitMs) until the release; a refusal instead
+            // would throw out of foreachBatch and fail the stream
+            Thread.sleep(1000)
             slice(orders, 7).write.mode("append").parquet(srcDir)
             q.processAllAvailable()
           }

@@ -73,6 +73,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("serve(): two calls share ONE relation (and its file listing), " +
+      "sessions are isolated, evictServed forces a re-list, and the probe " +
+      "prunes through the served relation (r12 verdict item 6)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val (idxPath, _) = graft.operators.LlmOps.persistedIvfIndex(s, sf)
+    val a = graft.layouts.IvfIndex.serve(s, idxPath)
+    val b = graft.layouts.IvfIndex.serve(s, idxPath)
+    assert(a eq b,
+      "serve() returned distinct relations — the file listing is not shared")
+    // a different session must get its own relation (its own listing —
+    // cached plans cannot bleed across session configs)
+    val s2 = spark.newSession()
+    assert(!(graft.layouts.IvfIndex.serve(s2, idxPath) eq a))
+    // partition pruning still evaluates per query against the CACHED
+    // listing: a 4-cell probe through the served relation reads exactly
+    // its probed partitions
+    val probed = a.filter(col("cent_id").isin(0L, 1L, 2L, 3L))
+      .select(col("vec_id"))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    val total = Option(new java.io.File(new java.net.URI(
+        if (idxPath.startsWith("/")) "file:" + idxPath else idxPath)).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cent_id="))).getOrElse(0)
+    assert(total > 4, s"index has only $total partitions")
+    assert(scan.get.metrics("numPartitions").value == 4,
+      s"served-relation probe read ${scan.get.metrics("numPartitions").value} " +
+        s"of $total partitions — pruning lost through the cached listing")
+    // evictServed is the mutation complement: the next serve() re-lists
+    graft.layouts.LayoutUtil.evictServed(idxPath)
+    assert(!(graft.layouts.IvfIndex.serve(s, idxPath) eq a),
+      "evictServed left the stale relation cached")
+  }
+
   test("batched kNN join over the persisted index: probes broadcast onto " +
       "the partitioned layout (no BNLJ, no index-side exchange before the " +
       "join), answers exactly the inline-index form") {
