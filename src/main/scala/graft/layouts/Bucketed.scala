@@ -196,6 +196,26 @@ object Bucketed {
       case _ => None
     }
 
+  /** [[bucketFiles]] cache: qname → (dir, marker mtime, listing),
+    * validated per call by ONE `getFileStatus` on the completion marker
+    * instead of a full directory re-list — the [[MinHashIndex]] leg of
+    * the served-relation work (r12 verdict item 6): a 100 TB index
+    * table holds millions of bucket files, and every probe was paying a
+    * full listing (twice — bands + reps) for a batch that reads a few
+    * dozen of them. The validator is EXACT, not a TTL: every mutation
+    * of a certified layout rewrites its marker (append's guard deletes
+    * it entering the window and re-touches it leaving; compact certifies
+    * a NEW versioned sibling, so the dir itself changes; the torn-append
+    * restore re-touches), so an unchanged (dir, marker mtime) pins the
+    * listed file set — in-JVM and cross-process alike. Entries whose
+    * marker mtime is within [[MtimeSlackMs]] of now are re-listed
+    * rather than reused: filesystem mtime granularity (1 s on some
+    * stores) could alias two maintenance windows closing in the same
+    * tick. Uncertified dirs (no marker) are never cached. */
+  private val listedBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Map[Int, Seq[String]])]()
+  private val MtimeSlackMs = 2000L
+
   /** Data files of a registered bucketed layout, grouped by bucket id.
     * The probe-side FILE PRUNING primitive: a caller whose key set is
     * driver-resident (KB-scale by contract) maps keys to bucket ids and
@@ -203,13 +223,35 @@ object Bucketed {
     * WITHOUT the per-row InSet filter the engine's own bucket pruning
     * inserts (measured ~10× the plain decode per surviving row —
     * tools.PruneAB, the r8/r9 negative result). Multi-file buckets
-    * (appends before compaction) group under one id. */
+    * (appends before compaction) group under one id. The listing is
+    * served from [[listedBuckets]] when the layout's completion marker
+    * is unchanged, so repeated probes of a quiescent index pay one
+    * metadata stat, not a directory walk. */
   def bucketFiles(s: SparkSession, qname: String): Map[Int, Seq[String]] = {
     val c = hconf(s)
-    LayoutFs.list(tableDir(s, qname), c)
+    val dir = tableDir(s, qname)
+    val marker = new Path(dir, Marker)
+    val markerMtime =
+      try LayoutFs.mtime(marker, c)
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val key = dir.toString
+    if (markerMtime >= 0 &&
+        System.currentTimeMillis() - markerMtime > MtimeSlackMs) {
+      val hit = listedBuckets.get(qname)
+      if (hit != null && hit._1 == key && hit._2 == markerMtime) return hit._3
+    }
+    val listing = LayoutFs.list(dir, c)
       .flatMap(st => bucketIdOf(st.getPath.getName).map(_ -> st.getPath.toString))
       .groupMap(_._1)(_._2)
+    bucketListings += 1
+    if (markerMtime >= 0) listedBuckets.put(qname, (key, markerMtime, listing))
+    else listedBuckets.remove(qname)
+    listing
   }
+
+  /** Full-listing counter (test observability for the [[listedBuckets]]
+    * cache — specs assert hit/miss behavior through it). */
+  @volatile private[graft] var bucketListings: Long = 0L
 
   /** Directory backing a registered layout table (where its completion
     * marker, stamps, manifest, and lease live) — a scheme-qualified

@@ -84,8 +84,11 @@ object IvfIndex {
     * against the cached listing. For the immutable ensure() outputs —
     * a stream-appended root needs [[LayoutUtil.evictServed]] after each
     * batch (or a fresh read), see the servedRelation scaladoc. (The
-    * MinHash layout needs no twin: its bands/reps are CATALOG tables,
-    * whose listing the session's relation cache already shares.) */
+    * MinHash layout's serving cost lives elsewhere — its probes list
+    * bucket files driver-side, served by Bucketed.bucketFiles's
+    * marker-validated cache rather than a relation cache, because the
+    * index MUTATES under append/compact and a marker check is exact
+    * where a cached relation would need eviction discipline.) */
   def serve(s: SparkSession, path: String): DataFrame =
     LayoutUtil.servedRelation(s, path)
 

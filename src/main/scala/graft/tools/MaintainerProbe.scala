@@ -214,13 +214,62 @@ object MaintainerProbe {
           "rerun" -> rerun.toString, "rows" -> s.table(t).count().toString,
           "replayed_noop" -> replayNoop.toString)
 
+      case "cadence" =>
+        // sustained cross-process append cadence (r12 verdict item 7):
+        // N appendOnce calls of slice SLICE under tags `PREFIX-k`, one
+        // every INTERVAL_MS, while a SECOND process does the same
+        // against the shared layout — per-append latency printed so the
+        // orchestrator can assert the heartbeat/lease machinery holds
+        // the cadence flat under contention (MPROBE_WAIT_MS parks lease
+        // losers). MPROBE_COMPACT_EVERY=k adds compactIfFragmented every
+        // k appends, folding real maintenance into the contention mix.
+        val sliceIdx = args(3).toInt
+        val n = args(4).toInt
+        val intervalMs = args(5).toLong
+        val prefix = args(6)
+        val compactEvery = sys.env.getOrElse("MPROBE_COMPACT_EVERY", "0").toInt
+        val t = ensure(s, sfDir)
+        val delta = slice(Tables.orders(s, sfDir), sliceIdx)
+        var applied = 0
+        for (k <- 1 to n) {
+          val t0 = System.currentTimeMillis()
+          val ran = Bucketed.appendOnce(s, s"$prefix-$k", Seq(t -> delta))
+          val ms = System.currentTimeMillis() - t0
+          if (ran) applied += 1
+          var compacted = false
+          var compactMs = 0L
+          if (compactEvery > 0 && k % compactEvery == 0) {
+            val c0 = System.currentTimeMillis()
+            compacted = Bucketed.compactIfFragmented(s, Seq(t), maxFiles = 4)
+            compactMs = System.currentTimeMillis() - c0
+          }
+          out("mode" -> jstr("cadence"), "pid" -> pid.toString,
+            "k" -> k.toString, "append_ms" -> ms.toString,
+            "ran" -> ran.toString, "compacted" -> compacted.toString,
+            "compact_ms" -> compactMs.toString)
+          Thread.sleep(intervalMs)
+        }
+        out("mode" -> jstr("cadence_done"), "pid" -> pid.toString,
+          "applied" -> applied.toString, "n" -> n.toString)
+
       case "check" =>
         // `slices=LO-HI` recomputes the expectation from SOURCE in this
-        // independent JVM; a plain integer compares against a pinned count
-        val SlicesArg = """slices=(\d+)-(\d+)""".r
+        // independent JVM; a plain integer compares against a pinned
+        // count. The comma form `slices=LO-HI,IxK,…` sums multi-applied
+        // slices — the cadence phases append one slice K times under K
+        // distinct tags, so expected content is base + K×slice.
+        val SlicesArg = """slices=(.+)""".r
+        val RangeTerm = """(\d+)-(\d+)""".r
+        val RepeatTerm = """(\d+)x(\d+)""".r
         val expect = args(3) match {
-          case SlicesArg(lo, hi) =>
-            slices(Tables.orders(s, sfDir), lo.toInt to hi.toInt).count()
+          case SlicesArg(terms) =>
+            terms.split(",").map {
+              case RangeTerm(lo, hi) =>
+                slices(Tables.orders(s, sfDir), lo.toInt to hi.toInt).count()
+              case RepeatTerm(i, k) =>
+                slice(Tables.orders(s, sfDir), i.toInt).count() * k.toLong
+              case one => slice(Tables.orders(s, sfDir), one.trim.toInt).count()
+            }.sum
           case n => n.toLong
         }
         val t = ensure(s, sfDir)

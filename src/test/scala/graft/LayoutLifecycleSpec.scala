@@ -842,4 +842,56 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       boom.getMessage.toLowerCase.contains("cannot be found") ||
       boom.getMessage.toLowerCase.contains("not found"), boom.getMessage)
   }
+
+  test("bucketFiles serves a marker-validated cached listing: a quiescent " +
+      "layout re-lists once; every maintenance rewrite (append, compact) is " +
+      "seen exactly — validator is the marker, not a TTL; fresh markers " +
+      "inside the mtime-granularity slack are never trusted") {
+    Bucketed.invalidate(spark, "bflist_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("bflist_lspec", slices(orders, "o_orderkey", 0 to 5),
+        "o_orderkey", srcTables = Seq("orders"))), buckets = 4)
+
+    // the slack guard distrusts a marker younger than 2 s; backdate it
+    // the way wall-clock quiescence would
+    def backdateMarker(): Unit =
+      Files.setLastModifiedTime(
+        Paths.get(localDir(t).getPath, "_GRAFT_COMPLETE"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+    backdateMarker()
+    val base = Bucketed.bucketFiles(spark, t)
+    val n0 = Bucketed.bucketListings
+    assert(Bucketed.bucketFiles(spark, t) == base)
+    assert(Bucketed.bucketListings == n0,
+      "second call on a quiescent layout walked the directory again")
+
+    // an append rewrites the marker: the very next call must see the
+    // appended files (exactness — a TTL cache would serve the old set)
+    Bucketed.appendOnce(spark, "bflist-6", Seq(t -> slice(orders, "o_orderkey", 6)))
+    backdateMarker()
+    val after = Bucketed.bucketFiles(spark, t)
+    assert(Bucketed.bucketListings > n0)
+    assert(after.valuesIterator.map(_.size).sum >
+      base.valuesIterator.map(_.size).sum,
+      "append's files missing from the served listing")
+
+    // compact certifies a NEW versioned dir: seen via the dir key
+    Bucketed.compact(spark, t)
+    backdateMarker()
+    val compacted = Bucketed.bucketFiles(spark, t)
+    assert(compacted.valuesIterator.forall(_.size == 1))
+
+    // a marker younger than the slack is re-listed on EVERY call — two
+    // maintenance windows closing within one mtime tick cannot alias
+    Files.setLastModifiedTime(
+      Paths.get(localDir(t).getPath, "_GRAFT_COMPLETE"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val n1 = Bucketed.bucketListings
+    Bucketed.bucketFiles(spark, t)
+    Bucketed.bucketFiles(spark, t)
+    assert(Bucketed.bucketListings >= n1 + 2,
+      "fresh-marker calls must re-list (mtime-granularity slack)")
+  }
 }
