@@ -3358,7 +3358,18 @@ object LlmOps extends QueryGroup {
     * index architectures reproducing the identical exact answer. Shortlist
     * ids/members are a bounded collect (≤50 reps — the probe-id class of
     * driver state); the index build is a bench `builds` line item via
-    * [[pqIndexArtifacts]]. */
+    * [[pqIndexArtifacts]].
+    *
+    * SIZING THE SHORTLIST (measured at 2 M × 64-dim, CROSSOVER.md r13):
+    * the shortlist is the recall knob and re-rank is the cheap stage —
+    * m=16/nprobe=16 recall@10 goes 0.949 → 0.997 (identical to the
+    * FLOAT IVF index at the same nprobe) when the shortlist grows
+    * 100 → 500, for ~0.02 s of extra point-fetch re-rank; ADC-only
+    * recall at 64 dims is coarse (0.45), so serving deployments should
+    * budget shortlist ≈ 30–50× k rather than trusting ADC order. PQ's
+    * win is resident bytes (8–16 B/vec vs 3–32 KB raw at production
+    * dims), not local CPU — the ADC stage costs more than the float
+    * kernel at 64 dims, and that trade is now measured, not assumed. */
   private val llmAnnIvfPqPersisted = GraftQuery(
     "llm_ann_ivfpq_persisted",
     (s, dir) => {
