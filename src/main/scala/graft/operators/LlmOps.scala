@@ -3046,23 +3046,28 @@ object LlmOps extends QueryGroup {
 
   /** The round-6 ADC cosine column over (codes, recon_norm2) attributes:
     * per subspace, the query's dot against each centroid precomputes
-    * DRIVER-side into an m×k lookup table, scoring is m `element_at`s per
-    * row, and the zero-reconstruction guard mirrors llm_embed_pq's. ONE
-    * definition shared by llm_ann_pq_adc / llm_ann_ivfpq /
-    * llm_ann_ivfpq_persisted so the persisted≡inline agreement PqSpec
-    * pins cannot drift; subspace width derives from q.length and
-    * books.size (never hardcoded). */
+    * DRIVER-side into an m×k lookup table, and scoring is ONE native
+    * `adc_dot` expression per row — a codegen'd table-lookup loop over
+    * the flattened m×k table (functions.AdcDot; r13 — the previous m
+    * chained `element_at(typedlit)` nodes cost ~4 µs/row at m=16 on the
+    * 2 M-vector probe, more than the float cosine they approximate, and
+    * per-row cost inside the probed cells is the term that scales with
+    * corpus size). Summation order is j-ascending, bit-identical to the
+    * old `reduce(_ + _)` composition (AdcDotSpec pins the parity), so
+    * the persisted≡inline agreement PqSpec pins cannot drift; the
+    * zero-reconstruction guard mirrors llm_embed_pq's; subspace width
+    * derives from q.length and books.size (never hardcoded). */
   private[graft] def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column = {
     val sub = q.length / books.size
-    val adcDot = books.zipWithIndex.map { case (book, j) =>
+    val kpq = books.head.size
+    require(books.forall(_.size == kpq),
+      s"adc_dot flattened table needs uniform codebook sizes, got ${books.map(_.size)}")
+    val flat = books.zipWithIndex.flatMap { case (book, j) =>
       val qj = q.slice(j * sub, (j + 1) * sub)
-      val t = book.sortBy(_._1).map { case (_, cv) =>
-        var d = 0.0; var i = 0
-        while (i < sub) { d += qj(i) * cv(i); i += 1 }
-        d
-      }
-      element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
-    }.reduce(_ + _)
+      adcTableRow(book, qj)
+    }
+    val adcDot = call_function("adc_dot",
+      col("codes"), typedlit(flat), lit(kpq))
     val qnorm = math.sqrt(q.map(x => x * x).sum)
     // all-zero query → score 0 for every row (the jvmCos convention), not
     // a NaN-ordered top-k
@@ -3070,6 +3075,17 @@ object LlmOps extends QueryGroup {
     else round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
       adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6)
   }
+
+  /** One subspace's ADC lookup row: ⟨query_j, centroid_jc⟩ for each of
+    * the codebook's centroids in code order — shared by [[adcCosCol]]
+    * and its parity spec so the table derivation cannot drift. */
+  private[graft] def adcTableRow(book: graft.etl.Pq.Codebook,
+      qj: Seq[Double]): Seq[Double] =
+    book.sortBy(_._1).map { case (_, cv) =>
+      var d = 0.0; var i = 0
+      while (i < qj.length) { d += qj(i) * cv(i); i += 1 }
+      d
+    }
 
   /** The trained quantizer models the inline ANN rows share: PQ codebooks
     * (m=8, k=16, 4 Lloyd rounds) and IVF coarse centroids (k=16, 2

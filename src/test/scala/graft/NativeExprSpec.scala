@@ -287,4 +287,60 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
         s"round6 diverges at ${vals(i)}: spark=${viaSpark(i)} kernel=${viaKernel(i)}")
     }
   }
+
+  test("adc_dot: bit-identical to the chained element_at(typedlit) ADC " +
+      "composition it replaces, on real PQ codes; null/short/out-of-range " +
+      "codes -> null; codes beyond m ignored; interpreted eval agrees") {
+    GraftFunctions.register(spark)
+    val models = graft.operators.LlmOps.pqModels(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val coded = graft.etl.Pq.encodeWithStats(vecs, models.dims, models.books)
+    val q = vecs.filter(col("vec_id") === 3).head.getSeq[Double](1)
+    val sub = models.dims / models.books.size
+    val tables = models.books.zipWithIndex.map { case (book, j) =>
+      graft.operators.LlmOps.adcTableRow(book, q.slice(j * sub, (j + 1) * sub))
+    }
+    // the r6–r12 composition, verbatim: m chained element_at over the
+    // per-subspace typedlit tables, left-fold sum
+    val composition = tables.zipWithIndex.map { case (t, j) =>
+      element_at(typedlit(t), element_at(col("codes"), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val kpq = models.books.head.size
+    val native = call_function("adc_dot",
+      col("codes"), typedlit(tables.flatten), lit(kpq))
+    val both = coded.select(native.as("fast"), composition.as("slow")).collect()
+    assert(both.length == 500)
+    both.foreach(r =>
+      assert(!r.isNullAt(0) && r.getDouble(0) == r.getDouble(1))) // exact
+
+    // null/edge contract (m=2, k=2 flattened table)
+    import spark.implicits._
+    val flat = typedlit(Seq(1.0, 2.0, 10.0, 20.0))
+    def adc(c: org.apache.spark.sql.Column) =
+      call_function("adc_dot", c, flat, lit(2))
+    val cases = Seq(
+      (Seq[java.lang.Long](0L, 1L), Option(21.0)),            // plain
+      (Seq[java.lang.Long](1L), None),                        // shorter than m
+      (Seq[java.lang.Long](0L, 5L), None),                    // out of range
+      (Seq[java.lang.Long](0L, null), None),                  // null element
+      (Seq[java.lang.Long](1L, 0L, 7L), Option(12.0)))        // beyond-m ignored
+    cases.foreach { case (codes, want) =>
+      val got = Seq(Tuple1(codes)).toDF("codes")
+        .select(adc(col("codes"))).head
+      assert(if (want.isEmpty) got.isNullAt(0)
+        else got.getDouble(0) == want.get, s"codes=$codes")
+    }
+    assert(Seq(Tuple1(null: Seq[java.lang.Long])).toDF("codes")
+      .select(adc(col("codes"))).head.isNullAt(0))
+
+    // interpreted eval (the non-codegen path) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val direct = graft.functions.AdcDot(
+      Literal.create(Seq(0L, 1L), ArrayType(LongType)),
+      Literal.create(Seq(1.0, 2.0, 10.0, 20.0), ArrayType(DoubleType)),
+      Literal(2))
+    assert(direct.eval(null) == 21.0)
+  }
 }
