@@ -199,6 +199,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got3.toSet == Set((20L, 12L)), s"post-reregister pairs: ${got3.toSeq}")
   }
 
+  test("MinHash probes on a quiescent index share ONE bucket-file listing " +
+      "(the marker-validated bucketFiles cache) — repeat probes pay a " +
+      "metadata stat, not a directory walk, and answer identically") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val P = (5, 64, 16, 4)
+    graft.layouts.Bucketed.invalidate(spark, "mhidx_servespec_")
+    val corpus = Seq((1L, textA), (3L, textB), (4L, textC)).toDF("id", "text")
+    val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
+      spark, "/root/testdata/sf0.001", corpus, "servespec",
+      P._1, P._2, P._3, P._4, Seq("region"))
+    // quiesce: the cache distrusts markers younger than its 2 s
+    // mtime-granularity slack — backdate them the way wall-clock would
+    Seq(bandsT, repsT).foreach { t =>
+      val d = new java.io.File(new java.net.URI(
+        spark.sql(s"DESC FORMATTED $t").filter(col("col_name") === "Location")
+          .head().getString(1)))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(d.getPath, "_GRAFT_COMPLETE"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+    }
+    val batch = Seq((10L, textA2)).toDF("id", "text")
+    def probeOnce(): Set[(Long, Long)] = graft.layouts.MinHashIndex.probe(
+      spark, bandsT, repsT, batch, P._1, P._2, P._3, P._4, threshold = 0.5)
+      ._1.select("brep", "crep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = probeOnce() // warms the listing cache for both tables
+    assert(first == Set((10L, 1L)), s"probe pairs: $first")
+    val n0 = graft.layouts.Bucketed.bucketListings
+    val second = probeOnce()
+    assert(second == first)
+    assert(graft.layouts.Bucketed.bucketListings == n0,
+      "second probe of a quiescent index re-walked the table directories")
+  }
+
   test("MinHashIndex append with a batchTag is EXACTLY-ONCE: a retried batch " +
       "is a no-op, and the stamp survives compaction") {
     import org.apache.spark.sql.functions._
