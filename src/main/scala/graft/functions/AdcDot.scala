@@ -14,13 +14,19 @@ import org.apache.spark.sql.types._
   * dots and `codes` a row's PQ code array.
   *
   * Why an expression and not the `element_at(typedlit)` composition it
-  * replaces: the composition paid per row for m chained element_at +
-  * cast + Add nodes (~4 µs/row measured at m=16 on the 2 M-vector
-  * probe, vs ~0.4 µs/row for the 64-dim float cosine kernel — the ADC
-  * stage cost MORE than the thing it approximates), and per-row cost
-  * inside the probed cells is exactly the term that scales with corpus
-  * size at 100 TB (cell size = N/nlist). One expression node makes the
-  * scoring a tight table-lookup loop inside whole-stage codegen.
+  * replaces (both measured at 2 M rows, m=16 — tools.AdcAb,
+  * CROSSOVER.md r13): under a bare aggregate the composition holds
+  * whole-stage codegen and the win is modest (0.28 → 0.24 µs/row,
+  * 1.16×), but the m-chained node tree sits near the codegen-collapse
+  * threshold — composed under even ONE more expression
+  * (xxhash64(score) in the A/B) it degrades to 3.1 µs/row while this
+  * kernel stays at ~0.25 (**13.5×**). At 100 TB the scoring column is
+  * routinely composed further (rounding, re-rank structs, windows), so
+  * the kernel's context-STABILITY is the real win; secondarily, every
+  * ANN probe plans fresh literals, and one node replaces ~3·m
+  * element_at/cast/Add nodes in analysis/optimization/codegen of every
+  * probe plan (20–34 % lower single-query ADC latency across the
+  * m × nprobe grid).
   *
   * BIT-EXACT parity contract with the composition (AdcDotSpec): the
   * sum runs j ascending — the same left-fold order as the

@@ -207,11 +207,13 @@ object Bucketed {
     * it entering the window and re-touches it leaving; compact certifies
     * a NEW versioned sibling, so the dir itself changes; the torn-append
     * restore re-touches), so an unchanged (dir, marker mtime) pins the
-    * listed file set — in-JVM and cross-process alike. Entries whose
-    * marker mtime is within [[MtimeSlackMs]] of now are re-listed
-    * rather than reused: filesystem mtime granularity (1 s on some
-    * stores) could alias two maintenance windows closing in the same
-    * tick. Uncertified dirs (no marker) are never cached. */
+    * listed file set — in-JVM and cross-process alike. A marker mtime
+    * within [[MtimeSlackMs]] of now is not trusted in EITHER direction
+    * — not served from and not stored: filesystem mtime granularity
+    * (1 s on some stores) could alias two maintenance windows closing
+    * in the same tick, and a stored fresh-mtime listing would be
+    * served wrongly forever after. Uncertified dirs (no marker) are
+    * never cached. */
   private val listedBuckets =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Map[Int, Seq[String]])]()
   private val MtimeSlackMs = 2000L
@@ -235,8 +237,16 @@ object Bucketed {
       try LayoutFs.mtime(marker, c)
       catch { case _: java.io.FileNotFoundException => -1L }
     val key = dir.toString
-    if (markerMtime >= 0 &&
-        System.currentTimeMillis() - markerMtime > MtimeSlackMs) {
+    // a marker mtime is TRUSTED only once it is older than the slack —
+    // on BOTH the read and the store side (r13 review: storing a
+    // fresh-mtime listing would let a second maintenance window closing
+    // in the same mtime tick alias it — the very staleness the slack
+    // exists to exclude — so inside the slack we neither serve nor
+    // cache). Future mtimes (store clock ahead of ours) are equally
+    // untrusted.
+    val trusted = markerMtime >= 0 &&
+      System.currentTimeMillis() - markerMtime > MtimeSlackMs
+    if (trusted) {
       val hit = listedBuckets.get(qname)
       if (hit != null && hit._1 == key && hit._2 == markerMtime) return hit._3
     }
@@ -244,7 +254,7 @@ object Bucketed {
       .flatMap(st => bucketIdOf(st.getPath.getName).map(_ -> st.getPath.toString))
       .groupMap(_._1)(_._2)
     bucketListings += 1
-    if (markerMtime >= 0) listedBuckets.put(qname, (key, markerMtime, listing))
+    if (trusted) listedBuckets.put(qname, (key, markerMtime, listing))
     else listedBuckets.remove(qname)
     listing
   }
@@ -612,9 +622,11 @@ object Bucketed {
     * check and the delete lose its LIVE lease for up to one heartbeat
     * gap). Rename is atomic on local/HDFS, so exactly one party ever
     * holds the file: we rename it aside, inspect the content at leisure,
-    * delete it if ours (or torn/unreadable — only a genuine acquisition
-    * writes a complete lease line), and rename it BACK if a successor's
-    * takeover content is inside. A failed rename-back is healed by the
+    * delete it if ours or torn (only a genuine acquisition writes a
+    * complete lease line), and rename it BACK if a successor's takeover
+    * content is inside — or if the read FAILED, since an unreadable
+    * tombstone may hold exactly that takeover (r13 review: unreadable
+    * must err toward restore, never delete). A failed rename-back is healed by the
     * successor's own heartbeat (writeString recreates the lease whole);
     * the uniquely-named tombstone is inert either way (nothing resolves
     * it as a lease). On a store without atomic rename this degrades to
@@ -628,20 +640,30 @@ object Bucketed {
     if (got) {
       val content = try Some(LayoutFs.readString(tomb, c))
         catch { case _: java.io.IOException => None }
-      val foreign = content.exists(ct => ct.contains("staleMs=") && ct != owner)
+      // UNREADABLE (None) counts as foreign: a transient store read
+      // error on a successor's live takeover must RESTORE, not delete —
+      // deleting would reopen the exclusion window until their next
+      // heartbeat (r13 review; the r12 form lumped unreadable with
+      // torn-write residue and deleted). Genuinely torn residue (read
+      // succeeds, no complete lease line) still deletes.
+      val foreign = content.forall(ct => ct.contains("staleMs=") && ct != owner)
       if (!foreign) LayoutFs.delete(tomb, c)
       else {
-        // we renamed away a successor's live takeover: restore it
+        // we renamed away a successor's live takeover (or could not
+        // prove otherwise): restore it
         val restored = try LayoutFs.fs(tomb, c).rename(tomb, lease)
           catch { case _: java.io.IOException => false }
         if (!restored) {
           // a heartbeat of theirs already recreated the lease whole (or
           // the rename-back hit a transient store error — then best-
-          // effort rewrite the content before discarding the tombstone)
+          // effort rewrite the content before discarding the tombstone;
+          // unreadable content has nothing to rewrite and leaves the
+          // inert tombstone for their heartbeat to supersede)
           if (!LayoutFs.exists(lease, c))
-            try LayoutFs.writeString(lease, content.get, c)
-            catch { case _: java.io.IOException => () }
-          LayoutFs.delete(tomb, c)
+            content.foreach(ct =>
+              try LayoutFs.writeString(lease, ct, c)
+              catch { case _: java.io.IOException => () })
+          if (content.isDefined) LayoutFs.delete(tomb, c)
         }
       }
     }

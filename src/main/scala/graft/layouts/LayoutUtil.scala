@@ -101,14 +101,31 @@ object LayoutUtil {
   // Served relations: one file listing per (session, artifact path)
   // ---------------------------------------------------------------------
 
-  /** Served-relation cache: sessions are WEAK keys (a stopped session's
-    * relations become collectable), the per-session map is keyed by
-    * artifact path. The cached value is the DataFrame whose
+  /** Served-relation cache: sessions are WEAK keys, the per-session map
+    * is keyed by artifact path. The cached value is the DataFrame whose
     * LogicalRelation holds the eagerly-built InMemoryFileIndex — every
-    * query derived from it reuses that listing. */
+    * query derived from it reuses that listing.
+    *
+    * Values are SOFT references (r13 review): a DataFrame strongly
+    * references its SparkSession, so a strong value would reach the
+    * WeakHashMap KEY through the map — the value-refers-key pattern
+    * that makes weak keys permanently uncollectable — and a
+    * per-request/per-tenant `newSession()` deployment would pin every
+    * session plus its file listings until OOM. Soft referents survive
+    * while the heap is comfortable (the cache works) and are cleared
+    * under memory pressure BEFORE an OOM (a cleared entry just
+    * re-lists), which also unpins the session key. */
   private val served = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+      scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]())
+
+  /** Bumped by every [[evictServed]]; [[servedRelation]] re-checks it
+    * after building a listing so a serve() that began reading a path
+    * BEFORE an eviction (e.g. a rebuild finishing mid-read) can never
+    * insert its pre-eviction listing AFTER the eviction ran (r13
+    * review — the stale entry would otherwise serve for the rest of
+    * the session with no further eviction trigger). */
+  private val evictionEpoch = new java.util.concurrent.atomic.AtomicLong()
 
   /** The relation at `path` with its FILE LISTING CACHED for the life of
     * the session (r12 verdict item 6): a fresh `spark.read.parquet` per
@@ -128,17 +145,41 @@ object LayoutUtil {
     val bySession = served.synchronized {
       var m = served.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
         served.put(s, m)
       }
       m
     }
-    bySession.getOrElseUpdate(path, s.read.parquet(path))
+    while (true) {
+      bySession.get(path).flatMap(r => Option(r.get)) match {
+        case Some(df) => return df
+        case None =>
+          val epoch = evictionEpoch.get()
+          val df = s.read.parquet(path)
+          // insert only if no eviction ran while we were listing —
+          // else loop and re-list against the post-eviction state
+          if (evictionEpoch.get() == epoch) {
+            val ref = new java.lang.ref.SoftReference(df)
+            bySession.putIfAbsent(path, ref)
+              .flatMap(r => Option(r.get)) match {
+              case Some(winner) => return winner // a concurrent serve won
+              case None => // absent, or present-but-cleared: ours serves
+                bySession.put(path, ref)
+                return df
+            }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop every session's cached relation for `path` — the rebuild /
-    * in-place-mutation complement of [[servedRelation]]. */
+    * in-place-mutation complement of [[servedRelation]]. Bumps the
+    * eviction epoch FIRST so an in-flight serve() listing cannot
+    * re-insert a pre-eviction relation. */
   def evictServed(path: String): Unit = served.synchronized {
+    evictionEpoch.incrementAndGet()
     served.values.forEach(m => { m.remove(path); () })
   }
 }

@@ -3048,11 +3048,11 @@ object LlmOps extends QueryGroup {
     * per subspace, the query's dot against each centroid precomputes
     * DRIVER-side into an m×k lookup table, and scoring is ONE native
     * `adc_dot` expression per row — a codegen'd table-lookup loop over
-    * the flattened m×k table (functions.AdcDot; r13 — the previous m
-    * chained `element_at(typedlit)` nodes cost ~4 µs/row at m=16 on the
-    * 2 M-vector probe, more than the float cosine they approximate, and
-    * per-row cost inside the probed cells is the term that scales with
-    * corpus size). Summation order is j-ascending, bit-identical to the
+    * the flattened m×k table (functions.AdcDot; r13 — 1.16× per row
+    * over the previous m-chained `element_at(typedlit)` nodes and ~3·m
+    * fewer plan nodes in every freshly-planned probe query, where the
+    * per-query ADC latency gap actually lived; tools.AdcAb carries the
+    * 2 M-row numbers). Summation order is j-ascending, bit-identical to the
     * old `reduce(_ + _)` composition (AdcDotSpec pins the parity), so
     * the persisted≡inline agreement PqSpec pins cannot drift; the
     * zero-reconstruction guard mirrors llm_embed_pq's; subspace width

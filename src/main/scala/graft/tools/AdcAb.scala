@@ -44,18 +44,25 @@ object AdcAb {
     val native = call_function("adc_dot",
       col("codes"), typedlit(flat), lit(k))
 
-    def timedSum(c: org.apache.spark.sql.Column): (Double, Double) = {
+    // parity fingerprint: bit_xor of per-row xxhash64 of the score — an
+    // ORDER-INSENSITIVE exact multiset fingerprint. (A plain global
+    // double sum is NOT a sound cross-plan check: partial sums merge in
+    // shuffle-fetch arrival order, so two independently executed jobs
+    // can legitimately differ in the last ulp even with bit-identical
+    // per-row values — which is the property under test and the one
+    // AdcDotSpec pins row-level.)
+    def timedFp(c: org.apache.spark.sql.Column): (Long, Double) = {
       val t0 = System.nanoTime()
-      val s = codes.agg(sum(c)).head.getDouble(0)
-      (s, (System.nanoTime() - t0) / 1e9)
+      val fp = codes.agg(bit_xor(xxhash64(c))).head.getLong(0)
+      (fp, (System.nanoTime() - t0) / 1e9)
     }
     // warm both plans once (page cache + codegen), then alternate
-    timedSum(composition); timedSum(native)
+    timedFp(composition); timedFp(native)
     val results = (1 to reps).map { r =>
-      val (sOld, tOld) = timedSum(composition)
-      val (sNew, tNew) = timedSum(native)
+      val (sOld, tOld) = timedFp(composition)
+      val (sNew, tNew) = timedFp(native)
       require(sOld == sNew,
-        s"parity violated at 2M rows: composition=$sOld native=$sNew")
+        s"parity violated at 2M rows: composition fp=$sOld native fp=$sNew")
       println(f"PROBE adc_ab rep=$r composition_s=$tOld%.3f native_s=$tNew%.3f " +
         f"composition_us_per_row=${tOld * 1e6 / n}%.3f " +
         f"native_us_per_row=${tNew * 1e6 / n}%.3f parity=ok")
