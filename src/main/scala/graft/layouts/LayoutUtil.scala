@@ -124,8 +124,18 @@ object LayoutUtil {
     * BEFORE an eviction (e.g. a rebuild finishing mid-read) can never
     * insert its pre-eviction listing AFTER the eviction ran (r13
     * review — the stale entry would otherwise serve for the rest of
-    * the session with no further eviction trigger). */
+    * the session with no further eviction trigger). Mutated ONLY under
+    * `served.synchronized` (r13 verdict item 1: a bare AtomicLong
+    * re-check left a few-instruction check-then-act window in which an
+    * eviction could land between the comparison and the insert — the
+    * re-check and the insert must be one atomic step against
+    * [[evictServed]], which bumps and sweeps under that same monitor). */
   private val evictionEpoch = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Test seam: runs after a serve() builds its listing and BEFORE the
+    * atomic epoch-recheck+insert — lets a spec park a serve() in exactly
+    * the window the r13 verdict flagged and fire an eviction into it. */
+  private[graft] var postListHook: () => Unit = () => ()
 
   /** The relation at `path` with its FILE LISTING CACHED for the life of
     * the session (r12 verdict item 6): a fresh `spark.read.parquet` per
@@ -156,18 +166,26 @@ object LayoutUtil {
         case Some(df) => return df
         case None =>
           val epoch = evictionEpoch.get()
-          val df = s.read.parquet(path)
-          // insert only if no eviction ran while we were listing —
-          // else loop and re-list against the post-eviction state
-          if (evictionEpoch.get() == epoch) {
-            val ref = new java.lang.ref.SoftReference(df)
-            bySession.putIfAbsent(path, ref)
-              .flatMap(r => Option(r.get)) match {
-              case Some(winner) => return winner // a concurrent serve won
+          val df = s.read.parquet(path) // the slow listing — OUTSIDE the lock
+          postListHook()
+          // epoch re-check + insert as ONE atomic step against
+          // evictServed, which bumps the epoch and sweeps the maps under
+          // this same monitor (r13 verdict item 1: re-checking on the
+          // bare atomic and inserting afterwards left a window in which
+          // an eviction landed between the two and the pre-eviction
+          // listing still served stale for the rest of the session)
+          val installed = served.synchronized {
+            if (evictionEpoch.get() != epoch) None // raced: loop, re-list
+            else bySession.get(path).flatMap(r => Option(r.get)) match {
+              case Some(winner) => Some(winner) // a concurrent serve won
               case None => // absent, or present-but-cleared: ours serves
-                bySession.put(path, ref)
-                return df
+                bySession.put(path, new java.lang.ref.SoftReference(df))
+                Some(df)
             }
+          }
+          installed match {
+            case Some(d) => return d
+            case None => // eviction raced the listing build: re-list
           }
       }
     }

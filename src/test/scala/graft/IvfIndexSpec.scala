@@ -110,6 +110,40 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       "evictServed left the stale relation cached")
   }
 
+  test("a serve() parked between its listing and its insert cannot install " +
+      "a pre-eviction relation after evictServed runs (r13 verdict item 1: " +
+      "the epoch re-check and the insert are one atomic step)") {
+    val s = spark.newSession()
+    import s.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_served_race_")
+      .toString + "/data"
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    try {
+      Seq(1).toDF("x").write.parquet(p)
+      // the hook fires in EXACTLY the flagged window — after the listing
+      // build, before the atomic re-check+insert. First pass: mutate the
+      // path and evict, so the just-built listing is pre-eviction stale.
+      graft.layouts.LayoutUtil.postListHook = () =>
+        if (hits.incrementAndGet() == 1) {
+          Seq(1, 2).toDF("x").write.mode("overwrite").parquet(p)
+          graft.layouts.LayoutUtil.evictServed(p)
+        }
+      val df = graft.layouts.LayoutUtil.servedRelation(s, p)
+      // the serve must have looped and re-listed: a pre-eviction install
+      // would reference the overwritten (deleted) files
+      assert(hits.get() == 2,
+        s"serve() built ${hits.get()} listing(s) — expected the eviction " +
+          "to force exactly one re-list")
+      assert(df.count() == 2,
+        "serve() installed the pre-eviction listing — stale relation served")
+      // and the post-eviction relation is what stays cached
+      assert(graft.layouts.LayoutUtil.servedRelation(s, p) eq df)
+    } finally {
+      graft.layouts.LayoutUtil.postListHook = () => ()
+      graft.layouts.LayoutUtil.evictServed(p)
+    }
+  }
+
   test("batched kNN join over the persisted index: probes broadcast onto " +
       "the partitioned layout (no BNLJ, no index-side exchange before the " +
       "join), answers exactly the inline-index form") {
