@@ -588,7 +588,14 @@ object Bench {
     // compact parseable headline line LAST
     println(fullJson)
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      // the tracked repo record is the sf0.1 run; any other scale factor
+      // (crossover/sf-sweep sessions) mirrors to its own suffixed file so
+      // a sweep can never clobber the sf0.1 record (r13 verdict item 4:
+      // two r13 commits were spent restoring it after sweep runs)
+      val base = new java.io.File(sfDir).getName
+      val mirror =
+        if (base == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL.$base.json"
+      val w = new java.io.PrintWriter(mirror, "UTF-8")
       try { w.println(fullJson); w.println(headlineLine) } finally w.close()
     } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has both lines
     println(headlineLine)

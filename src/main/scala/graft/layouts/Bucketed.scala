@@ -208,7 +208,7 @@ object Bucketed {
     * a NEW versioned sibling, so the dir itself changes; the torn-append
     * restore re-touches), so an unchanged (dir, marker mtime) pins the
     * listed file set — in-JVM and cross-process alike. A marker mtime
-    * within [[MtimeSlackMs]] of now is not trusted in EITHER direction
+    * within [[mtimeSlackMs]] of now is not trusted in EITHER direction
     * — not served from and not stored: filesystem mtime granularity
     * (1 s on some stores) could alias two maintenance windows closing
     * in the same tick, and a stored fresh-mtime listing would be
@@ -216,7 +216,24 @@ object Bucketed {
     * never cached. */
   private val listedBuckets =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Map[Int, Seq[String]])]()
-  private val MtimeSlackMs = 2000L
+
+  /** Freshness slack for trusting a marker mtime. The comparison is
+    * store-written mtime vs LOCAL clock, so the slack must absorb
+    * store↔client clock skew, not just mtime granularity (r13 ADVICE: a
+    * store clock lagging the client by more than the slack makes a
+    * just-rewritten marker look old enough to trust, reintroducing the
+    * same-tick aliasing). Local `file:` paths share the clock, so 2 s
+    * covers granularity alone; remote stores (HDFS NameNode, object
+    * stores) default to 30 s — NTP-disciplined fleets sit well inside
+    * it, and a cache miss costs one directory listing, so the default
+    * errs toward re-listing. `spark.graft.layout.mtimeSlackMs`
+    * overrides both for deployments that know their skew bound. */
+  private def mtimeSlackMs(s: SparkSession, dir: Path): Long =
+    s.conf.getOption("spark.graft.layout.mtimeSlackMs").map(_.toLong).getOrElse {
+      val scheme = try LayoutFs.fs(dir, hconf(s)).getScheme
+        catch { case _: Exception => "file" }
+      if (scheme == "file") 2000L else 30000L
+    }
 
   /** Data files of a registered bucketed layout, grouped by bucket id.
     * The probe-side FILE PRUNING primitive: a caller whose key set is
@@ -245,7 +262,7 @@ object Bucketed {
     // cache). Future mtimes (store clock ahead of ours) are equally
     // untrusted.
     val trusted = markerMtime >= 0 &&
-      System.currentTimeMillis() - markerMtime > MtimeSlackMs
+      System.currentTimeMillis() - markerMtime > mtimeSlackMs(s, dir)
     if (trusted) {
       val hit = listedBuckets.get(qname)
       if (hit != null && hit._1 == key && hit._2 == markerMtime) return hit._3
@@ -638,8 +655,21 @@ object Bucketed {
     val got = try LayoutFs.fs(lease, c).rename(lease, tomb)
       catch { case _: java.io.IOException => false }
     if (got) {
-      val content = try Some(LayoutFs.readString(tomb, c))
-        catch { case _: java.io.IOException => None }
+      // bounded retry on the tombstone read (r13 ADVICE, low): an
+      // UNREADABLE tombstone is classified foreign and restored, so a
+      // TRANSIENT read error during a holder's OWN release would rename
+      // its stale lease back into place — a zombie no heartbeat backs
+      // that refuses every maintainer for up to leaseStaleMs. Three
+      // short-backoff attempts clear transient store errors; a read
+      // that still fails keeps the safe direction (restore).
+      var content: Option[String] = None
+      var attempt = 0
+      while (content.isEmpty && attempt < 3) {
+        if (attempt > 0) Thread.sleep(25L * attempt)
+        content = try Some(LayoutFs.readString(tomb, c))
+          catch { case _: java.io.IOException => None }
+        attempt += 1
+      }
       // UNREADABLE (None) counts as foreign: a transient store read
       // error on a successor's live takeover must RESTORE, not delete —
       // deleting would reopen the exclusion window until their next

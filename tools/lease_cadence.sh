@@ -59,7 +59,10 @@ echo "$CHK" | grep -q '"certified":true' || fail "family not certified"
 for p in a b; do
   mp "$OUT/cad_$p.log" | grep '"mode":"cadence"' \
     | sed 's/.*"append_ms":\([0-9]*\).*/\1/' > "$OUT/lat_$p.txt"
-  python3 - "$p" "$OUT/lat_$p.txt" <<'EOF' || exit 1
+  # no `|| exit` here: the $?-guard below must run so a failed flatness
+  # check prints the FAIL message with the log pointer (r13 ADVICE: the
+  # inline exit made that guard dead code)
+  python3 - "$p" "$OUT/lat_$p.txt" <<'EOF'
 import statistics, sys
 p, f = sys.argv[1], sys.argv[2]
 xs = [int(l) for l in open(f) if l.strip()]
