@@ -88,7 +88,7 @@ object Bench {
     else df.hint("shuffle_hash")
 
   /** q1: TPC-H Q1 shape, plain double multi-agg. */
-  private def q1(s: SparkSession, dir: String): DataFrame =
+  private[graft] def q1(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast(TimestampNTZType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -244,7 +244,7 @@ object Bench {
   }
 
   /** grouping_sets: status×priority subtotals. */
-  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_bench")
     s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) n, SUM(o_totalprice) sum_price
              FROM orders_bench

@@ -280,6 +280,12 @@ object Bucketed {
     * cache — specs assert hit/miss behavior through it). */
   @volatile private[graft] var bucketListings: Long = 0L
 
+  /** Rebuild counter (observability for the ensure-vs-ensure build race:
+    * across N processes racing the INITIAL ensure() of one family, the
+    * per-process counts must sum to exactly 1 — one builder, every loser
+    * re-registers the winner's certified build). */
+  @volatile private[graft] var rebuilds: Long = 0L
+
   /** Directory backing a registered layout table (where its completion
     * marker, stamps, manifest, and lease live) — a scheme-qualified
     * Hadoop Path, so maintenance works wherever the catalog points. */
@@ -571,28 +577,47 @@ object Bucketed {
             // heartbeat freezes the mtime and a live multi-minute
             // maintainer gets "stale"-broken mid-window)
             try {
-              if (!released.get && !foreignLease(l, owner, c)) {
-                // refresh unless a FOREIGN holder's content is present
-                // (a breaker judged us stale and a new holder acquired
-                // — overwriting would steal their lease). Missing,
-                // unreadable, or torn content — including the residue
-                // of our OWN failed truncating write — is ours to
-                // restore; only a genuine takeover carries another
-                // owner's parseable lease line (r12 review, third
-                // pass: the previous equality test read our own
-                // truncated write as foreign and stopped forever).
-                LayoutFs.writeString(l, owner, c)
+              if (!released.get) {
+                // CONDITIONAL refresh (r13 verdict item 3): the write
+                // lands only on the inode whose content is still OURS —
+                // a wedged write can no longer clobber a successor's
+                // fresh lease, because a takeover either rewrote the
+                // content (the compare fails) or re-created the file at
+                // the path (the locked channel's write lands on the
+                // renamed-away/deleted inode, invisible). On stores
+                // without a conditional write the seam degrades to
+                // compare-then-write — the old one-heartbeat-gap window
+                // NARROWS to the compare→write gap there; the marker
+                // protocol keeps torn state unservable regardless.
+                if (!LayoutFs.replaceIfContent(l, owner, owner, c)) {
+                  // not refreshed: a foreign takeover (leave it alone),
+                  // or the lease is missing / carries torn residue of
+                  // our own failed write — ours to restore, through
+                  // primitives that cannot steal a successor's lease:
+                  // create-EXCLUSIVE for a missing file (an acquiring
+                  // successor atomically wins or we re-assert), and a
+                  // conditional replace FROM the torn residue (a
+                  // successor writing in between fails the compare).
+                  if (!foreignLease(l, owner, c)) {
+                    if (!LayoutFs.exists(l, c)) {
+                      LayoutFs.createExclusive(l, owner, c); ()
+                    } else {
+                      val cur = try Some(LayoutFs.readString(l, c))
+                        catch { case _: java.io.IOException => None }
+                      cur.foreach { ct =>
+                        if (!(ct.contains("staleMs=") && ct != owner)) {
+                          LayoutFs.replaceIfContent(l, ct, owner, c); ()
+                        }
+                      }
+                    }
+                  }
+                }
                 if (released.get) {
                   // raced the release: undo OUR write only — a newer
                   // holder's lease written since must survive, which is
                   // exactly deleteIfOurs's atomic rename-aside contract
                   // (r12 ADVICE: the old read-compare-delete could strip
-                  // a successor that landed between the two calls). A
-                  // write wedged across both the release AND a
-                  // successor's acquisition can still clobber the
-                  // successor for one heartbeat gap — narrowed here,
-                  // closed only by a conditional store write; the marker
-                  // protocol keeps torn state unservable regardless.
+                  // a successor that landed between the two calls).
                   deleteIfOurs(l, owner, c)
                 }
               }
@@ -1303,6 +1328,7 @@ object Bucketed {
         // no certified version anywhere: either first build or a
         // crashed/partial one — wipe every stale candidate (base dir
         // AND orphaned compact versions) or the write fails
+        rebuilds += 1
         val tdir = new Path(locPath, sp.name)
         candidateDirs(s, locPath, sp.name)
           .foreach { case (_, p) => LayoutFs.deleteDir(p, c) }

@@ -87,6 +87,85 @@ object LayoutFs {
       }
   }
 
+  /** Replace the content of `p` with `next` ONLY IF its current content
+    * equals `expected` — the conditional-write primitive the lease
+    * heartbeat refreshes through (r13 verdict item 3: a heartbeat write
+    * wedged across both the release AND a successor's acquisition could
+    * clobber the successor's fresh lease for one heartbeat gap, because
+    * `writeString` is a PATH-addressed truncating create that lands on
+    * whatever file exists at write time). Returns true iff the
+    * replacement happened; false on mismatch, missing file, contention,
+    * or store error — the caller decides whether to heal (and through
+    * WHICH primitive: [[createExclusive]] for a missing file, another
+    * conditional replace for torn residue — never a blind write).
+    *
+    * ATOMICITY BY STORE:
+    *  - local `file:` paths: read-compare-write on ONE open FileChannel
+    *    under an OS advisory lock, so the write lands on the INODE that
+    *    was inspected. A breaker's rename moves that inode aside and a
+    *    successor's [[createExclusive]] makes a NEW file at the path —
+    *    a wedged conditional write then lands on the renamed-away or
+    *    deleted inode, invisible to everyone, never on the successor's
+    *    lease. This CLOSES the wedged-heartbeat window on local stores
+    *    (and HDFS-like rename semantics would get the same property
+    *    from a connector-level conditional write).
+    *  - remote schemes: degrades to read-compare-`writeString` — the
+    *    Hadoop FileSystem API has no portable compare-and-swap, so the
+    *    window NARROWS to the compare→write gap instead of closing;
+    *    stores with a conditional PUT (If-Match) would close it at the
+    *    connector. Either way the marker protocol keeps torn state
+    *    unservable. Both profiles are mock-FS contract-tested in
+    *    LayoutFsSpec like [[createExclusive]]. */
+  def replaceIfContent(p: Path, expected: String, next: String,
+      conf: Configuration): Boolean = {
+    val filesystem = fs(p, conf)
+    val isLocal = (try filesystem.getScheme == "file"
+      catch { case _: UnsupportedOperationException => false })
+    if (isLocal) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        val ch = java.nio.channels.FileChannel.open(local,
+          java.nio.file.StandardOpenOption.READ,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          // non-blocking: a heartbeat that loses the lock just skips
+          // this tick; OverlappingFileLockException = same-JVM holder
+          val lock = try ch.tryLock()
+            catch { case _: java.nio.channels.OverlappingFileLockException => null }
+          if (lock == null) false
+          else try {
+            val size = ch.size()
+            if (size > (1L << 20)) false // leases are metadata-scale
+            else {
+              val buf = java.nio.ByteBuffer.allocate(size.toInt)
+              while (buf.hasRemaining && ch.read(buf) >= 0) {}
+              val cur = new String(buf.array(), 0, buf.position(), "UTF-8")
+              if (cur != expected) false
+              else {
+                // Hadoop's local FS is checksummed: an inode-addressed
+                // NIO write would leave a stale .crc sidecar that fails
+                // every later Hadoop read of the lease. Drop the sidecar
+                // first — a checksum-less file reads fine.
+                java.nio.file.Files.deleteIfExists(
+                  local.resolveSibling("." + local.getFileName + ".crc"))
+                val out = java.nio.ByteBuffer.wrap(next.getBytes("UTF-8"))
+                ch.truncate(0)
+                ch.position(0)
+                while (out.hasRemaining) ch.write(out)
+                ch.force(false) // write + force refresh the mtime heartbeat readers judge by
+                true
+              }
+            }
+          } finally lock.release()
+        } finally ch.close()
+      } catch { case _: java.io.IOException => false }
+    } else
+      try {
+        if (readString(p, conf) != expected) false
+        else { writeString(p, next, conf); true }
+      } catch { case _: java.io.IOException => false }
+  }
+
   /** Delete one file (quiet: a missing path is not an error). */
   def delete(p: Path, conf: Configuration): Unit =
     try { fs(p, conf).delete(p, false); () } catch { case _: java.io.IOException => () }

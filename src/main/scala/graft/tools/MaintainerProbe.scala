@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * independent JVMs) and asserts on the MPROBE result lines:
   *
   *  - `prepare`   — build + certify the shared layout once;
+  *  - `build GO`  — park on the go-file barrier, then race the INITIAL
+  *    ensure() of the family (no prepare — fresh warehouse): exactly one
+  *    process may rebuild (`built` counters sum to 1 across the pair),
+  *    the lease loser parks and re-registers the certified build;
   *  - `race TAG`  — park on a go-file barrier, then `appendOnce(TAG)`:
   *    across two racing JVMs exactly ONE must apply; the loser either
   *    refuses loudly (lease held — message names the holder's pid) or
@@ -111,6 +115,32 @@ object MaintainerProbe {
           catch { case e: IllegalStateException => (false, Some(e.getMessage)) }
         out("mode" -> jstr("race"), "pid" -> pid.toString, "tag" -> jstr(tag),
           "ran" -> ran.toString, "refused" -> refusal.isDefined.toString,
+          "refusal" -> jstr(refusal.getOrElse("")))
+
+      case "build" =>
+        // ensure-vs-ensure: two fresh JVMs race the INITIAL build of the
+        // same (uncertified, empty-warehouse) family — the one lifecycle
+        // transition the four-phase matrix left same-JVM-only (r13
+        // verdict item 6). Park on the go-file so both sessions are
+        // booted before the race; with MPROBE_WAIT_MS the lease loser
+        // parks behind the builder and must then RE-REGISTER the
+        // winner's certified build (the under-lease re-resolve), never
+        // rebuild over it. `built` is this process's rebuild count —
+        // the orchestrator asserts the two logs sum to exactly 1.
+        val goFile = new java.io.File(args(3))
+        val deadline = System.currentTimeMillis() + 30000
+        while (!goFile.exists() && System.currentTimeMillis() < deadline)
+          Thread.sleep(2)
+        val t0 = System.currentTimeMillis()
+        val (table, refusal) =
+          try (Some(ensure(s, sfDir)), None)
+          catch { case e: IllegalStateException => (None, Some(e.getMessage)) }
+        out("mode" -> jstr("build"), "pid" -> pid.toString,
+          "built" -> Bucketed.rebuilds.toString,
+          "ok" -> table.isDefined.toString,
+          "refused" -> refusal.isDefined.toString,
+          "elapsed_ms" -> (System.currentTimeMillis() - t0).toString,
+          "rows" -> table.map(t => s.table(t).count()).getOrElse(-1L).toString,
           "refusal" -> jstr(refusal.getOrElse("")))
 
       case "hold" =>

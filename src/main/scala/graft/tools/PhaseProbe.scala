@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Decompose the sf0.1 per-query "planning floor" into MEASURED phases
+  * (r13 verdict item 5: thirteen rounds attributed the ~3× same-scale gap
+  * to "Catalyst planning/codegen" as a hypothesis; this pins the
+  * composition as numbers). For each of three headline shapes, under the
+  * EXACT bench session config and protocol (fresh DataFrame per timed
+  * run, min-of-5 after 2 warmups):
+  *
+  *   total    — fresh build + .count(): the bench number
+  *   analysis / optimization / planning — the Catalyst pipeline phases,
+  *              from the query's own QueryPlanningTracker (min over 5
+  *              fresh builds; each build re-runs the whole pipeline
+  *              because the literals/plan are new objects)
+  *   exec     — re-running ONE prepared physical plan as an RDD job:
+  *              scheduling + execution, no driver pipeline
+  *   residual — total − (tracked phases + exec): count()'s own wrapper
+  *              planning, codegen-cache lookup, RDD materialization
+  *
+  * plus the top optimizer/analyzer rules by accumulated time across the
+  * 5 builds — the candidates an exclusion experiment would target.
+  *
+  * A second pass re-times `total` with candidate planning-cost configs
+  * (constraint propagation off) so "actionable or not" is itself a
+  * measurement. Usage: runMain graft.tools.PhaseProbe [sfDir]. */
+object PhaseProbe {
+
+  private def minOf(k: Int)(f: => Unit): Double =
+    (1 to k).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private def session(cpus: String, shufflePartitions: Int,
+      constraintProp: Boolean): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024 * 1024).toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", constraintProp.toString)
+      .getOrCreate()
+    b.sparkContext.setLogLevel("WARN")
+    b
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val dataBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.map(_.length).sum).getOrElse(0L)
+    val shufflePartitions =
+      math.max(4, math.min(cpus.toInt, (dataBytes / (32L << 20)).toInt))
+
+    val shapes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q1_pricing_summary" -> (graft.Bench.q1 _),
+      "q3_join3_topk"      -> (graft.Bench.q3 _),
+      "grouping_sets"      -> (graft.Bench.groupingSets _))
+
+    for (constraintProp <- Seq(true, false)) {
+      val s = session(cpus, shufflePartitions, constraintProp)
+      println(s"PHASE config constraintPropagation=$constraintProp " +
+        s"shuffle_partitions=$shufflePartitions cpus=$cpus")
+      for ((name, fn) <- shapes) {
+        fn(s, sfDir).count(); fn(s, sfDir).count() // bench warmup protocol
+        val total = minOf(5)(fn(s, sfDir).count())
+        // phase decomposition over 5 FRESH builds: each re-runs the whole
+        // Catalyst pipeline (new plan objects), tracker read per build
+        var phaseMin = Map.empty[String, Double]
+        val ruleTime = scala.collection.mutable.Map.empty[String, Long]
+        (1 to 5).foreach { _ =>
+          val df = fn(s, sfDir)
+          df.queryExecution.executedPlan // force optimization + planning
+          val phases = df.queryExecution.tracker.phases.map { case (p, sm) =>
+            p -> (sm.endTimeMs - sm.startTimeMs) / 1e3
+          }
+          phaseMin = phases.map { case (p, t) =>
+            p -> math.min(t, phaseMin.getOrElse(p, Double.MaxValue))
+          }
+          df.queryExecution.tracker.rules.foreach { case (r, rs) =>
+            ruleTime(r) = ruleTime.getOrElse(r, 0L) + rs.totalTimeNs
+          }
+        }
+        // one prepared plan re-executed: scheduling + execution only
+        val rdd = fn(s, sfDir).queryExecution.toRdd
+        rdd.count()
+        val exec = minOf(5)(rdd.count())
+        val tracked = phaseMin.values.sum
+        println(f"PHASE $name%-20s total=${total * 1000}%6.1f ms " +
+          phaseMin.toSeq.sortBy(_._1).map { case (p, t) =>
+            f"$p=${t * 1000}%.1f"
+          }.mkString(" ") +
+          f" exec=${exec * 1000}%6.1f residual=${(total - tracked - exec) * 1000}%6.1f")
+        val top = ruleTime.toSeq.sortBy(-_._2).take(5)
+        top.foreach { case (r, ns) =>
+          println(f"PHASE $name rule ${r.substring(r.lastIndexOf('.') + 1)}%-45s " +
+            f"${ns / 5e6}%7.2f ms/build")
+        }
+      }
+      // the bench scalar under this config: all three shapes, min-of-5
+      val headlineTotal = shapes.map { case (_, fn) =>
+        minOf(5)(fn(s, sfDir).count())
+      }.sum
+      println(f"PHASE headline3_total constraintPropagation=$constraintProp " +
+        f"${headlineTotal * 1000}%6.1f ms")
+      s.stop()
+    }
+  }
+}

@@ -89,6 +89,84 @@ class LayoutFsSpec extends AnyFunSuite {
       "blind store unexpectedly enforced exclusivity — mock broken?")
     assert(LayoutFs.readString(lease, c) == "b|staleMs=1000")
   }
+  test("replaceIfContent (local): replaces only on an exact content match, " +
+      "never creates a missing file, and N racers from one base content " +
+      "yield exactly one winner (the lease heartbeat's CAS refresh)") {
+    val dir = Files.createTempDirectory("graft_lfs_cas")
+    val lease = new Path(dir.resolve("lease").toString)
+    val c = conf
+    assert(!LayoutFs.replaceIfContent(lease, "a", "b", c),
+      "replace on a missing file must fail")
+    assert(!LayoutFs.exists(lease, c), "replace must never create the file")
+    LayoutFs.writeString(lease, "a", c)
+    assert(!LayoutFs.replaceIfContent(lease, "x", "b", c))
+    assert(LayoutFs.readString(lease, c) == "a", "mismatch must leave content")
+    assert(LayoutFs.replaceIfContent(lease, "a", "b", c))
+    assert(LayoutFs.readString(lease, c) == "b")
+    // a same-content replace is the heartbeat's mtime refresh
+    val m0 = LayoutFs.mtime(lease, c)
+    Thread.sleep(1100) // coarse-mtime stores tick at 1 s
+    assert(LayoutFs.replaceIfContent(lease, "b", "b", c))
+    assert(LayoutFs.mtime(lease, c) > m0, "refresh did not bump the mtime")
+    // all writers go through one OS file lock + compare: racing CAS
+    // attempts from the same base content land exactly once
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 32).map { i =>
+      new Thread(() => {
+        go.await()
+        if (LayoutFs.replaceIfContent(lease, "b", s"w$i", c))
+          wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); go.countDown(); threads.foreach(_.join(30000))
+    assert(wins.get == 1, s"${wins.get} of 32 CAS racers won")
+    assert(LayoutFs.readString(lease, c).matches("w\\d+"))
+  }
+
+  test("replaceIfContent cannot land on a successor's lease: after a " +
+      "breaker's rename-aside and a successor's exclusive acquisition, the " +
+      "old holder's conditional refresh fails and the successor is intact " +
+      "— the wedged-heartbeat window, closed as an executable fact") {
+    val dir = Files.createTempDirectory("graft_lfs_succ")
+    val lease = new Path(dir.resolve("_GRAFT_LEASE_x").toString)
+    val c = conf
+    val oldOwner = "pid=1 thread=1|staleMs=100"
+    val newOwner = "pid=2 thread=1|staleMs=60000"
+    assert(LayoutFs.createExclusive(lease, oldOwner, c))
+    // a breaker judged the holder stale: atomic rename-aside, then the
+    // successor's exclusive create makes a NEW file at the path
+    val tomb = new Path(dir.resolve("_GRAFT_LEASE_x_broken_1").toString)
+    assert(LayoutFs.fs(lease, c).rename(lease, tomb))
+    assert(LayoutFs.createExclusive(lease, newOwner, c))
+    // the wedged old holder's refresh: the compare runs against the
+    // successor's content and fails — nothing is clobbered
+    assert(!LayoutFs.replaceIfContent(lease, oldOwner, oldOwner, c),
+      "old holder's conditional refresh landed on the successor's lease")
+    assert(LayoutFs.readString(lease, c) == newOwner)
+    // and the blind writeString it replaces WOULD have clobbered —
+    // keeping the old failure mode pinned as the contrast
+    LayoutFs.writeString(lease, oldOwner, c)
+    assert(LayoutFs.readString(lease, c) == oldOwner)
+  }
+
+  test("replaceIfContent (remote): degrades to the compare-then-write " +
+      "profile — match replaces, mismatch leaves content, missing fails " +
+      "(the narrowed-not-closed caveat for stores without conditional PUT)") {
+    val dir = Files.createTempDirectory("graft_lfs_cas_remote")
+    val c = conf
+    for (scheme <- Seq("mockcond", "mockblind")) {
+      val lease = new Path(s"$scheme:${dir.resolve(s"lease_$scheme")}")
+      assert(!LayoutFs.replaceIfContent(lease, "a", "b", c),
+        s"$scheme: replace on a missing file must fail")
+      LayoutFs.writeString(lease, "a", c)
+      assert(!LayoutFs.replaceIfContent(lease, "x", "b", c))
+      assert(LayoutFs.readString(lease, c) == "a",
+        s"$scheme: mismatch must leave content")
+      assert(LayoutFs.replaceIfContent(lease, "a", "b", c))
+      assert(LayoutFs.readString(lease, c) == "b")
+    }
+  }
 }
 
 /** Mock object store with ENFORCED conditional create: behaves like a

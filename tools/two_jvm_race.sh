@@ -17,6 +17,10 @@
 #            rerun + tag re-drive replays as no-ops (the compact's
 #            manifest fold preserved the exactly-once stamps), content
 #            exact, certified.
+#   phase 5: two fresh JVMs race the INITIAL ensure() of one family —
+#            exactly one rebuilds (per-process counters sum to 1), the
+#            lease loser parks and re-registers the winner's certified
+#            build, content exact.
 # Verification expectations are recomputed FROM SOURCE inside the check
 # JVM (`check slices=LO-HI`), never scraped from another probe's output
 # (r12 ADVICE: a crashed probe made a scraped EXPECT empty and every
@@ -32,6 +36,7 @@ JAVA="java $ADD_OPENS -Xmx2g -Dspark.ui.enabled=false -Dspark.sql.session.timeZo
 OUT=$ROOT/out; mkdir -p "$OUT"
 ROUNDS=${ROUNDS:-6}
 CROUNDS=${CROUNDS:-3}
+BROUNDS=${BROUNDS:-3}
 echo "warehouse root: $ROOT"
 
 fail() { echo "FAIL: $1"; exit 1; }
@@ -161,5 +166,37 @@ CHK=$(mp "$OUT/check_s.log"); echo "$CHK"
 echo "$CHK" | grep -q '"content_ok":true' || fail "post-stream content wrong"
 echo "$CHK" | grep -q '"certified":true' || fail "post-stream family not certified"
 echo "phase 4 OK: stream completed across a foreign compact, replays no-op, content exact"
+
+echo "== phase 5: $BROUNDS ensure-vs-ensure INITIAL-build races (no prepare — fresh family) =="
+# the one lifecycle transition phases 1-4 leave same-JVM-only: two fresh
+# processes race the first ensure() of an uncertified family. Exactly one
+# may rebuild (the per-process `built` counters must sum to 1); the lease
+# loser parks (MPROBE_WAIT_MS), re-resolves under the lease, and must
+# RE-REGISTER the winner's certified build — content exact, certified.
+for i in $(seq 1 "$BROUNDS"); do
+  rm -rf "$ROOT"/graft_bucket_wh_* ; rm -f "$ROOT"/go_*
+  GO=$ROOT/go_b$i
+  MPROBE_WAIT_MS=120000 $JAVA build "$ROOT" "$SF" "$GO" > "$OUT/build_${i}_a.log" 2>&1 &
+  PA=$!
+  MPROBE_WAIT_MS=120000 $JAVA build "$ROOT" "$SF" "$GO" > "$OUT/build_${i}_b.log" 2>&1 &
+  PB=$!
+  sleep 14
+  touch "$GO"
+  wait $PA || fail "round $i: builder A crashed"
+  wait $PB || fail "round $i: builder B crashed"
+  RES=$(mp "$OUT/build_${i}_a.log" "$OUT/build_${i}_b.log")
+  echo "$RES"
+  echo "$RES" | grep -q '"refused":true' && fail "round $i: a parked builder refused instead"
+  OKS=$(echo "$RES" | grep -c '"ok":true')
+  [ "$OKS" = "2" ] || fail "round $i: expected both ensures to succeed, got $OKS"
+  BUILT=$(echo "$RES" | sed 's/.*"built":\([0-9]*\).*/\1/' | awk '{s+=$1} END{print s}')
+  [ "$BUILT" = "1" ] || fail "round $i: expected exactly 1 builder across both JVMs, got $BUILT"
+  $JAVA check "$ROOT" "$SF" slices=0-5 > "$OUT/check_b$i.log" 2>&1 || fail "check_b$i crashed"
+  CHK=$(mp "$OUT/check_b$i.log")
+  echo "$CHK"
+  echo "$CHK" | grep -q '"content_ok":true' || fail "round $i: content wrong (double build?)"
+  echo "$CHK" | grep -q '"certified":true' || fail "round $i: family not certified"
+done
+echo "phase 5 OK: $BROUNDS initial-build races, one builder each, losers re-registered, content exact"
 
 echo "ALL OK (logs in $OUT)"
