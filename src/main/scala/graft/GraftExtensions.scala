@@ -64,5 +64,6 @@ object GraftExtensions {
     ("nearest_centroid", 3, e => NearestCentroid(e(0), e(1), e(2))),
     ("nearest_centroids", 4, e => NearestCentroids(e(0), e(1), e(2), e(3))),
     ("block_jaccard_edges", 2, e => BlockJaccardEdges(e(0), e(1))),
-    ("adc_dot", 3, e => AdcDot(e(0), e(1), e(2))))
+    ("adc_dot", 3, e => AdcDot(e(0), e(1), e(2))),
+    ("pq_encode", 4, e => PqEncode(e(0), e(1), e(2), e(3))))
 }

@@ -25,23 +25,43 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * subspace.
   *
   * Assignment drops the x·x term and halves: argmin |x−c|² ≡ argmin
-  * (c·c/2 − x·c) because x·x is constant per row — ONE codegen'd
-  * `dot_fast` per centroid, with c·c/2 folded to a driver-side literal.
-  * The argmin struct also CARRIES the winning centroid's (x·c, c·c), so
-  * reconstruction statistics (v·v̂ = Σⱼ x·c, ‖v̂‖² = Σⱼ c·c) come out of
-  * the same pass with no decode step — materializing the decoded vector
-  * per row would inline the full m×k×(d/m) codebook as a literal table
-  * into the projection, which blows Janino's method-size limit (measured:
-  * the first formulation failed codegen exactly there).
+  * (c·c/2 − x·c) because x·x is constant per row, with c·c/2 computed
+  * driver-side. All m argmins plus the reconstruction statistics
+  * (v·v̂ = Σⱼ x·c, ‖v̂‖² = Σⱼ c·c) come from ONE native
+  * [[graft.functions.PqEncode]] node per row — the per-(subspace,
+  * codeword) struct composition it replaced kept plan size O(m×k) and
+  * hit two ceilings in turn: Janino's method-size limit on the decoded-
+  * vector form (r12), then a Janino local-variable-map OOM at PQ's
+  * actual design point, 768 dims × m=48 × k=256 (r14, measured: a 24 GB
+  * driver died before a row moved). The decoded vector itself is never
+  * built at any m×k.
   */
 object Pq {
 
   /** One subspace codebook: (code id 0..k-1, centroid). */
   type Codebook = Seq[(Long, Seq[Double])]
 
+  /** The native full-vector assignment (functions.PqEncode): all m
+    * argmins + reconstruction stats in one expression node, with the
+    * model as two flat literals. This is the ONLY formulation that
+    * reaches PQ's design point — the m×k struct composition below
+    * OOMs Janino from ~12k (subspace, codeword) pairs (768 dims,
+    * m=48, k=256 — measured r14); it is kept for [[nearestCode]]'s
+    * single-subspace use and as PqSpec's independent parity witness. */
+  private[graft] def encodeCol(books: Seq[Codebook]): Column = {
+    val k = books.head.size
+    require(books.forall(_.size == k), "pq_encode: ragged codebooks")
+    val flat = books.flatMap(_.sortBy(_._1).flatMap(_._2))
+    val halfcc = books.flatMap(_.sortBy(_._1).map {
+      case (_, cv) => cv.map(x => x * x).sum / 2.0
+    })
+    call_function("pq_encode",
+      col("v"), typedlit(flat), typedlit(halfcc), lit(k))
+  }
+
   /** Argmin over the codebook: struct(negscore = c·c/2 − x·c, cid, dot,
     * cc); min negscore ⇔ min L2², ties → lowest code id. */
-  private def scoredStruct(sv: Column, book: Codebook): Column =
+  private[graft] def scoredStruct(sv: Column, book: Codebook): Column =
     array_min(array(book.sortBy(_._1).map { case (cid, cv) =>
       val halfcc = cv.map(x => x * x).sum / 2.0
       val dot = call_function("dot_fast", sv, typedlit(cv))
@@ -81,22 +101,21 @@ object Pq {
         }.toSeq
       }
       for (_ <- 1 to iters) {
-        // two ATTRIBUTE-producing projections before the explode: generator
-        // expressions are not method-split by codegen, so putting the m
-        // argmin structs inside explode() overflows Janino's method limit
-        // (measured: 5 failed compiles + interpreted fallback, 15 s vs 3 s).
-        // Projections ARE split per expression, so the subvector slices and
-        // code assignments materialize there, and the generator only sees
-        // small attribute-built structs.
-        val svCols = input.select(col("v") +: (0 until m).map(j =>
-          slice(col("v"), j * sub + 1, sub).as(s"_pq_sv$j")): _*)
-        val cidCols = svCols.select(
-          (0 until m).map(j => col(s"_pq_sv$j")) ++
-            books.zipWithIndex.map { case (book, j) =>
-              scoredStruct(col(s"_pq_sv$j"), book).getField("cid").as(s"_pq_cid$j")
-            }: _*)
+        // ONE native assignment node for all m subspaces (functions
+        // .PqEncode), then attribute-producing projections before the
+        // explode: generator expressions are not method-split by codegen,
+        // so the subvector slices and the codes array materialize as
+        // attributes first and the generator only sees small
+        // attribute-built structs. (The earlier per-(subspace, codeword)
+        // struct composition is Janino-bounded at m×k ≈ a few thousand —
+        // see encodeCol's scaladoc.)
+        val cidCols = input.select(
+          (0 until m).map(j => slice(col("v"), j * sub + 1, sub).as(s"_pq_sv$j")) :+
+            encodeCol(books).getField("codes").as("_pq_codes"): _*)
         val perSub = (0 until m).map { j =>
-          struct(lit(j).as("sub"), col(s"_pq_cid$j").as("cid"), col(s"_pq_sv$j").as("sv"))
+          struct(lit(j).as("sub"),
+            element_at(col("_pq_codes"), j + 1).as("cid"),
+            col(s"_pq_sv$j").as("sv"))
         }
         val means = cidCols
           .select(explode(array(perSub: _*)).as("e"))
@@ -121,25 +140,19 @@ object Pq {
   /** Encode + reconstruction statistics in ONE map-side pass over (…, v):
     * appends `codes` (array<bigint>, length m), `recon_dot` (= v·v̂) and
     * `recon_norm2` (= ‖v̂‖²), where v̂ is the concatenation of the chosen
-    * centroids. The per-subspace argmin structs are materialized as real
-    * projection columns first so each is computed once (the cdcChunks
-    * CSE discipline), and the decoded vector itself is never built. */
+    * centroids. One native [[graft.functions.PqEncode]] node computes all
+    * of it per row (plan size O(1) in m×k — the struct composition this
+    * replaced was Janino-bounded, see encodeCol), and the decoded vector
+    * itself is never built. */
   def encodeWithStats(vecs: DataFrame, dims: Int, books: Seq[Codebook]): DataFrame = {
     require(dims % books.size == 0,
       s"dims=$dims not divisible by ${books.size} codebooks")
     GraftFunctions.register(vecs.sparkSession)
-    val sub = dims / books.size
-    val bests = books.zipWithIndex.map { case (book, j) =>
-      scoredStruct(slice(col("v"), j * sub + 1, sub), book).as(s"_pq_b$j")
-    }
-    vecs.select(col("*") +: bests: _*)
-      .withColumn("codes",
-        array(books.indices.map(j => col(s"_pq_b$j").getField("cid")): _*))
-      .withColumn("recon_dot",
-        books.indices.map(j => col(s"_pq_b$j").getField("dot")).reduce(_ + _))
-      .withColumn("recon_norm2",
-        books.indices.map(j => col(s"_pq_b$j").getField("cc")).reduce(_ + _))
-      .drop(books.indices.map(j => s"_pq_b$j"): _*)
+    vecs.select(col("*"), encodeCol(books).as("_pq_enc"))
+      .withColumn("codes", col("_pq_enc.codes"))
+      .withColumn("recon_dot", col("_pq_enc.recon_dot"))
+      .withColumn("recon_norm2", col("_pq_enc.recon_norm2"))
+      .drop("_pq_enc")
   }
 
   /** Reconstruction of a `codes` attribute as a literal-indexing

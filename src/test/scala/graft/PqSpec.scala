@@ -70,6 +70,67 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native pq_encode is bit-identical to the struct composition it " +
+      "replaced — codes AND recon stats (the r14 parity witness: the " +
+      "composition Janino-OOMs at the 768-dim design point, so the native " +
+      "node carries all encode paths)") {
+    val sub = dims / m
+    val bests = books.zipWithIndex.map { case (book, j) =>
+      Pq.scoredStruct(slice(col("v"), j * sub + 1, sub), book).as(s"_b$j")
+    }
+    val old = vecs.select(col("vec_id") +: bests: _*)
+      .select(col("vec_id"),
+        array(books.indices.map(j => col(s"_b$j").getField("cid")): _*).as("codes"),
+        books.indices.map(j => col(s"_b$j").getField("dot")).reduce(_ + _).as("recon_dot"),
+        books.indices.map(j => col(s"_b$j").getField("cc")).reduce(_ + _).as("recon_norm2"))
+    val neu = Pq.encodeWithStats(vecs, dims, books)
+      .select("vec_id", "codes", "recon_dot", "recon_norm2")
+    val joined = neu.as("n").join(old.as("o"), "vec_id")
+    assert(joined.count() == vecs.count())
+    // bit-exact: =!= on the doubles, no tolerance
+    val diff = joined.filter(col("n.codes") =!= col("o.codes") ||
+      col("n.recon_dot") =!= col("o.recon_dot") ||
+      col("n.recon_norm2") =!= col("o.recon_norm2"))
+    assert(diff.count() == 0, s"diverging rows:\n${diff.limit(5).collect().mkString("\n")}")
+  }
+
+  test("pq_encode at composition-killing m×k (m=32, k=256 → 8192 pairs): " +
+      "plan stays O(1), codes match the JVM argmin recompute") {
+    val (m2, k2) = (32, 256)
+    val sub = dims / m2
+    val books2 = Pq.train(vecs, dims, m2, k2, iters = 1)
+    val rows = Pq.encodeWithStats(vecs, dims, books2)
+      .select(col("vec_id"), col("v"), col("codes"))
+      .orderBy(col("vec_id").asc).limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val codes = r.getSeq[Long](2)
+      val expected = (0 until m2).map { j =>
+        val sv = v.slice(j * sub, (j + 1) * sub)
+        books2(j).sortBy(_._1).map { case (cid, cv) =>
+          val halfcc = cv.map(x => x * x).sum / 2.0
+          var dot = 0.0
+          var i = 0
+          while (i < sub) { dot += sv(i) * cv(i); i += 1 }
+          (halfcc - dot, cid)
+        }.min._2
+      }
+      assert(codes == expected, s"vec ${r.getLong(0)}: $codes vs $expected")
+    }
+  }
+
+  test("pq_encode null contract: a null vector yields a NULL struct") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq.fill(dims)(0.5))), (2L, None))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val out = Pq.encodeWithStats(df, dims, books)
+      .orderBy("vec_id").select("codes").collect()
+    assert(out(0).getSeq[Long](0).size == m)
+    assert(out(1).isNullAt(0))
+  }
+
   test("quality: codebook reconstruction beats the global-mean baseline") {
     val all = vecs.select(col("v")).collect().map(_.getSeq[Double](0))
     val mean = (0 until dims).map(d => all.map(_(d)).sum / all.length)
