@@ -34,7 +34,7 @@ object PhaseProbe {
 
   private def session(cpus: String, shufflePartitions: Int,
       constraintProp: Boolean): SparkSession = {
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +45,11 @@ object PhaseProbe {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.constraintPropagation.enabled", constraintProp.toString)
+    // PHASE_EXTRA="k=v;k=v" — ad-hoc conf experiments (e.g. the fast-hash-
+    // map codegen-cache investigation) without a rebuild per hypothesis
+    val b = sys.env.get("PHASE_EXTRA").iterator
+      .flatMap(_.split(";")).filter(_.nonEmpty).map(_.split("=", 2))
+      .foldLeft(b0) { case (bb, Array(ck, cv)) => bb.config(ck, cv) }
       .getOrCreate()
     b.sparkContext.setLogLevel("WARN")
     b
@@ -63,19 +68,57 @@ object PhaseProbe {
       "q3_join3_topk"      -> (graft.Bench.q3 _),
       "grouping_sets"      -> (graft.Bench.groupingSets _))
 
-    for (constraintProp <- Seq(true, false)) {
+    // PHASE_CP selects the config list — A/B runs launch ONE config per
+    // JVM (both-in-one-process lets the second config inherit the first's
+    // C2-compiled Catalyst/janino paths and reads ~40% faster regardless
+    // of the setting — measured r14, the same-JVM contamination)
+    val configs = sys.env.getOrElse("PHASE_CP", "true,false")
+      .split(",").toSeq.map(_.toBoolean)
+    for (constraintProp <- configs) {
       val s = session(cpus, shufflePartitions, constraintProp)
       println(s"PHASE config constraintPropagation=$constraintProp " +
         s"shuffle_partitions=$shufflePartitions cpus=$cpus")
       for ((name, fn) <- shapes) {
+        import org.apache.spark.sql.functions.{count => cnt, lit}
+        // the COUNT plan — what the bench protocol actually executes
+        // (df.count() wraps the query in a global aggregate, whose
+        // optimizer pass eliminates the final orderBy: the df's OWN
+        // sorted plan pays a range-sample job + ~10 janino compiles per
+        // fresh toRdd, but the bench path pays neither — measured r14)
+        def wrap(ss: SparkSession, d: String) =
+          fn(ss, d).agg(cnt(lit(1)).as("cnt"))
         fn(s, sfDir).count(); fn(s, sfDir).count() // bench warmup protocol
         val total = minOf(5)(fn(s, sfDir).count())
+        // DataFrame CONSTRUCTION alone: spark.read.parquet schema
+        // resolution (footer reads + listing) + eager analysis — the
+        // per-build cost a fresh-DataFrame-per-query protocol pays
+        // before any planning
+        val build = minOf(5) { fn(s, sfDir); () }
+        // wall time to the physical plan (build + full Catalyst pipeline)
+        val pipe = minOf(5) { wrap(s, sfDir).queryExecution.executedPlan; () }
+        // ... and to the executable RDD: adds whole-stage codegen SOURCE
+        // GENERATION + the janino compile-cache lookup (source text is
+        // regenerated per fresh plan even on a cache hit). The compile
+        // COUNTER distinguishes lookup from recompilation: identical
+        // fresh plans should hit the source-keyed cache (0 compiles).
+        val c0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        val rddgen = minOf(5) { wrap(s, sfDir).queryExecution.toRdd; () }
+        val compiles = (org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount - c0) / 5.0
+        // fresh FULL execution through bare RDD machinery — no
+        // Dataset.withAction/SQLExecution (whose listener events carry
+        // eagerly-built plan-description strings): total − freshrdd =
+        // the action-wrapper overhead per query
+        val freshrdd = minOf(5) {
+          wrap(s, sfDir).queryExecution.toRdd.count(); ()
+        }
         // phase decomposition over 5 FRESH builds: each re-runs the whole
         // Catalyst pipeline (new plan objects), tracker read per build
         var phaseMin = Map.empty[String, Double]
         val ruleTime = scala.collection.mutable.Map.empty[String, Long]
         (1 to 5).foreach { _ =>
-          val df = fn(s, sfDir)
+          val df = wrap(s, sfDir)
           df.queryExecution.executedPlan // force optimization + planning
           val phases = df.queryExecution.tracker.phases.map { case (p, sm) =>
             p -> (sm.endTimeMs - sm.startTimeMs) / 1e3
@@ -88,11 +131,14 @@ object PhaseProbe {
           }
         }
         // one prepared plan re-executed: scheduling + execution only
-        val rdd = fn(s, sfDir).queryExecution.toRdd
+        val rdd = wrap(s, sfDir).queryExecution.toRdd
         rdd.count()
         val exec = minOf(5)(rdd.count())
         val tracked = phaseMin.values.sum
         println(f"PHASE $name%-20s total=${total * 1000}%6.1f ms " +
+          f"build=${build * 1000}%5.1f pipe=${pipe * 1000}%5.1f " +
+          f"rddgen=${rddgen * 1000}%5.1f freshrdd=${freshrdd * 1000}%5.1f " +
+          f"compiles/build=$compiles%.1f " +
           phaseMin.toSeq.sortBy(_._1).map { case (p, t) =>
             f"$p=${t * 1000}%.1f"
           }.mkString(" ") +
