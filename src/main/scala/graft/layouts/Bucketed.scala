@@ -283,8 +283,10 @@ object Bucketed {
   /** Rebuild counter (observability for the ensure-vs-ensure build race:
     * across N processes racing the INITIAL ensure() of one family, the
     * per-process counts must sum to exactly 1 — one builder, every loser
-    * re-registers the winner's certified build). */
-  @volatile private[graft] var rebuilds: Long = 0L
+    * re-registers the winner's certified build). Atomic because two
+    * threads of one JVM may ensure() DIFFERENT families concurrently. */
+  private[graft] val rebuildCount = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def rebuilds: Long = rebuildCount.get()
 
   /** Directory backing a registered layout table (where its completion
     * marker, stamps, manifest, and lease live) — a scheme-qualified
@@ -690,7 +692,14 @@ object Bucketed {
       var content: Option[String] = None
       var attempt = 0
       while (content.isEmpty && attempt < 3) {
-        if (attempt > 0) Thread.sleep(25L * attempt)
+        // the release path interrupts the heartbeat thread, and this
+        // can run ON that thread (the raced-the-release undo): an
+        // interrupt mid-backoff must NOT abort the rename-aside
+        // protocol half-done (the tombstone may hold a successor's
+        // live lease awaiting restore) — swallow it, re-flag, and let
+        // the remaining attempts run sleepless to completion
+        if (attempt > 0) try Thread.sleep(25L * attempt)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         content = try Some(LayoutFs.readString(tomb, c))
           catch { case _: java.io.IOException => None }
         attempt += 1
@@ -1328,7 +1337,7 @@ object Bucketed {
         // no certified version anywhere: either first build or a
         // crashed/partial one — wipe every stale candidate (base dir
         // AND orphaned compact versions) or the write fails
-        rebuilds += 1
+        rebuildCount.incrementAndGet()
         val tdir = new Path(locPath, sp.name)
         candidateDirs(s, locPath, sp.name)
           .foreach { case (_, p) => LayoutFs.deleteDir(p, c) }
