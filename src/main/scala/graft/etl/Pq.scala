@@ -51,6 +51,13 @@ object Pq {
   private[graft] def encodeCol(books: Seq[Codebook]): Column = {
     val k = books.head.size
     require(books.forall(_.size == k), "pq_encode: ragged codebooks")
+    // the native node returns the POSITIONAL index in cid-sorted order as
+    // the code, while scoredStruct/nearestCode return the stored cid —
+    // equivalent ONLY when cids are exactly 0..k-1 (true for train()'s
+    // books). Pin the assumption so a non-contiguous codebook fails loudly
+    // instead of silently diverging between the two paths (r14 ADVICE).
+    require(books.forall(_.map(_._1).sorted == (0L until k.toLong)),
+      "pq_encode: codebook cids must be exactly 0..k-1")
     val flat = books.flatMap(_.sortBy(_._1).flatMap(_._2))
     val halfcc = books.flatMap(_.sortBy(_._1).map {
       case (_, cv) => cv.map(x => x * x).sum / 2.0

@@ -80,7 +80,12 @@ case class PqEncode(vec: Expression, booksExpr: Expression,
               if kv >= 1 && hc.numElements() >= kv &&
                 hc.numElements() % kv == 0 &&
                 bf.numElements() <= MaxFlat &&
-                bf.numElements() % hc.numElements() == 0 =>
+                bf.numElements() % hc.numElements() == 0 &&
+                // sub >= 1: an empty booksFlat satisfies the modulo checks
+                // (0 % n == 0) but makes eval return NULL for every
+                // non-empty vector instead of failing at analysis (r14
+                // ADVICE)
+                bf.numElements() >= hc.numElements() =>
             TypeCheckSuccess
           case _ =>
             TypeCheckFailure("pq_encode: need k >= 1, halfcc length a positive " +

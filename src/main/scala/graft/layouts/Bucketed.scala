@@ -229,11 +229,20 @@ object Bucketed {
     * errs toward re-listing. `spark.graft.layout.mtimeSlackMs`
     * overrides both for deployments that know their skew bound. */
   private def mtimeSlackMs(s: SparkSession, dir: Path): Long =
-    s.conf.getOption("spark.graft.layout.mtimeSlackMs").map(_.toLong).getOrElse {
-      val scheme = try LayoutFs.fs(dir, hconf(s)).getScheme
-        catch { case _: Exception => "file" }
-      if (scheme == "file") 2000L else 30000L
-    }
+    s.conf.getOption("spark.graft.layout.mtimeSlackMs")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse {
+        // An UNKNOWABLE scheme must take the REMOTE profile, not the local
+        // one: FileSystem.getScheme's default impl throws
+        // UnsupportedOperationException and many remote connectors never
+        // override it — exactly the stores the 30 s skew guard exists for
+        // (r14 ADVICE; mirrors createExclusive, where unknown ⇒ not
+        // local). A malformed conf override likewise falls through to the
+        // profile default rather than throwing in the listing path.
+        val scheme = try LayoutFs.fs(dir, hconf(s)).getScheme
+          catch { case _: Exception => "unknown" }
+        if (scheme == "file") 2000L else 30000L
+      }
 
   /** Data files of a registered bucketed layout, grouped by bucket id.
     * The probe-side FILE PRUNING primitive: a caller whose key set is
@@ -691,15 +700,21 @@ object Bucketed {
       // that still fails keeps the safe direction (restore).
       var content: Option[String] = None
       var attempt = 0
+      // the release path interrupts the heartbeat thread, and this can
+      // run ON that thread (the raced-the-release undo): an interrupt
+      // must NOT abort the rename-aside protocol half-done (the
+      // tombstone may hold a successor's live lease awaiting restore),
+      // and — r14 ADVICE — must not poison the reads either: on stores
+      // with interrupt-sensitive IO (InterruptedIOException IS an
+      // IOException, e.g. HDFS) a SET flag fails every attempt
+      // instantly, classifying the tombstone unreadable and restoring
+      // the holder's own stale lease — the zombie this retry exists to
+      // prevent. CLEAR the flag for the duration of the protocol and
+      // restore it once at the end.
+      var sawInterrupt = Thread.interrupted()
       while (content.isEmpty && attempt < 3) {
-        // the release path interrupts the heartbeat thread, and this
-        // can run ON that thread (the raced-the-release undo): an
-        // interrupt mid-backoff must NOT abort the rename-aside
-        // protocol half-done (the tombstone may hold a successor's
-        // live lease awaiting restore) — swallow it, re-flag, and let
-        // the remaining attempts run sleepless to completion
         if (attempt > 0) try Thread.sleep(25L * attempt)
-          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          catch { case _: InterruptedException => sawInterrupt = true }
         content = try Some(LayoutFs.readString(tomb, c))
           catch { case _: java.io.IOException => None }
         attempt += 1
@@ -730,6 +745,9 @@ object Bucketed {
           if (content.isDefined) LayoutFs.delete(tomb, c)
         }
       }
+      // interrupt suppressed so the protocol's IO ran uninterrupted;
+      // re-flag it now that the tombstone is resolved
+      if (sawInterrupt) Thread.currentThread().interrupt()
     }
   }
 

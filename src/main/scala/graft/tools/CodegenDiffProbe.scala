@@ -3,12 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.WholeStageCodegenExec
 
-/** Dev-only: find WHICH generated-code unit defeats the janino
-  * source-keyed cache on identical fresh builds of a headline shape
-  * (PhaseProbe r14: q1 pays 2 recompiles per fresh plan — ~200 ms of its
-  * 273 ms total — while grouping_sets hits the cache). Builds the shape
-  * twice, diffs every whole-stage unit's generated source line by line,
-  * and brackets each build's toRdd with the compile counter. */
+/** Dev-only: check whether any generated-code unit defeats the janino
+  * source-keyed cache on identical fresh builds of a headline shape.
+  * Builds the shape twice, diffs every whole-stage unit's generated
+  * source line by line, and brackets each build's toRdd with the
+  * compile counter. Its own r14 run DISPROVED the motivating
+  * hypothesis ("q1 pays 2 recompiles, ~200 ms per fresh plan"): the
+  * recompiles belong to this probe's bare-toRdd path, which executes
+  * the pre-TakeOrdered SORTED plan that a real `count()` action never
+  * compiles — `count()` itself pays 0 recompiles and every unit diff
+  * is empty (CROSSOVER r14). Kept as the harness for re-testing the
+  * cache on future plan shapes. */
 object CodegenDiffProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

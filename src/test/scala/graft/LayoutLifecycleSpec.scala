@@ -893,5 +893,12 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
     Bucketed.bucketFiles(spark, t)
     assert(Bucketed.bucketListings >= n1 + 2,
       "fresh-marker calls must re-list (mtime-granularity slack)")
+
+    // a malformed slack override must not throw in the listing path — it
+    // falls through to the scheme profile (r14 ADVICE: the bare .toLong
+    // threw NumberFormatException out of bucketFiles)
+    spark.conf.set("spark.graft.layout.mtimeSlackMs", "not-a-number")
+    try assert(Bucketed.bucketFiles(spark, t) == compacted)
+    finally spark.conf.unset("spark.graft.layout.mtimeSlackMs")
   }
 }

@@ -131,6 +131,28 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("encodeCol pins codebook-cid contiguity: non-contiguous cids throw " +
+      "instead of silently diverging from the nearestCode path (r14 ADVICE: " +
+      "the native node returns the POSITIONAL index as the code, " +
+      "scoredStruct the stored cid — equivalent only when cids = 0..k-1)") {
+    val shifted: Seq[Pq.Codebook] = books.map(_.map { case (cid, cv) => (cid + 5L, cv) })
+    val e = intercept[IllegalArgumentException](Pq.encodeCol(shifted))
+    assert(e.getMessage.contains("0..k-1"))
+  }
+
+  test("pq_encode analysis rejects an empty codebook matrix (sub == 0 " +
+      "previously passed the modulo checks and eval'd to all-NULL — r14 ADVICE)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, Seq.fill(dims)(0.5))).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    // Dataset construction analyzes eagerly, so the select itself throws
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(call_function("pq_encode",
+        col("v"), typedlit(Seq.empty[Double]), typedlit(Seq.fill(k)(0.0)), lit(k))))
+    assert(e.getMessage.contains("pq_encode"))
+  }
+
   test("quality: codebook reconstruction beats the global-mean baseline") {
     val all = vecs.select(col("v")).collect().map(_.getSeq[Double](0))
     val mean = (0 until dims).map(d => all.map(_(d)).sum / all.length)
