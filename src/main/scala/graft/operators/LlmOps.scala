@@ -3446,6 +3446,115 @@ object LlmOps extends QueryGroup {
       ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
       LIMIT 5"""))
 
+  /** GRADEDNESS PREFLIGHT for PQ-coded ANN — the r14 design-point probe's
+    * negative result productized (`llm_ann_recall_floor`): a corpus whose
+    * in-cell similarity profile is DEGENERATE (every candidate at the
+    * same cosine ± i.i.d. noise, no graded near tier) silently destroys
+    * PQ recall at ANY code budget — measured r14 (CROSSOVER): ADC recall
+    * 0.02–0.08 on flat-cluster white noise, monotonically WORSE with more
+    * probes, while the same quantizer config scores 1.000 on a
+    * hierarchical corpus. The failure is a property of the DATA, not of
+    * m/k/nprobe, so a deployment must detect it BEFORE building a
+    * billion-vector index and burning a cluster-day on an encode whose
+    * shortlists will be noise.
+    *
+    * Method, per sampled IVF cell (cells are the ADC scan unit, so the
+    * verdict is measured exactly where the scan runs): probe = the cell's
+    * lowest-id member; score every other member with (a) the exact cosine
+    * kernel and (b) the ADC approximation through the CONFIGURED
+    * quantizer, then compare two numbers —
+    *   margin    = mean(top-`topTier` exact cosines) − median(exact
+    *               cosine): how far the near tier stands above the bulk;
+    *   quant_err = median |exact − adc|: the score noise quantization
+    *               injects at this m/k on this data.
+    * ADC ordering can only resolve structure the margin keeps above the
+    * noise: `graded` requires margin ≥ 2 × quant_err (the factor keeps a
+    * p50 noise estimate honest against its own tail); anything else is
+    * `degenerate` — expect shortlist recall to collapse, and either serve
+    * float scans or re-examine the embedding pipeline.
+    *
+    * 100 TB shape: `sampleCells` bounds the work to K cells regardless of
+    * corpus size; both models ride as literals (assign, encode and ADC are
+    * map-side); the shuffles are one cell-census aggregate and one window
+    * PARTITIONED BY cell over only the sampled members; the exact
+    * percentile sorts within those groups alone. Oracle: none (k-means
+    * models — the ANN-family sanction); AnnRecallFloorSpec pins the
+    * discriminating behavior on both r14 corpus shapes. */
+  def annRecallFloor(vecs: DataFrame, books: Seq[graft.etl.Pq.Codebook],
+      cents: Seq[(Long, Seq[Double])], dims: Int,
+      sampleCells: Int = 4, topTier: Int = 10): DataFrame = {
+    val s = vecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    // assignment is reused by the census and the scored scan — pin it
+    val assigned = graft.etl.Ivf.assign(vecs, centsDf(s, cents)).localCheckpoint()
+    // the K LARGEST cells (ties → lowest cent_id): deterministic, and the
+    // cells where most probe traffic lands
+    val cells = assigned.groupBy(col("cent_id")).count()
+      .orderBy(col("count").desc, col("cent_id").asc)
+      .limit(sampleCells).collect().map(_.getLong(0)).toSeq
+    val members = assigned.filter(col("cent_id").isin(cells: _*))
+    // one probe vector per cell, driver-resident (K × dims doubles — the
+    // model-literal convention); min_by is deterministic, vec_id is unique
+    val probes: Map[Long, (Long, Seq[Double])] = members
+      .groupBy(col("cent_id"))
+      .agg(min(col("vec_id")).as("probe_id"),
+        min_by(col("v"), col("vec_id")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    // per-cell model-literal dispatch: each branch is null off its cell,
+    // coalesce picks the matching one
+    def perCell(f: (Long, Seq[Double]) => Column): Column =
+      coalesce(cells.map(c =>
+        when(col("cent_id") === c, f(probes(c)._1, probes(c)._2))): _*)
+    val coded = graft.etl.Pq.encodeWithStats(members, dims, books)
+    val scored = coded
+      .filter(col("vec_id") =!= perCell((pid, _) => lit(pid)))
+      .select(col("cent_id"), col("vec_id"),
+        perCell((_, qv) =>
+          round(call_function("cosine_fast", col("v"), typedlit(qv)), 6))
+          .as("exact_cos"),
+        perCell((_, qv) => adcCosCol(books, qv)).as("adc_cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cent_id"))
+          .orderBy(col("exact_cos").desc, col("vec_id").asc)))
+    // order-independent mean over the (≤ topTier)-row tier: exact
+    // high-precision decimal sum, one double division (the Det.davg shape
+    // at cosine precision — Det's DECIMAL(18,4) is money-grained)
+    def cavg(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count(c).cast("double")
+    scored.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("members"),
+        cavg(when(col("rn") <= topTier, col("exact_cos"))).as("tier"),
+        expr("percentile(exact_cos, 0.5)").as("bulk"),
+        expr("percentile(abs(exact_cos - adc_cos), 0.5)").as("qerr"))
+      .select(col("cent_id"), col("members"),
+        round(col("tier"), 6).as("top_tier_cos"),
+        round(col("bulk"), 6).as("bulk_cos"),
+        round(col("tier") - col("bulk"), 6).as("margin"),
+        round(col("qerr"), 6).as("quant_err"),
+        round((col("tier") - col("bulk")) / greatest(col("qerr"), lit(1e-6)), 3)
+          .as("ratio"))
+      .withColumn("verdict",
+        when(col("margin") >= lit(2.0) * col("quant_err"), lit("graded"))
+          .otherwise(lit("degenerate")))
+      .orderBy(col("cent_id").asc_nulls_first)
+  }
+
+  /** Registry row: the preflight over the sf corpus's dedup-first reps at
+    * the shared train-once quantizer config ([[pqModels]] — the exact
+    * models llm_ann_pq_adc/llm_ann_ivfpq serve with, so the verdict
+    * describes the index those rows would build). */
+  private val llmAnnRecallFloor = GraftQuery(
+    "llm_ann_recall_floor",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val mdl = pqModels(s, dir)
+      val reps = vecGroups(docVec(s, dir))
+        .select(col("rep_id").as("vec_id"), col("v"))
+      annRecallFloor(reps, mdl.books, mdl.cents, mdl.dims)
+    })
+
   /** FEATURE-HASHING text embedder (Weinberger et al., "Feature Hashing
     * for Large Scale Multitask Learning", ICML 2009) — the text→vector
     * bridge that makes the ANN family usable without an external model:
@@ -4011,5 +4120,5 @@ object LlmOps extends QueryGroup {
     llmSequencePack, llmEmbedQuantize, llmTokenBudgetMix,
     llmChunkDedup, llmBigramLmScore, llmSemdedup, llmBpeTokenize,
     llmSubstringDedup, llmCorpusShuffle, llmEmbedPq, llmAnnPqAdc, llmAnnIvfPq,
-    llmAnnIvfPqPersisted, llmHashEmbed, llmLengthBucketBatch)
+    llmAnnIvfPqPersisted, llmAnnRecallFloor, llmHashEmbed, llmLengthBucketBatch)
 }
