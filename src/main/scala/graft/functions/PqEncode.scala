@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -47,12 +48,18 @@ import org.apache.spark.sql.types._
   * sub = booksFlat.length / halfcc.length. Model args must be foldable
   * (validated at analysis).
   *
-  * CodegenFallback: the per-row m×k×sub loop is compiled JVM code
-  * already (the NearestCentroid argument); fusing it into generated
-  * Java would save one virtual call per row. */
+  * Codegen (r15): [[doGenCode]] emits the identical loop into the
+  * whole-stage class, with the model arrays installed as plain
+  * `double[]` references (addReferenceObj — the AdcDot convention
+  * lifted to a MB-scale model: no per-row literal ArrayData
+  * indirection, no virtual eval call, and the encode projection stays
+  * inside one WholeStageCodegen span instead of forcing the fallback
+  * seam). m/k/sub are analysis-time constants, so they inline as Java
+  * int literals and the loops unroll-optimize in C2. PqSpec pins
+  * interpreted ≡ generated bit-exactness, rows and nulls alike. */
 case class PqEncode(vec: Expression, booksExpr: Expression,
     halfccExpr: Expression, kExpr: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(vec, booksExpr, halfccExpr, kExpr)
 
@@ -150,6 +157,80 @@ case class PqEncode(vec: Expression, booksExpr: Expression,
       j += 1
     }
     InternalRow(new GenericArrayData(codes), sumDot, sumCc)
+  }
+
+  /** The eval loop, emitted as a PRIVATE METHOD of the generated class
+    * (ctx.addNewFunction), with the call site inlined at the expression's
+    * position. Two constraints force the method split: (a) generator
+    * consume paths are not method-split by whole-stage codegen, so a loop
+    * emitted INLINE lands inside a giant un-splittable consume method that
+    * blows HotSpot's huge-method JIT limit and runs the m×k×sub multiply
+    * loop in the BYTECODE INTERPRETER (measured r15: Pq.train's explode
+    * stage went 15 s → wedged at ≥50× when this body was inline); (b) a
+    * small dedicated method JIT-compiles, and the `references[]` casts
+    * hoist to locals outside the hot loop. The model rides as two
+    * `double[]` reference fields; m/k/sub inline as int literals
+    * (foldable-validated at analysis). Bit-exact with [[eval]]: same
+    * accumulation orders, same nan-safe argmin, same null contract (null
+    * / length-mismatched / null-element vector → NULL struct, encoded by
+    * a null return from the method). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqBooksFlat", books, "double[]")
+    val hRef = ctx.addReferenceObj("pqHalfcc", halfcc, "double[]")
+    val rowCls = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+    val arrCls = classOf[GenericArrayData].getName
+    val adCls = classOf[ArrayData].getName
+    val irCls = classOf[InternalRow].getName
+    val fn = ctx.freshName("pqEncode")
+    val encodeFn = ctx.addNewFunction(fn,
+      s"""
+        |private $irCls $fn($adCls vd) {
+        |  if (vd.numElements() != ${m * sub}) return null;
+        |  for (int i = 0; i < ${m * sub}; i++) {
+        |    if (vd.isNullAt(i)) return null;
+        |  }
+        |  double[] v = vd.toDoubleArray();
+        |  double[] b = $bRef;
+        |  double[] h = $hRef;
+        |  long[] codes = new long[$m];
+        |  double sumDot = 0.0;
+        |  double sumCc = 0.0;
+        |  for (int j = 0; j < $m; j++) {
+        |    int vBase = j * $sub;
+        |    double bestNeg = 0.0;
+        |    int bestCid = 0;
+        |    double bestDot = 0.0;
+        |    for (int cid = 0; cid < $k; cid++) {
+        |      int cBase = (j * $k + cid) * $sub;
+        |      double dot = 0.0;
+        |      for (int t = 0; t < $sub; t++) {
+        |        dot += v[vBase + t] * b[cBase + t];
+        |      }
+        |      double neg = h[j * $k + cid] - dot;
+        |      if (cid == 0 || (!Double.isNaN(neg) &&
+        |          (Double.isNaN(bestNeg) || neg < bestNeg))) {
+        |        bestNeg = neg; bestCid = cid; bestDot = dot;
+        |      }
+        |    }
+        |    codes[j] = (long) bestCid;
+        |    sumDot += bestDot;
+        |    sumCc += 2.0 * h[j * $k + bestCid];
+        |  }
+        |  return new $rowCls(new Object[] {
+        |    new $arrCls(codes), sumDot, sumCc });
+        |}
+      """.stripMargin)
+    val vEv = vec.genCode(ctx)
+    ev.copy(code =
+      code"""
+        |${vEv.code}
+        |boolean ${ev.isNull} = true;
+        |$irCls ${ev.value} = null;
+        |if (!${vEv.isNull}) {
+        |  ${ev.value} = $encodeFn(${vEv.value});
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+      """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(

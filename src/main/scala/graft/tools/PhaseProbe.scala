@@ -130,6 +130,33 @@ object PhaseProbe {
             ruleTime(r) = ruleTime.getOrElse(r, 0L) + rs.totalTimeNs
           }
         }
+        // ACTION-WRAPPER decomposition (r14 verdict item 3): total −
+        // freshrdd leaves 14–79 ms/query in "Dataset action wrapper"
+        // with 5× cross-shape variance. SQLExecution.withNewExecutionId
+        // synchronously builds, per action: (a) the plan-description
+        // string at spark.sql.ui.explainMode (default `formatted` —
+        // re-rendered per action, UI on or off), (b) the SparkPlanInfo
+        // tree for the listener event, then posts start/end events.
+        // Time each part against one prepared qe, plus the whole
+        // wrapper with an empty body.
+        val qeW = wrap(s, sfDir).queryExecution
+        qeW.executedPlan
+        val emode = org.apache.spark.sql.execution.ExplainMode.fromString(
+          s.sessionState.conf.getConfString("spark.sql.ui.explainMode", "formatted"))
+        val tDesc = minOf(5) { qeW.explainString(emode); () }
+        // SparkPlanInfo's object is private[execution]; reflect
+        val spiObj = Class.forName("org.apache.spark.sql.execution.SparkPlanInfo$")
+        val spiMod = spiObj.getField("MODULE$").get(null)
+        val spiMeth = spiObj.getMethod("fromSparkPlan",
+          Class.forName("org.apache.spark.sql.execution.SparkPlan"))
+        val tInfo = minOf(5) { spiMeth.invoke(spiMod, qeW.executedPlan); () }
+        val tWrapEmpty = minOf(5) {
+          org.apache.spark.sql.execution.SQLExecution
+            .withNewExecutionId(qeW, Some("phaseprobe")) { () }
+        }
+        println(f"PHASE $name wrapper plan_desc=${tDesc * 1000}%5.1f ms " +
+          f"plan_info=${tInfo * 1000}%5.1f empty_wrap=${tWrapEmpty * 1000}%5.1f " +
+          f"desc_chars=${qeW.explainString(emode).length}")
         // one prepared plan re-executed: scheduling + execution only
         val rdd = wrap(s, sfDir).queryExecution.toRdd
         rdd.count()

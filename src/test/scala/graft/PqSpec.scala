@@ -131,6 +131,50 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("pq_encode doGenCode: the generated projection is BIT-identical to " +
+      "interpreted eval — real vectors, NaN vectors, and every null-contract " +
+      "edge (r15: CodegenFallback replaced by an emitted loop)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val flat = books.flatMap(_.sortBy(_._1).flatMap(_._2))
+    val hc = books.flatMap(_.sortBy(_._1).map { case (_, cv) => cv.map(x => x * x).sum / 2.0 })
+    val kk = books.head.size
+    val enc = graft.functions.PqEncode(
+      BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = true),
+      Literal.create(flat, ArrayType(DoubleType)),
+      Literal.create(hc, ArrayType(DoubleType)),
+      Literal(kk))
+    val proj = GenerateUnsafeProjection.generate(Seq(enc)) // codegen path, no fallback
+    val real = vecs.orderBy(col("vec_id").asc).limit(100).collect()
+      .map(_.getSeq[Double](1).map(x => x: java.lang.Double))
+    val edges: Seq[Seq[java.lang.Double]] = Seq(
+      null, // null vector
+      Seq.fill(dims - 1)(0.5: java.lang.Double), // length mismatch
+      (Seq.fill(dims - 1)(0.5: java.lang.Double) :+ (null: java.lang.Double)), // null element
+      Seq.fill(dims)(Double.NaN: java.lang.Double)) // NaN vector (argmin tie path)
+    (real.toSeq ++ edges).foreach { vals =>
+      val in = InternalRow(
+        if (vals == null) null else new GenericArrayData(vals.toArray[Any]))
+      val gen = proj(in).copy()
+      val interp = enc.eval(in)
+      if (interp == null) assert(gen.isNullAt(0), s"codegen non-null for $vals")
+      else {
+        assert(!gen.isNullAt(0))
+        val gs = gen.getStruct(0, 3)
+        val is = interp.asInstanceOf[InternalRow]
+        assert(gs.getArray(0).toLongArray.toSeq == is.getArray(0).toLongArray.toSeq)
+        // bit-exact doubles
+        assert(java.lang.Double.doubleToRawLongBits(gs.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(is.getDouble(1)))
+        assert(java.lang.Double.doubleToRawLongBits(gs.getDouble(2)) ==
+          java.lang.Double.doubleToRawLongBits(is.getDouble(2)))
+      }
+    }
+  }
+
   test("encodeCol pins codebook-cid contiguity: non-contiguous cids throw " +
       "instead of silently diverging from the nearestCode path (r14 ADVICE: " +
       "the native node returns the POSITIONAL index as the code, " +
