@@ -144,6 +144,34 @@ object Pq {
     } finally input.unpersist(blocking = false)
   }
 
+  /** As [[train]], but Lloyd rounds run over the [[Ivf.train]]-convention
+    * DETERMINISTIC arithmetic-hash subsample when the input exceeds
+    * `sampleCap` (`xxhash64(vec_id) mod 2^20` under a threshold —
+    * partition-count-independent, reproducible). The production shape:
+    * codebooks are per-subspace-cell MEANS, so fitting is
+    * sample-proportional (the Ivf.trainSampleCap argument applied to PQ —
+    * FAISS's `max_points_per_centroid` convention), and the full corpus
+    * pays only its one encode pass. Callers that pin oracles against
+    * specific codebooks (the registry ANN rows) use the uncapped form. */
+  def train(vecs: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
+      sampleCap: Int): Seq[Codebook] = {
+    val input = vecs.persist()
+    try {
+      val full = input.count()
+      if (full <= sampleCap) train(input, dims, m, k, iters)
+      else {
+        val den = 1L << 20
+        val num = math.min(den, den * sampleCap / full + 1)
+        train(input.filter(
+          pmod(xxhash64(col("vec_id")), lit(den)) < lit(num)), dims, m, k, iters)
+      }
+    } finally input.unpersist(blocking = false)
+  }
+
+  /** The [[Ivf.trainSampleCap]] convention at PQ's geometry: ~256 training
+    * points per codeword, floored so small corpora never sample. */
+  def trainSampleCap(k: Int): Int = math.max(256 * k, 1 << 14)
+
   /** Encode + reconstruction statistics in ONE map-side pass over (…, v):
     * appends `codes` (array<bigint>, length m), `recon_dot` (= v·v̂) and
     * `recon_norm2` (= ‖v̂‖²), where v̂ is the concatenation of the chosen

@@ -26,9 +26,15 @@ object PqIndex {
     * under cache key `tag`. Builds on first call, else serves the cached
     * layout. */
   def ensure(s: SparkSession, tag: String, corpus: => DataFrame, dims: Int,
-      k: Int = 16, iters: Int = 2, m: Int = 8, kpq: Int = 16, pqIters: Int = 4)
+      k: Int = 16, iters: Int = 2, m: Int = 8, kpq: Int = 16, pqIters: Int = 4,
+      ivfSampleCap: Int = Int.MaxValue, pqSampleCap: Int = Int.MaxValue)
       : (String, String, String) = {
-    val id = LayoutUtil.cacheId(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters")
+    // caps join the cache key only when set, so default callers keep
+    // their r14 layout ids (no rebuild churn)
+    val capTag =
+      (if (ivfSampleCap != Int.MaxValue) s"_ic$ivfSampleCap" else "") +
+        (if (pqSampleCap != Int.MaxValue) s"_pc$pqSampleCap" else "")
+    val id = LayoutUtil.cacheId(s"${tag}_${dims}_${k}_${iters}_${m}_${kpq}_$pqIters$capTag")
     val root = LayoutUtil.artifactRoot(s)
     val codesPath = s"$root/graft_pq_idx_$id"
     val centsPath = s"$root/graft_pq_cents_$id"
@@ -43,8 +49,8 @@ object PqIndex {
       val grouped = LayoutUtil.repsWithMembers(corpus).localCheckpoint()
       try {
         val reps = grouped.select(col("vec_id"), col("v"))
-        val cents = Ivf.train(reps, k, iters)
-        val books = Pq.train(reps, dims, m, kpq, pqIters)
+        val cents = Ivf.train(reps, k, iters, ivfSampleCap)
+        val books = Pq.train(reps, dims, m, kpq, pqIters, pqSampleCap)
         Pq.encodeWithStats(Ivf.assign(reps, cents), dims, books)
           .join(grouped.select(col("vec_id"), col("members")), "vec_id")
           .select(col("vec_id"), col("cent_id"), col("codes"),
