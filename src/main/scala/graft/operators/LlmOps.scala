@@ -3492,6 +3492,8 @@ object LlmOps extends QueryGroup {
     val cells = assigned.groupBy(col("cent_id")).count()
       .orderBy(col("count").desc, col("cent_id").asc)
       .limit(sampleCells).collect().map(_.getLong(0)).toSeq
+    require(cells.nonEmpty,
+      "ann_recall_floor: empty corpus — nothing to preflight")
     val members = assigned.filter(col("cent_id").isin(cells: _*))
     // one probe vector per cell, driver-resident (K × dims doubles — the
     // model-literal convention); min_by is deterministic, vec_id is unique
