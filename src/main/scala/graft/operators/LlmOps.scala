@@ -3471,7 +3471,11 @@ object LlmOps extends QueryGroup {
     * noise: `graded` requires margin ≥ 2 × quant_err (the factor keeps a
     * p50 noise estimate honest against its own tail); anything else is
     * `degenerate` — expect shortlist recall to collapse, and either serve
-    * float scans or re-examine the embedding pipeline.
+    * float scans or re-examine the embedding pipeline. The emitted
+    * `recon_cos_p50` (median cos(v, v̂) from the encode's carried stats)
+    * separates the two degenerate causes: HIGH recon with a degenerate
+    * verdict says the DATA has no grade (r14's flat-noise corpus); LOW
+    * recon says m is too small for these dims (r14's m=16-at-768 row).
     *
     * 100 TB shape: `sampleCells` bounds the work to K cells regardless of
     * corpus size; both models ride as literals (assign, encode and ADC are
@@ -3515,7 +3519,17 @@ object LlmOps extends QueryGroup {
         perCell((_, qv) =>
           round(call_function("cosine_fast", col("v"), typedlit(qv)), 6))
           .as("exact_cos"),
-        perCell((_, qv) => adcCosCol(books, qv)).as("adc_cos"))
+        perCell((_, qv) => adcCosCol(books, qv)).as("adc_cos"),
+        // quantizer reconstruction quality per member: cos(v, v̂) from the
+        // encode's carried stats — the m-budget diagnostic the verdict
+        // asked for alongside the margin (a degenerate verdict with HIGH
+        // recon_cos says "the data has no grade"; with LOW recon_cos it
+        // says "m is too small for these dims" — r14's two failure modes)
+        round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+          col("recon_dot") /
+            (sqrt(call_function("dot_fast", col("v"), col("v"))) *
+              sqrt(col("recon_norm2")))), 6)
+          .as("recon_cos"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cent_id"))
           .orderBy(col("exact_cos").desc, col("vec_id").asc)))
@@ -3529,12 +3543,14 @@ object LlmOps extends QueryGroup {
       .agg(count(lit(1)).as("members"),
         cavg(when(col("rn") <= topTier, col("exact_cos"))).as("tier"),
         expr("percentile(exact_cos, 0.5)").as("bulk"),
-        expr("percentile(abs(exact_cos - adc_cos), 0.5)").as("qerr"))
+        expr("percentile(abs(exact_cos - adc_cos), 0.5)").as("qerr"),
+        expr("percentile(recon_cos, 0.5)").as("recon"))
       .select(col("cent_id"), col("members"),
         round(col("tier"), 6).as("top_tier_cos"),
         round(col("bulk"), 6).as("bulk_cos"),
         round(col("tier") - col("bulk"), 6).as("margin"),
         round(col("qerr"), 6).as("quant_err"),
+        round(col("recon"), 6).as("recon_cos_p50"),
         round((col("tier") - col("bulk")) / greatest(col("qerr"), lit(1e-6)), 3)
           .as("ratio"))
       .withColumn("verdict",

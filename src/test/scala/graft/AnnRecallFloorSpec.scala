@@ -45,9 +45,11 @@ class AnnRecallFloorSpec extends AnyFunSuite with SparkTestBase {
     val books = Pq.train(vecs, dims, m, k, iters = 4)
     val cents = Ivf.train(vecs, k = nclust, iters = 2)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    LlmOps.annRecallFloor(vecs, books, cents, dims)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
-        r.getDouble(5), r.getString(7))).toSeq
+    val out = LlmOps.annRecallFloor(vecs, books, cents, dims)
+    assert(out.columns.toSeq == Seq("cent_id", "members", "top_tier_cos",
+      "bulk_cos", "margin", "quant_err", "recon_cos_p50", "ratio", "verdict"))
+    out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+      r.getDouble(5), r.getString(8))).toSeq
   }
 
   test("hierarchical corpus (the PQ-design regime): every sampled cell " +
@@ -74,7 +76,9 @@ class AnnRecallFloorSpec extends AnyFunSuite with SparkTestBase {
     val b = SparkEntry.queries("llm_ann_recall_floor")(spark, sf).collect()
     assert(a.nonEmpty)
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(r => Set("graded", "degenerate")(r.getString(7))))
+    assert(a.forall(r => Set("graded", "degenerate")(r.getString(8))))
     assert(a.forall(r => r.getLong(1) > 0))
+    // recon quality is a real cosine
+    assert(a.forall(r => r.getDouble(6) >= -1.0 - 1e-9 && r.getDouble(6) <= 1.0 + 1e-9))
   }
 }
