@@ -535,6 +535,24 @@ object Bench {
         }
         (builds, rows, heavyMins)
       }
+    // r15 verdict item 4: the published headline is the min of TWO
+    // TEMPORALLY SEPARATED passes. The first pass's min-of-3 runs
+    // back-to-back, so one multi-second ambient-load burst covers all
+    // three samples (the BENCH_r15 q5 phantom: 1.42 s in the official
+    // record vs 0.41 s quiet on the same binary cost the r15 verdict a
+    // re-measurement to disprove); a second single-shot pass after the
+    // ~90 s registry phase samples an independent machine state for ~3 s
+    // of extra runtime. Headline-only sessions (large-SF crossover) keep
+    // the single pass: there is no registry phase to separate the passes
+    // and per-query seconds dwarf scheduling noise at those run lengths.
+    val timedFinal =
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) timed
+      else {
+        val fns = headline.toMap
+        timed.map { case (name, t) =>
+          name -> min2(t, clocked(fns(name)(spark, sfDir).count()))
+        }
+      }
     val allOnce = rowTimes.map(_._2._1).sum
 
     // Locale.ROOT (r10 ADVICE): the f-interpolator formats under the
@@ -551,7 +569,7 @@ object Bench {
         .mkString("{", ",", "}")
     // the 12-query total compares 1:1 against BASELINE.md's 12 names —
     // contrast entries (the *_classic rows) are timed but excluded
-    val nonClassic = timed.filterNot(_._1.endsWith("_classic"))
+    val nonClassic = timedFinal.filterNot(_._1.endsWith("_classic"))
     val total = nonClassic.map(_._2._1).sum
     // `clean_total` (r9 ADVICE): a crashed non-classic shape contributes
     // its (fast) failure time to `value`, which deflates the cross-round
@@ -567,7 +585,7 @@ object Bench {
     // was only interpretable via prose; stamping the content signature of
     // the sf dir makes "same code, different vintage" machine-checkable
     val dataSig = layouts.LayoutUtil.dataSig(sfDir)
-    val qs = objT(timed :+ ("all_queries_once" -> (allOnce, None)))
+    val qs = objT(timedFinal :+ ("all_queries_once" -> (allOnce, None)))
     // the compact headline line carries its OWN errors record: without
     // it a crashed non-classic shape's (fast) failure time inside
     // `value` reads as a speedup to a consumer that never sees the full
@@ -576,12 +594,12 @@ object Bench {
     val headlineLine =
       s"""{"metric":"headline_total_12q","value":$total,"clean_total":$cleanTotal,""" +
         s""""unit":"sec","queries":$qs,""" +
-        s""""errors":${objErrs(timed)},"data_sig":"$dataSig","sf":"$sfDir"}"""
+        s""""errors":${objErrs(timedFinal)},"data_sig":"$dataSig","sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"registry_detail","value":$allOnce,"unit":"sec","queries":$qs,""" +
         s""""builds":${objT(buildTimes)},"registry_rows":${objT(rowTimes)},""" +
         s""""heavy_min2":${objT(heavyMin2)},""" +
-        s""""errors":${objErrs(buildTimes ++ rowTimes ++ timed)},""" +
+        s""""errors":${objErrs(buildTimes ++ rowTimes ++ timedFinal)},""" +
         s""""data_sig":"$dataSig","sf":"$sfDir"}"""
     // full record FIRST (and mirrored to a repo file — the r4 driver tail
     // capture truncated the single giant line and lost the headline), the

@@ -200,4 +200,49 @@ object Pq {
       val table = typedlit(book.sortBy(_._1).map(_._2))
       element_at(table, element_at(codes, j + 1).cast("int") + 1)
     }: _*)
+
+  /** The ADC (asymmetric distance computation) cosine column over
+    * (codes, recon_norm2) attributes — the query-side kernel of an
+    * IVF-PQ system (Jégou et al. 2011 §IV), housed with the quantizer it
+    * scores against (moved from operators.LlmOps in r16 so the etl-layer
+    * preflight [[AnnPreflight]] can share it; LlmOps forwards): per
+    * subspace, the query's dot against each centroid precomputes
+    * DRIVER-side into an m×k lookup table, and scoring is ONE native
+    * `adc_dot` expression per row — a codegen'd table-lookup loop over
+    * the flattened m×k table (functions.AdcDot; r13 — 1.16× per row over
+    * the previous m-chained `element_at(typedlit)` nodes and ~3·m fewer
+    * plan nodes in every freshly-planned probe query). Summation order is
+    * j-ascending, bit-identical to the old `reduce(_ + _)` composition
+    * (AdcDotSpec pins the parity), so the persisted≡inline agreement
+    * PqSpec pins cannot drift; the zero-reconstruction guard mirrors
+    * llm_embed_pq's; subspace width derives from q.length and books.size
+    * (never hardcoded). */
+  private[graft] def adcCosCol(books: Seq[Codebook], q: Seq[Double]): Column = {
+    val sub = q.length / books.size
+    val kpq = books.head.size
+    require(books.forall(_.size == kpq),
+      s"adc_dot flattened table needs uniform codebook sizes, got ${books.map(_.size)}")
+    val flat = books.zipWithIndex.flatMap { case (book, j) =>
+      val qj = q.slice(j * sub, (j + 1) * sub)
+      adcTableRow(book, qj)
+    }
+    val adcDot = call_function("adc_dot",
+      col("codes"), typedlit(flat), lit(kpq))
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    // all-zero query → score 0 for every row (the jvmCos convention), not
+    // a NaN-ordered top-k
+    if (qnorm == 0.0) lit(0.0)
+    else round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
+      adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6)
+  }
+
+  /** One subspace's ADC lookup row: ⟨query_j, centroid_jc⟩ for each of
+    * the codebook's centroids in code order — shared by [[adcCosCol]]
+    * and its parity spec so the table derivation cannot drift. */
+  private[graft] def adcTableRow(book: Codebook, qj: Seq[Double]): Seq[Double] =
+    book.sortBy(_._1).map { case (_, cv) =>
+      var d = 0.0; var i = 0
+      while (i < qj.length) { d += qj(i) * cv(i); i += 1 }
+      d
+    }
 }

@@ -688,6 +688,19 @@ object Bucketed {
       c: org.apache.hadoop.conf.Configuration): Unit = {
     val tomb = new Path(lease.getParent,
       s"${lease.getName}_rel_${System.nanoTime()}")
+    // the release path interrupts the heartbeat thread, and this can run
+    // ON that thread (the raced-the-release undo): on stores with
+    // interrupt-sensitive IO (InterruptedIOException IS an IOException,
+    // e.g. HDFS) a SET flag fails IO instantly — r14 ADVICE found it
+    // poisoning the tombstone reads; r15 ADVICE found the same hole one
+    // step earlier, at the initial rename-aside itself (entered
+    // already-interrupted, the rename fails, got=false, and the WHOLE
+    // release is skipped — the holder's own stale lease stays, the
+    // zombie class this protocol exists to prevent). So: CLEAR the flag
+    // BEFORE the first IO step, re-absorb any interrupt that lands
+    // mid-protocol before each subsequent IO step, and restore the flag
+    // once at the end.
+    var sawInterrupt = Thread.interrupted()
     val got = try LayoutFs.fs(lease, c).rename(lease, tomb)
       catch { case _: java.io.IOException => false }
     if (got) {
@@ -700,21 +713,12 @@ object Bucketed {
       // that still fails keeps the safe direction (restore).
       var content: Option[String] = None
       var attempt = 0
-      // the release path interrupts the heartbeat thread, and this can
-      // run ON that thread (the raced-the-release undo): an interrupt
-      // must NOT abort the rename-aside protocol half-done (the
-      // tombstone may hold a successor's live lease awaiting restore),
-      // and — r14 ADVICE — must not poison the reads either: on stores
-      // with interrupt-sensitive IO (InterruptedIOException IS an
-      // IOException, e.g. HDFS) a SET flag fails every attempt
-      // instantly, classifying the tombstone unreadable and restoring
-      // the holder's own stale lease — the zombie this retry exists to
-      // prevent. CLEAR the flag for the duration of the protocol and
-      // restore it once at the end.
-      var sawInterrupt = Thread.interrupted()
       while (content.isEmpty && attempt < 3) {
         if (attempt > 0) try Thread.sleep(25L * attempt)
           catch { case _: InterruptedException => sawInterrupt = true }
+        // a mid-protocol interrupt (e.g. delivered between the clear and
+        // this read) must not fail the remaining IO steps (r15 ADVICE)
+        sawInterrupt |= Thread.interrupted()
         content = try Some(LayoutFs.readString(tomb, c))
           catch { case _: java.io.IOException => None }
         attempt += 1
@@ -726,6 +730,9 @@ object Bucketed {
       // torn-write residue and deleted). Genuinely torn residue (read
       // succeeds, no complete lease line) still deletes.
       val foreign = content.forall(ct => ct.contains("staleMs=") && ct != owner)
+      // re-absorb interrupts before each remaining IO step of the
+      // protocol (delete / restore rename / recreate) — r15 ADVICE
+      sawInterrupt |= Thread.interrupted()
       if (!foreign) LayoutFs.delete(tomb, c)
       else {
         // we renamed away a successor's live takeover (or could not
@@ -738,6 +745,7 @@ object Bucketed {
           // effort rewrite the content before discarding the tombstone;
           // unreadable content has nothing to rewrite and leaves the
           // inert tombstone for their heartbeat to supersede)
+          sawInterrupt |= Thread.interrupted()
           if (!LayoutFs.exists(lease, c))
             content.foreach(ct =>
               try LayoutFs.writeString(lease, ct, c)
@@ -745,10 +753,12 @@ object Bucketed {
           if (content.isDefined) LayoutFs.delete(tomb, c)
         }
       }
-      // interrupt suppressed so the protocol's IO ran uninterrupted;
-      // re-flag it now that the tombstone is resolved
-      if (sawInterrupt) Thread.currentThread().interrupt()
     }
+    // interrupt suppressed so the protocol's IO ran uninterrupted;
+    // re-flag it now that the tombstone is resolved (outside the got
+    // branch — with the clear hoisted above the rename-aside, a failed
+    // rename must not swallow a pending interrupt)
+    if (sawInterrupt) Thread.currentThread().interrupt()
   }
 
   // ---------------------------------------------------------------------

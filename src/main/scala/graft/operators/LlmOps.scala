@@ -3044,48 +3044,19 @@ object LlmOps extends QueryGroup {
     cents.map { case (cid, cv) => (jvmCos(q, cv), cid) }
       .sortBy { case (c, cid) => (-c, cid) }.take(n).map(_._2)
 
-  /** The round-6 ADC cosine column over (codes, recon_norm2) attributes:
-    * per subspace, the query's dot against each centroid precomputes
-    * DRIVER-side into an m×k lookup table, and scoring is ONE native
-    * `adc_dot` expression per row — a codegen'd table-lookup loop over
-    * the flattened m×k table (functions.AdcDot; r13 — 1.16× per row
-    * over the previous m-chained `element_at(typedlit)` nodes and ~3·m
-    * fewer plan nodes in every freshly-planned probe query, where the
-    * per-query ADC latency gap actually lived; tools.AdcAb carries the
-    * 2 M-row numbers). Summation order is j-ascending, bit-identical to the
-    * old `reduce(_ + _)` composition (AdcDotSpec pins the parity), so
-    * the persisted≡inline agreement PqSpec pins cannot drift; the
-    * zero-reconstruction guard mirrors llm_embed_pq's; subspace width
-    * derives from q.length and books.size (never hardcoded). */
-  private[graft] def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column = {
-    val sub = q.length / books.size
-    val kpq = books.head.size
-    require(books.forall(_.size == kpq),
-      s"adc_dot flattened table needs uniform codebook sizes, got ${books.map(_.size)}")
-    val flat = books.zipWithIndex.flatMap { case (book, j) =>
-      val qj = q.slice(j * sub, (j + 1) * sub)
-      adcTableRow(book, qj)
-    }
-    val adcDot = call_function("adc_dot",
-      col("codes"), typedlit(flat), lit(kpq))
-    val qnorm = math.sqrt(q.map(x => x * x).sum)
-    // all-zero query → score 0 for every row (the jvmCos convention), not
-    // a NaN-ordered top-k
-    if (qnorm == 0.0) lit(0.0)
-    else round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-      adcDot / (lit(qnorm) * sqrt(col("recon_norm2")))), 6)
-  }
+  /** The round-6 ADC cosine column over (codes, recon_norm2) attributes —
+    * implementation moved to [[graft.etl.Pq.adcCosCol]] in r16 (housed
+    * with the quantizer so the etl-layer gradedness preflight and the
+    * layouts-layer index build can share it without a layouts→operators
+    * dependency); this forwarder keeps the operator-surface call sites
+    * (probe tools, parity specs) stable. */
+  private[graft] def adcCosCol(books: Seq[graft.etl.Pq.Codebook], q: Seq[Double]): Column =
+    graft.etl.Pq.adcCosCol(books, q)
 
-  /** One subspace's ADC lookup row: ⟨query_j, centroid_jc⟩ for each of
-    * the codebook's centroids in code order — shared by [[adcCosCol]]
-    * and its parity spec so the table derivation cannot drift. */
+  /** Forwarder — see [[graft.etl.Pq.adcTableRow]]. */
   private[graft] def adcTableRow(book: graft.etl.Pq.Codebook,
       qj: Seq[Double]): Seq[Double] =
-    book.sortBy(_._1).map { case (_, cv) =>
-      var d = 0.0; var i = 0
-      while (i < qj.length) { d += qj(i) * cv(i); i += 1 }
-      d
-    }
+    graft.etl.Pq.adcTableRow(book, qj)
 
   /** The trained quantizer models the inline ANN rows share: PQ codebooks
     * (m=8, k=16, 4 Lloyd rounds) and IVF coarse centroids (k=16, 2
@@ -3345,8 +3316,10 @@ object LlmOps extends QueryGroup {
     * search is verifiable against the exact brute-force oracle. The cache
     * tag hashes the source DATA FILES (LayoutUtil.dataSig), not the
     * directory File, so an in-place part-file rewrite rotates it (the r4
-    * ADVICE fix). Returns (codesPath, centsPath, booksPath). */
-  def pqIndexArtifacts(s: SparkSession, dir: String): (String, String, String) = {
+    * ADVICE fix). Returns the five-artifact [[graft.layouts.PqIndex.Artifacts]]
+    * (codes + model sidecars + cell-partitioned float tier + gradedness
+    * manifest). */
+  def pqIndexArtifacts(s: SparkSession, dir: String): graft.layouts.PqIndex.Artifacts = {
     graft.functions.GraftFunctions.register(s)
     val dims = Tables.embeddings(s, dir)
       .select(size(col("embedding"))).head.getInt(0)
@@ -3390,20 +3363,20 @@ object LlmOps extends QueryGroup {
     "llm_ann_ivfpq_persisted",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val (codesPath, centsPath, booksPath) = pqIndexArtifacts(s, dir)
+      val art = pqIndexArtifacts(s, dir)
       // the query vector is already on the driver: subspace geometry
       // derives from it and the loaded codebooks (q.length / books.size
       // inside adcCosCol) — nothing about m or dims is hardcoded, so a
       // PqIndex parameter change cannot desynchronize this row
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
       val probes = topProbes(
-        graft.layouts.PqIndex.serve(s, centsPath).collect()
+        graft.layouts.PqIndex.serve(s, art.cents).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq, q, 4)
-      val books = graft.layouts.PqIndex.loadBooks(s, booksPath)
+      val books = graft.layouts.PqIndex.loadBooks(s, art.books)
       // stage 1 — ADC shortlist inside the probed cells only: top-50 reps
       // by m code lookups per row, collected (bounded — 50 reps + member
       // lists, the candidate set a serving node holds in memory)
-      val short = graft.layouts.PqIndex.serve(s, codesPath)
+      val short = graft.layouts.PqIndex.serve(s, art.codes)
         .filter(col("cent_id").isin(probes: _*))
         .withColumn("adc_cos", adcCosCol(books, q))
         .orderBy(col("adc_cos").desc, col("vec_id").asc)
@@ -3415,12 +3388,19 @@ object LlmOps extends QueryGroup {
       import session.implicits._
       val shortDf = short.map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
         .toSeq.toDF("vec_id", "members")
-      // stage 2 — exact re-rank: point-fetch the candidates' floats (id
-      // predicate pushed to the scan) and score with the exact kernel;
-      // top-5 over reps covers the true top-5 (vecGroups proof), then
-      // identity groups re-expand and re-rank
+      // stage 2 — exact re-rank from the CELL-PARTITIONED float sidecar
+      // (r15 verdict item 1): every candidate lives in a probed cell by
+      // construction (the shortlist was selected from those cells), so
+      // the float fetch prunes to the SAME cent_id= directories the ADC
+      // stage read before the id predicate touches a row group — at
+      // index scale the re-rank reads nprobe/nlist of the float tier,
+      // never an id-predicate scan over the whole raw corpus (measured
+      // 10× on re-rank latency at the 768-dim design point,
+      // tools/PqServeProbe). Top-5 over reps covers the true top-5
+      // (vecGroups proof), then identity groups re-expand and re-rank
       val qDf = docVec(s, dir).filter(col("vec_id") === 0).select(col("v").as("qv"))
-      plantedVecCorpus(s, dir)
+      graft.layouts.PqIndex.serve(s, art.floats)
+        .filter(col("cent_id").isin(probes: _*))
         .filter(col("vec_id").isin(ids: _*))
         .join(broadcast(shortDf), "vec_id")
         .crossJoin(broadcast(qDf))
@@ -3446,118 +3426,25 @@ object LlmOps extends QueryGroup {
       ORDER BY cos_sim DESC NULLS LAST, c.vec_id ASC NULLS FIRST
       LIMIT 5"""))
 
-  /** GRADEDNESS PREFLIGHT for PQ-coded ANN — the r14 design-point probe's
-    * negative result productized (`llm_ann_recall_floor`): a corpus whose
-    * in-cell similarity profile is DEGENERATE (every candidate at the
-    * same cosine ± i.i.d. noise, no graded near tier) silently destroys
-    * PQ recall at ANY code budget — measured r14 (CROSSOVER): ADC recall
-    * 0.02–0.08 on flat-cluster white noise, monotonically WORSE with more
-    * probes, while the same quantizer config scores 1.000 on a
-    * hierarchical corpus. The failure is a property of the DATA, not of
-    * m/k/nprobe, so a deployment must detect it BEFORE building a
-    * billion-vector index and burning a cluster-day on an encode whose
-    * shortlists will be noise.
-    *
-    * Method, per sampled IVF cell (cells are the ADC scan unit, so the
-    * verdict is measured exactly where the scan runs): probe = the cell's
-    * lowest-id member; score every other member with (a) the exact cosine
-    * kernel and (b) the ADC approximation through the CONFIGURED
-    * quantizer, then compare two numbers —
-    *   margin    = mean(top-`topTier` exact cosines) − median(exact
-    *               cosine): how far the near tier stands above the bulk;
-    *   quant_err = median |exact − adc|: the score noise quantization
-    *               injects at this m/k on this data.
-    * ADC ordering can only resolve structure the margin keeps above the
-    * noise: `graded` requires margin ≥ 2 × quant_err (the factor keeps a
-    * p50 noise estimate honest against its own tail); anything else is
-    * `degenerate` — expect shortlist recall to collapse, and either serve
-    * float scans or re-examine the embedding pipeline. The emitted
-    * `recon_cos_p50` (median cos(v, v̂) from the encode's carried stats)
-    * separates the two degenerate causes: HIGH recon with a degenerate
-    * verdict says the DATA has no grade (r14's flat-noise corpus); LOW
-    * recon says m is too small for these dims (r14's m=16-at-768 row).
-    *
-    * 100 TB shape: `sampleCells` bounds the work to K cells regardless of
-    * corpus size; both models ride as literals (assign, encode and ADC are
-    * map-side); the shuffles are one cell-census aggregate and one window
-    * PARTITIONED BY cell over only the sampled members; the exact
-    * percentile sorts within those groups alone. Oracle: none (k-means
-    * models — the ANN-family sanction); AnnRecallFloorSpec pins the
-    * discriminating behavior on both r14 corpus shapes. */
+  /** GRADEDNESS PREFLIGHT for PQ-coded ANN (`llm_ann_recall_floor`) —
+    * the operator surface of [[graft.etl.AnnPreflight.recallFloor]]
+    * (implementation moved to the etl layer in r16, with the quantizers
+    * it diagnoses, so [[graft.layouts.PqIndex.ensure]] runs it at build
+    * time and records the verdict in the index manifest — see the full
+    * method/verdict semantics and the 100 TB shape in the AnnPreflight
+    * scaladoc; the r15 form's full-corpus localCheckpoint is gone — the
+    * census is a pure map-side pass and only the K-cell-filtered members
+    * persist, released before return). Emits one row per sampled cell:
+    * (cent_id, members, top_tier_cos, bulk_cos, margin, quant_err,
+    * recon_cos_p50, ratio, verdict) with verdict ∈ graded | degenerate |
+    * insufficient_members. Oracle: none (k-means models — the ANN-family
+    * sanction); AnnRecallFloorSpec pins the discriminating behavior on
+    * both r14 corpus shapes, the singleton-cell row, and the
+    * no-materialization plan property. */
   def annRecallFloor(vecs: DataFrame, books: Seq[graft.etl.Pq.Codebook],
       cents: Seq[(Long, Seq[Double])], dims: Int,
-      sampleCells: Int = 4, topTier: Int = 10): DataFrame = {
-    val s = vecs.sparkSession
-    graft.functions.GraftFunctions.register(s)
-    // assignment is reused by the census and the scored scan — pin it
-    val assigned = graft.etl.Ivf.assign(vecs, centsDf(s, cents)).localCheckpoint()
-    // the K LARGEST cells (ties → lowest cent_id): deterministic, and the
-    // cells where most probe traffic lands
-    val cells = assigned.groupBy(col("cent_id")).count()
-      .orderBy(col("count").desc, col("cent_id").asc)
-      .limit(sampleCells).collect().map(_.getLong(0)).toSeq
-    require(cells.nonEmpty,
-      "ann_recall_floor: empty corpus — nothing to preflight")
-    val members = assigned.filter(col("cent_id").isin(cells: _*))
-    // one probe vector per cell, driver-resident (K × dims doubles — the
-    // model-literal convention); min_by is deterministic, vec_id is unique
-    val probes: Map[Long, (Long, Seq[Double])] = members
-      .groupBy(col("cent_id"))
-      .agg(min(col("vec_id")).as("probe_id"),
-        min_by(col("v"), col("vec_id")).as("qv"))
-      .collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
-    // per-cell model-literal dispatch: each branch is null off its cell,
-    // coalesce picks the matching one
-    def perCell(f: (Long, Seq[Double]) => Column): Column =
-      coalesce(cells.map(c =>
-        when(col("cent_id") === c, f(probes(c)._1, probes(c)._2))): _*)
-    val coded = graft.etl.Pq.encodeWithStats(members, dims, books)
-    val scored = coded
-      .filter(col("vec_id") =!= perCell((pid, _) => lit(pid)))
-      .select(col("cent_id"), col("vec_id"),
-        perCell((_, qv) =>
-          round(call_function("cosine_fast", col("v"), typedlit(qv)), 6))
-          .as("exact_cos"),
-        perCell((_, qv) => adcCosCol(books, qv)).as("adc_cos"),
-        // quantizer reconstruction quality per member: cos(v, v̂) from the
-        // encode's carried stats — the m-budget diagnostic the verdict
-        // asked for alongside the margin (a degenerate verdict with HIGH
-        // recon_cos says "the data has no grade"; with LOW recon_cos it
-        // says "m is too small for these dims" — r14's two failure modes)
-        round(when(col("recon_norm2") === 0.0, 0.0).otherwise(
-          col("recon_dot") /
-            (sqrt(call_function("dot_fast", col("v"), col("v"))) *
-              sqrt(col("recon_norm2")))), 6)
-          .as("recon_cos"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cent_id"))
-          .orderBy(col("exact_cos").desc, col("vec_id").asc)))
-    // order-independent mean over the (≤ topTier)-row tier: exact
-    // high-precision decimal sum, one double division (the Det.davg shape
-    // at cosine precision — Det's DECIMAL(18,4) is money-grained)
-    def cavg(c: Column): Column =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-        .cast("double") / count(c).cast("double")
-    scored.groupBy(col("cent_id"))
-      .agg(count(lit(1)).as("members"),
-        cavg(when(col("rn") <= topTier, col("exact_cos"))).as("tier"),
-        expr("percentile(exact_cos, 0.5)").as("bulk"),
-        expr("percentile(abs(exact_cos - adc_cos), 0.5)").as("qerr"),
-        expr("percentile(recon_cos, 0.5)").as("recon"))
-      .select(col("cent_id"), col("members"),
-        round(col("tier"), 6).as("top_tier_cos"),
-        round(col("bulk"), 6).as("bulk_cos"),
-        round(col("tier") - col("bulk"), 6).as("margin"),
-        round(col("qerr"), 6).as("quant_err"),
-        round(col("recon"), 6).as("recon_cos_p50"),
-        round((col("tier") - col("bulk")) / greatest(col("qerr"), lit(1e-6)), 3)
-          .as("ratio"))
-      .withColumn("verdict",
-        when(col("margin") >= lit(2.0) * col("quant_err"), lit("graded"))
-          .otherwise(lit("degenerate")))
-      .orderBy(col("cent_id").asc_nulls_first)
-  }
+      sampleCells: Int = 4, topTier: Int = 10): DataFrame =
+    graft.etl.AnnPreflight.recallFloor(vecs, books, cents, dims, sampleCells, topTier)
 
   /** Registry row: the preflight over the sf corpus's dedup-first reps at
     * the shared train-once quantizer config ([[pqModels]] — the exact

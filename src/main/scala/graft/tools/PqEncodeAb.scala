@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DecimalType}
 
 /** Encode-path A/B at PQ's design point (r14 verdict item 2): the r15
   * [[graft.functions.PqEncode.doGenCode]] emitted loop vs the pre-r15
@@ -77,17 +77,29 @@ object PqEncodeAb {
     println(f"PROBE pq_encode_ab corpus=$dir n=$n dims=$dims m=$m k=$kpq " +
       f"train_s=$tTrain%.1f model_mb=${flat.length * 8 / 1e6}%.1f")
 
-    // full-corpus encode, result reduced to one exact long checksum (the
-    // first code summed — order-independent, path-equality witness) so
-    // the timing is encode-dominated, not write-dominated
-    def drive(fn: String): (Long, Double) = {
+    // full-corpus encode, reduced to exact ORDER-INDEPENDENT checksums
+    // over the WHOLE output struct (r15 ADVICE: summing only codes[1]
+    // let a fallback-vs-codegen divergence confined to codes 2..m or to
+    // the recon stats pass unseen): all m codes sum into one exact long,
+    // and the two recon doubles round to 6dp and sum as decimals — exact
+    // and partition-order-independent where a double sum is not — so ANY
+    // per-subspace or per-stat divergence moves the triple. Timing stays
+    // encode-dominated, not write-dominated.
+    def drive(fn: String): (String, Double) = {
       val t0 = System.nanoTime()
-      val chk = corpus
-        .select(call_function(fn,
-          col("v"), typedlit(flat), typedlit(halfcc), lit(kpq)).as("e"))
-        .select(sum(element_at(col("e").getField("codes"), 1)).as("s"))
-        .head.getLong(0)
-      (chk, (System.nanoTime() - t0) / 1e9)
+      val e = call_function(fn,
+        col("v"), typedlit(flat), typedlit(halfcc), lit(kpq)).as("e")
+      val r = corpus.select(e)
+        .select(
+          sum(aggregate(col("e").getField("codes"), lit(0L),
+            (acc, x) => acc + x)).as("cs"),
+          sum(round(col("e").getField("recon_dot"), 6)
+            .cast(DecimalType(30, 8))).as("rd"),
+          sum(round(col("e").getField("recon_norm2"), 6)
+            .cast(DecimalType(30, 8))).as("rn"))
+        .head
+      (s"${r.getLong(0)}|${r.getDecimal(1)}|${r.getDecimal(2)}",
+        (System.nanoTime() - t0) / 1e9)
     }
     for (rep <- 1 to reps; fn <- Seq("pq_encode_fb", "pq_encode")) {
       val (chk, t) = drive(fn)

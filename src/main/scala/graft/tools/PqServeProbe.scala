@@ -58,21 +58,24 @@ object PqServeProbe {
     println(s"PROBE pq_serve corpus=$dir n=$n dims=$dims m=$m kpq=$kpq " +
       s"nlist=$nlist nprobe=$np shortlist=$shortlist")
 
-    val ((codesPath, centsPath, booksPath), tBuild) = timed {
+    val (art, tBuild) = timed {
       graft.layouts.PqIndex.ensure(spark, s"hd_$dir", corpus, dims,
         k = nlist, iters = 2, m = m, kpq = kpq, pqIters = 2,
         ivfSampleCap = Ivf.trainSampleCap(nlist),
         pqSampleCap = Pq.trainSampleCap(kpq))
     }
-    val codeFiles = graft.layouts.PqIndex.serve(spark, codesPath).inputFiles.length
-    val codesBytes = {
-      def du(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    val codeFiles = graft.layouts.PqIndex.serve(spark, art.codes).inputFiles.length
+    def du(path: String): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0L)
         else f.length()
-      du(new java.io.File(codesPath.stripPrefix("file:")))
+      rec(new java.io.File(path.stripPrefix("file:")))
     }
+    val manifest = graft.layouts.PqIndex.serve(spark, art.manifest).head
     println(f"PROBE pq_serve build_s=$tBuild%.1f files=$codeFiles " +
-      f"codes_mb=${codesBytes / 1e6}%.0f")
+      f"codes_mb=${du(art.codes) / 1e6}%.0f floats_mb=${du(art.floats) / 1e6}%.0f " +
+      s"manifest=graded:${manifest.getLong(1)}/deg:${manifest.getLong(2)}" +
+      s"/insuf:${manifest.getLong(3)}/min_ratio:${manifest.get(4)}")
 
     // ~64 deterministic queries (the AnnScaleProbe selection)
     val qmod = sys.env.getOrElse("ANN_QMOD", "32749").toLong
@@ -93,11 +96,14 @@ object PqServeProbe {
     // SERVE: model sidecars once (the serving-node startup), then per
     // query: driver-side probe choice, pruned ADC shortlist through the
     // served relation, exact re-rank point-fetched from the corpus
-    val cents = graft.layouts.PqIndex.serve(spark, centsPath).collect()
+    val cents = graft.layouts.PqIndex.serve(spark, art.cents).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val books = graft.layouts.PqIndex.loadBooks(spark, booksPath)
-    val served = graft.layouts.PqIndex.serve(spark, codesPath)
+    val books = graft.layouts.PqIndex.loadBooks(spark, art.books)
+    val served = graft.layouts.PqIndex.serve(spark, art.codes)
+    val floats = graft.layouts.PqIndex.serve(spark, art.floats)
+    val floatFiles = floats.inputFiles.length
     var filesRead = 0L
+    var rrFilesRead = 0L
     val perQ = queries.map { case (qid, qv) =>
       val probeIds = cents.map { case (cid, cv) => (cosine(qv, cv), cid) }
         .sortBy { case (c, cid) => (-c, cid) }.take(np).map(_._2).toSeq
@@ -117,12 +123,25 @@ object PqServeProbe {
       filesRead += ids._2
       val adcRecall =
         ids._1.take(topK).toSet.intersect(gt(qid).toSet).size.toDouble / topK
-      val (reranked, tRr) = timed {
-        corpus.filter(col("vec_id").isin(ids._1: _*))
+      // re-rank from the CELL-PARTITIONED float sidecar (r15 verdict
+      // item 1): cent_id pruning first, id predicate inside the probed
+      // cells only — the r15 form point-fetched from the raw single-file
+      // corpus and paid a full id-predicate scan (~1.0 s/query vs ~0.1)
+      val (rr, tRr) = timed {
+        val df = floats.filter(col("cent_id").isin(probeIds: _*))
+          .filter(col("vec_id").isin(ids._1: _*))
           .select(col("vec_id"), cosExpr(qv).as("c"))
           .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
-          .limit(topK).collect().map(_.getLong(0)).toSeq
+          .limit(topK)
+        val r = df.collect().map(_.getLong(0)).toSeq
+        val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.getOrElse(0L)
+        (r, nf)
       }
+      rrFilesRead += rr._2
+      val reranked = rr._1
       val recall = reranked.toSet.intersect(gt(qid).toSet).size.toDouble / topK
       (adcRecall, recall, tAdc, tRr)
     }
@@ -131,7 +150,8 @@ object PqServeProbe {
       f"recall@$topK=${perQ.map(_._2).sum / perQ.length}%.3f " +
       f"adc_lat_avg_s=${perQ.map(_._3).sum / perQ.length}%.3f " +
       f"rerank_lat_avg_s=${perQ.map(_._4).sum / perQ.length}%.3f " +
-      f"files_read_frac=${filesRead.toDouble / (perQ.length.toLong * codeFiles)}%.4f")
+      f"files_read_frac=${filesRead.toDouble / (perQ.length.toLong * codeFiles)}%.4f " +
+      f"rr_files_frac=${rrFilesRead.toDouble / (perQ.length.toLong * floatFiles)}%.4f")
     spark.stop()
   }
 }

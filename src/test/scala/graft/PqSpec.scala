@@ -289,7 +289,8 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     // shortlist stage runs eagerly inside the row builder, so re-issue a
     // probe-shaped read against the same persisted index and check scan
     // metrics — driver metrics post on the FIRST computation only.
-    val (codesPath, centsPath, _) = graft.operators.LlmOps.pqIndexArtifacts(s, sf)
+    val art = graft.operators.LlmOps.pqIndexArtifacts(s, sf)
+    val (codesPath, centsPath) = (art.codes, art.cents)
     val qv = base.filter(col("vec_id") === 0).head.getSeq[Double](1)
     val probes = s.read.parquet(centsPath).collect()
       .map { r =>
@@ -316,6 +317,43 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.queries("llm_ann_ivfpq_persisted")(s, sf).collect()
     assert(new java.io.File(idxPath, "_SUCCESS").lastModified() == mark,
       "codes layout was rebuilt on the second run")
+  }
+
+  test("persisted float sidecar: cell-partitioned like the codes table, " +
+      "row-parity with it, and a probe-shaped re-rank fetch prunes to the " +
+      "probed cells (r15 verdict item 1)") {
+    val s = spark
+    val art = graft.operators.LlmOps.pqIndexArtifacts(s, sf)
+    val codes = s.read.parquet(art.codes)
+    val floats = s.read.parquet(art.floats)
+    // both tiers carry the same reps, cell for cell
+    // partition-column type inference reads cent_id back as int
+    val codeCells = codes.groupBy(col("cent_id").cast("long").as("cent_id"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val floatCells = floats.groupBy(col("cent_id").cast("long").as("cent_id"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codeCells == floatCells,
+      s"tier cell membership diverged: $codeCells vs $floatCells")
+    // the re-rank shape: cent_id pruning first, id predicate inside —
+    // scan metrics must show exactly the probed partitions (the codes
+    // table's pin applied to the cold tier)
+    val someCells = codeCells.keys.toSeq.sorted.take(4)
+    val someIds = floats
+      .filter(col("cent_id").isin(someCells: _*))
+      .select(col("vec_id")).limit(8).collect().map(_.getLong(0)).toSeq
+    val fetch = floats.filter(col("cent_id").isin(someCells: _*))
+      .filter(col("vec_id").isin(someIds: _*))
+    val scan = fetch.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    fetch.collect()
+    val totalParts = Option(new java.io.File(art.floats).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cent_id="))).getOrElse(0)
+    assert(totalParts > 4, s"float tier has only $totalParts partitions")
+    assert(scan.get.metrics("numPartitions").value == 4,
+      s"re-rank fetch read ${scan.get.metrics("numPartitions").value} of " +
+        s"$totalParts float partitions — expected exactly the 4 probed")
   }
 
   test("appendStream: streamed codes are batch-identical and land in prunable partitions") {
