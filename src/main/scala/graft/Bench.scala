@@ -420,12 +420,35 @@ object Bench {
     // headline pass so the one-time cost lands in the `builds` record,
     // not in q5's first warmup (the same prewarm-with-identical-cache-key
     // contract the registry phase applies to every resident format)
-    val preBuilds: Seq[(String, (Double, Option[String]))] = Seq(
-      "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
-      "build_bucketed_dims" -> clocked(operators.Joins.bucketedDims(spark, sfDir)),
-      "build_bucketed_events" -> clocked(operators.Joins.bucketedEvents(spark, sfDir)))
+    // r15 verdict item 5 (sf96, disk-frugally): SPARK_GRAFT_CLASSIC_ONLY
+    // skips EVERY layout build — the r15 sf96 abort was the two
+    // ~288 M-row bucketBy shuffles exhausting /tmp, never the query pass
+    // — and times the raw-table twins plus the layout-free headline
+    // shapes only. No resident format anywhere, so the record compares
+    // like-for-like against a raw-parquet baseline engine; the layouts'
+    // wins stay quantified by the non-classic runs at the SFs that fit.
+    val classicOnly = sys.env.contains("SPARK_GRAFT_CLASSIC_ONLY")
+    val preBuilds: Seq[(String, (Double, Option[String]))] =
+      if (classicOnly) Nil else Seq(
+        "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
+        "build_bucketed_dims" -> clocked(operators.Joins.bucketedDims(spark, sfDir)),
+        "build_bucketed_events" -> clocked(operators.Joins.bucketedEvents(spark, sfDir)))
 
-    val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val classicHeadline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q1_pricing_summary" -> (q1 _),
+      "grouping_sets"      -> (groupingSets _),
+      "pivot_transpose"    -> (pivotTranspose _),
+      "tumbling_window"    -> (tumbling _),
+      "text_tokens"        -> (textTokens _),
+      "dedup_exact"        -> (dedupExact _)) ++
+      fromRegistry.map { case (b, q) => b -> SparkEntry.queries(q) } :+
+      ("q3_join3_topk_classic" -> (q3Classic _)) :+
+      ("q5_join5_classic"  -> (q5Classic _)) :+
+      ("asof_like_merge_classic" -> (asofLikeMergeClassic _)) :+
+      ("window_rank_classic" -> (windowRankClassic _)) :+
+      ("sessionize_classic" -> (sessionizeClassic _))
+
+    val fullHeadline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q1_pricing_summary" -> (q1 _),
       "q3_join3_topk"      -> (q3 _),
       "q5_join5"           -> (q5 _),
@@ -443,6 +466,8 @@ object Bench {
       ("asof_like_merge_classic" -> (asofLikeMergeClassic _)) :+
       ("window_rank_classic" -> (windowRankClassic _)) :+
       ("sessionize_classic" -> (sessionizeClassic _))
+
+    val headline = if (classicOnly) classicHeadline else fullHeadline
 
     // error capture on the HEADLINE pass too (r9): without it a single
     // crashed shape (e.g. a classic contrast entry whose unspillable
