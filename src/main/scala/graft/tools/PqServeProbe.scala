@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * 768-dim corpus through `PqIndex.ensure` → `PqIndex.serve` — the
   * marker-validated cached listing, served relation, and cent_id
   * partition pruning that `llm_ann_ivfpq_persisted` actually serves
-  * with — and records end-to-end probe latency, files read, and
-  * recall@k vs exact brute force. Training uses the sample caps (the
-  * production shape — fitting is sample-proportional); the full corpus
-  * pays one assignment and one encode pass inside the build.
+  * with — and records end-to-end probe latency, files read (for BOTH
+  * tiers: codes for the ADC stage, the r16 cell-partitioned float tier
+  * for the exact re-rank), and recall@k vs exact brute force. Training
+  * uses the sample caps (the production shape — fitting is
+  * sample-proportional); the full corpus pays one assignment and one
+  * encode pass inside the build.
   *
   * Usage: runMain graft.tools.PqServeProbe [dirWithEmbeddingsParquet]
   *   SERVE_M (default 96), SERVE_K (256), SERVE_NLIST (1024),

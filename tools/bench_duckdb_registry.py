@@ -30,6 +30,13 @@ CAP_S = 180.0
 
 con = duckdb.connect()
 con.execute(f"SET threads={THREADS}")
+# Bound the spill so one brute-force oracle cannot fill the volume and
+# kill the WHOLE sweep (r16: an oracle spilled >40 GB at sf3 inside its
+# 180 s cap and took the process down with an IOException the old tool
+# did not catch). A query that needs more temp than this errors and is
+# reported as -3 — the same "too expensive here" class as the cap, with
+# the disk budget explicit.
+con.execute("SET max_temp_directory_size='20GiB'")
 for t in ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -52,6 +59,10 @@ def run_capped(sql):
         return True
     except duckdb.InterruptException:
         return False
+    except duckdb.Error as e:  # spill-budget / OOM / IO: fail the ROW, not the sweep
+        print(f"[duck-registry] row error: {type(e).__name__}: {str(e)[:120]}",
+              file=sys.stderr)
+        return None
     finally:
         done.set()
 
@@ -60,15 +71,17 @@ out = {}
 for name in sorted(oracles):
     sql = oracles[name]
     t0 = time.perf_counter()
-    if not run_capped(sql):  # warmup doubles as the timeout probe
-        out[name] = -2.0
-        print(f"[duck-registry] {name:<28} TIMEOUT(>{CAP_S:.0f}s)", file=sys.stderr)
+    first = run_capped(sql)  # warmup doubles as the timeout/error probe
+    if first is not True:
+        out[name] = -2.0 if first is False else -3.0
+        label = f"TIMEOUT(>{CAP_S:.0f}s)" if first is False else "ERROR(spill/oom)"
+        print(f"[duck-registry] {name:<28} {label}", file=sys.stderr)
         continue
     times = []
     ok = True
     for _ in range(2):
         t0 = time.perf_counter()
-        if not run_capped(sql):
+        if run_capped(sql) is not True:
             ok = False
             break
         times.append(time.perf_counter() - t0)
