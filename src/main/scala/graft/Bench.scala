@@ -593,9 +593,16 @@ object Bench {
       kvs.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
         .mkString("{", ",", "}")
     // the 12-query total compares 1:1 against BASELINE.md's 12 names —
-    // contrast entries (the *_classic rows) are timed but excluded
-    val nonClassic = timedFinal.filterNot(_._1.endsWith("_classic"))
+    // contrast entries (the *_classic rows) are timed but excluded.
+    // EXCEPT in classic-only mode, where the twins ARE the comparison
+    // set (they substitute for the 5 layout shapes): excluding them
+    // there published a 7-row sum labeled 12q (the r16 sf96 record)
+    val nonClassic =
+      if (classicOnly) timedFinal
+      else timedFinal.filterNot(_._1.endsWith("_classic"))
     val total = nonClassic.map(_._2._1).sum
+    val headlineMetric =
+      if (classicOnly) "headline_total_12q_classic" else "headline_total_12q"
     // `clean_total` (r9 ADVICE): a crashed non-classic shape contributes
     // its (fast) failure time to `value`, which deflates the cross-round
     // scalar for any consumer that never reads `errors`; the clean total
@@ -617,7 +624,7 @@ object Bench {
     // registry_detail record — the r4 "must not masquerade" contract
     // applied to the comparison artifact itself
     val headlineLine =
-      s"""{"metric":"headline_total_12q","value":$total,"clean_total":$cleanTotal,""" +
+      s"""{"metric":"$headlineMetric","value":$total,"clean_total":$cleanTotal,""" +
         s""""unit":"sec","queries":$qs,""" +
         s""""errors":${objErrs(timedFinal)},"data_sig":"$dataSig","sf":"$sfDir"}"""
     val fullJson =
@@ -636,8 +643,15 @@ object Bench {
       // a sweep can never clobber the sf0.1 record (r13 verdict item 4:
       // two r13 commits were spent restoring it after sweep runs)
       val base = new java.io.File(sfDir).getName
+      // classic-only runs are a different comparison set (layout-free
+      // twins substituted for the 5 layout shapes) — suffix them too, or
+      // a classic-only smoke run at sf0.1 overwrites the quiet full-mode
+      // record with totals that aren't comparable (burned in r16: the
+      // ee7aa75 smoke run shipped a 1.32 s "record" built from twins)
+      val mode = if (classicOnly) ".classic" else ""
       val mirror =
-        if (base == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL.$base.json"
+        if (base == "sf0.1") s"BENCH_LOCAL$mode.json"
+        else s"BENCH_LOCAL.$base$mode.json"
       val w = new java.io.PrintWriter(mirror, "UTF-8")
       try { w.println(fullJson); w.println(headlineLine) } finally w.close()
     } catch { case _: java.io.IOException => () } // read-only cwd: stdout still has both lines
