@@ -408,7 +408,7 @@ object Bench {
     // gets its parallelism from executors×cores feeding the same
     // formula, not from oversplitting one node.
     // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for A/B experiments.
-    val classicOnlyMode = sys.env.contains("SPARK_GRAFT_CLASSIC_ONLY")
+    val classicOnly = sys.env.contains("SPARK_GRAFT_CLASSIC_ONLY")
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt).getOrElse(
         math.max(4, math.min(cpus.toInt, (dataBytes / (32L << 20)).toInt)))
@@ -456,7 +456,6 @@ object Bench {
     // shapes only. No resident format anywhere, so the record compares
     // like-for-like against a raw-parquet baseline engine; the layouts'
     // wins stay quantified by the non-classic runs at the SFs that fit.
-    val classicOnly = classicOnlyMode
     val preBuilds: Seq[(String, (Double, Option[String]))] =
       if (classicOnly) Nil else Seq(
         "build_bucketed_facts" -> clocked(operators.Joins.bucketedFacts(spark, sfDir)),
@@ -521,7 +520,12 @@ object Bench {
     // `all_queries_once` stays in `queries` for cross-round comparability
     // and now equals the SUM of the per-row times (build costs excluded).
     // SPARK_GRAFT_HEADLINE_ONLY=1 skips the pass (crossover runs at larger
-    // SFs; the driver never sets it).
+    // SFs; the driver never sets it) — and so does classic-only mode,
+    // whose whole contract is "no resident format built anywhere": the
+    // registry rows build z-order/PQ/IVF/stream layouts and their
+    // co-located shapes trigger the very bucketBy shuffles the mode
+    // exists to avoid (r16 review catch — the first cut gated only the
+    // three preBuilds).
     // the three rows whose single-session cold numbers carry ±1 s
     // neighborhood-GC error bars (r4 verdict item 7): re-run once after
     // the full pass and publish min-of-2 alongside, the CROSSOVER
@@ -547,7 +551,9 @@ object Bench {
     }
 
     val (buildTimes, rowTimes, heavyMin2) =
-      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) (preBuilds, Nil, Nil) else {
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY") || classicOnly)
+        (preBuilds, Nil, Nil)
+      else {
         val builds: Seq[(String, (Double, Option[String]))] = preBuilds ++ Seq(
           // range-banded + incremental layouts prewarmed with the exact
           // cache keys their registry rows use (r9 verdict item 5: the
@@ -600,7 +606,7 @@ object Bench {
     // the single pass: there is no registry phase to separate the passes
     // and per-query seconds dwarf scheduling noise at those run lengths.
     val timedFinal =
-      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) timed
+      if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY") || classicOnly) timed
       else {
         val fns = headline.toMap
         timed.map { case (name, t) =>

@@ -30,6 +30,15 @@ object PqServeProbe {
     dot / math.sqrt(na * nb)
   }
 
+  /** The executed scan's numFiles metric — the pruning observable both
+    * stages report (one FileSourceScanExec per single-relation stage;
+    * AQE is off in this probe so the leaf is not AQE-wrapped). */
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.getOrElse(0L)
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
   }
@@ -116,10 +125,7 @@ object PqServeProbe {
           .limit(shortlist)
           .select(col("vec_id"))
         val r = df.collect().map(_.getLong(0)).toSeq
-        val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.metrics("numFiles").value
-        }.getOrElse(0L)
+        val nf = scanNumFiles(df)
         (r, nf)
       }
       filesRead += ids._2
@@ -136,10 +142,7 @@ object PqServeProbe {
           .orderBy(col("c").desc_nulls_last, col("vec_id").asc_nulls_first)
           .limit(topK)
         val r = df.collect().map(_.getLong(0)).toSeq
-        val nf = df.queryExecution.executedPlan.collectLeaves().collectFirst {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.metrics("numFiles").value
-        }.getOrElse(0L)
+        val nf = scanNumFiles(df)
         (r, nf)
       }
       rrFilesRead += rr._2

@@ -124,7 +124,9 @@ class AnnRecallFloorSpec extends AnyFunSuite with SparkTestBase {
     // columns, the census plan's scan must read ONLY v (assignment's
     // input) — vec_id and payload columns prune away, and the plan
     // carries no materialization barrier that would block the pruning
-    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_census")
+    val dir = dirPath.toString
+    try {
     vecsDf.withColumn("payload", lit("x")).write.mode("overwrite").parquet(dir)
     val session = spark
     import session.implicits._
@@ -145,6 +147,7 @@ class AnnRecallFloorSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(cached.isEmpty, s"census plan must not materialize:\n$plan")
     assert(census.collect().length == 4)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dirPath.toFile)
   }
 
   test("PqIndex.ensure records the build-time gradedness verdict in the " +

@@ -78,15 +78,21 @@ for name in sorted(oracles):
         print(f"[duck-registry] {name:<28} {label}", file=sys.stderr)
         continue
     times = []
-    ok = True
-    for _ in range(2):
+    ok = True  # keep the -2 (timeout) vs -3 (error) classes distinct in
+    for _ in range(2):  # the timed runs too, not just the warmup probe
         t0 = time.perf_counter()
-        if run_capped(sql) is not True:
-            ok = False
+        r = run_capped(sql)
+        if r is not True:
+            ok = r  # False = timeout, None = row error
             break
         times.append(time.perf_counter() - t0)
-    out[name] = round(min(times), 4) if ok else -2.0
-    print(f"[duck-registry] {name:<28} {out[name]:.3f} s", file=sys.stderr)
+    if ok is True:
+        out[name] = round(min(times), 4)
+        print(f"[duck-registry] {name:<28} {out[name]:.3f} s", file=sys.stderr)
+    else:
+        out[name] = -2.0 if ok is False else -3.0
+        label = f"TIMEOUT(>{CAP_S:.0f}s)" if ok is False else "ERROR(spill/oom)"
+        print(f"[duck-registry] {name:<28} {label} (timed run)", file=sys.stderr)
 
 total = round(sum(v for v in out.values() if v >= 0), 2)
 print(json.dumps({"metric": "duckdb_registry_sweep", "value": total,
