@@ -567,6 +567,10 @@ object Bench {
           "build_stream_ingest" -> clocked(streaming.StreamIngest.ensureStreamedLayout(spark, sfDir)),
           "build_zorder_lineitem" -> clocked(operators.Sources.lineitemZPath(spark, sfDir)),
           "build_ivf_index" -> clocked(operators.LlmOps.persistedIvfIndex(spark, sfDir)),
+          // the shared neardup-repbase MinHash index both incremental
+          // rows probe (r17: its one-time build otherwise lands inside
+          // llm_corpus_prep_incremental's timing on a fresh data vintage)
+          "build_minhash_index" -> clocked(operators.LlmOps.neardupRepbaseIndex(spark, sfDir)),
           "build_knn_ivf_index" -> clocked(operators.LlmOps.persistedKnnIvfIndex(spark, sfDir)),
           "build_pq_index" -> clocked(operators.LlmOps.pqIndexArtifacts(spark, sfDir)),
           "build_pq_model" -> clocked(operators.LlmOps.pqModels(spark, sfDir)),

@@ -63,11 +63,19 @@ object Bpe {
     * SIZE-DRIVEN strategy (the sizedOrders convention, measured on this
     * repo's corpus-derived tables):
     *
-    *  - tables under `deltaThreshold` word types train by FULL RECOUNT —
-    *    one pair aggregation + one rewrite per round. At small scale the
-    *    per-round cost is fixed job overhead, and the delta machinery's
-    *    extra jobs only add to it (measured 0.26 vs 0.34 s/round at 27 k
-    *    types).
+    *  - tables under `deltaThreshold` word types train ON THE DRIVER:
+    *    the weighted type table is collected once (bounded by the
+    *    threshold — ≤100 k (w, cnt) rows is single-digit MB, the same
+    *    model-parameter budget Ivf.train's per-iteration centroid
+    *    collect lives in, and exactly what reference BPE trainers hold
+    *    in memory) and the Sennrich recount loop runs in-JVM. This
+    *    replaces the r6 distributed FULL-RECOUNT path, whose per-round
+    *    cost was pure fixed job overhead at this size: one pair-count
+    *    collect + one rewrite checkpoint per round = 2·k jobs for k
+    *    merges — measured 2.19 s of the llm_bpe_tokenize row's 4.25 s
+    *    at sf0.1/local[32] (r17), vs one collect job here. Merges are
+    *    bit-identical (BpeSpec pins both strategies against the same
+    *    JVM reference, tie-breaks included).
     *  - larger tables train with DELTA-UPDATED pair counts (what
     *    reference BPE trainers do): the pair table is built once and each
     *    round adjusts it only for the word types CONTAINING the merged
@@ -89,31 +97,99 @@ object Bpe {
     * zero is dropped and recreated by a later positive delta if rewrites
     * reintroduce it. `localCheckpoint` truncates per-round lineage (plans
     * would otherwise nest once per merge). */
+  /** Spark's UTF-8 BINARY collation as a driver-side ordering: compare
+    * UTF-8 bytes unsigned, NOT Java's UTF-16 code units — the two diverge
+    * on supplementary-plane characters, and the tie-break must match what
+    * the delta path's `orderBy(a, b)` does on any corpus. */
+  private val utf8Ord: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Greedy left-to-right non-overlapping merge — the driver twin of
+    * [[mergeStep]]'s fold (a fresh fusion never re-combines in-round). */
+  private def mergeGreedy(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The small-table training strategy: the Sennrich recount loop over a
+    * collected, frequency-weighted type table. Same argmax and tie-break
+    * (count desc, then (a, b) ascending in UTF-8 byte order) as the
+    * distributed delta path — BpeSpec pins both against one reference. */
+  private[etl] def trainLocal(wf: Array[(String, Long)], nMerges: Int,
+      onRound: (Int, Double) => Unit): Seq[(String, String)] = {
+    // same symbol atomization as chars(): split-between-characters with
+    // empties dropped (Java and Spark both split on the empty regex
+    // without breaking surrogate pairs)
+    var segs: Array[(Array[String], Long)] =
+      wf.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pairOrd = Ordering.Tuple2(utf8Ord, utf8Ord)
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      val roundStart = System.nanoTime()
+      val counts = new java.util.HashMap[(String, String), Long]()
+      segs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, n) =>
+          if (best == null || n > best._2 ||
+            (n == best._2 && pairOrd.lt(p, best._1))) best = (p, n)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        segs = segs.map { case (syms, c) => (mergeGreedy(syms, a, b), c) }
+      }
+      onRound(round, (System.nanoTime() - roundStart) / 1e9)
+    }
+    merges.toSeq
+  }
+
   def train(wordFreq: DataFrame, nMerges: Int,
       deltaThreshold: Long = 100000L,
       onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(String, String)] = {
+    // size probe doubling as the small-table collect: ≤ threshold rows
+    // come back whole (train on them driver-side), one row more proves
+    // the table is delta-sized and the probe rows are discarded
+    val probeCap = math.min(deltaThreshold, Int.MaxValue.toLong - 1).toInt
+    val probe = wordFreq.select(col("w"), col("cnt"))
+      .limit(probeCap + 1).collect()
+    if (probe.length <= probeCap)
+      return trainLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))), nMerges, onRound)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var words = wordFreq.select(chars(col("w")).as("syms"), col("cnt")).localCheckpoint()
     // keep-width for the per-round union: filter(!hit) ∪ rewritten would
     // otherwise DOUBLE the partition count every round (exponential task
     // explosion — 4 × 2^rounds tasks by round 12)
     val width = words.rdd.getNumPartitions
-    val useDelta = words.count() >= deltaThreshold
-    var counts = if (useDelta) pairCounts(words, 1).localCheckpoint() else null
+    var counts = pairCounts(words, 1).localCheckpoint()
     var exhausted = false
     for (round <- 1 to nMerges if !exhausted) {
       val roundStart = System.nanoTime()
-      val best = (if (useDelta) counts else pairCounts(words, 1))
+      val best = counts
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
-        merges += ((a, b))
-        if (!useDelta) {
-          words = words.select(mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
-            .localCheckpoint()
-        } else {
+        merges += ((a, b));
+        {
           // a word changes under merge(a,b) iff it has the adjacency (the
           // greedy fold always fuses the first occurrence). The marker is
           // MATERIALIZED in one checkpoint pass: filtering on the raw

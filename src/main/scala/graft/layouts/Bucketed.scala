@@ -170,7 +170,10 @@ object Bucketed {
       .foreach { db =>
         s.catalog.listTables(db.name).collect()
           .filter(_.name.startsWith(namePrefix))
-          .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${db.name}.${t.name}"))
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS ${db.name}.${t.name}")
+            forgetTableDir(s, s"${db.name}.${t.name}")
+          }
       }
     val root = new Path(layoutRoot(s))
     LayoutFs.list(root, c)
@@ -299,13 +302,37 @@ object Bucketed {
 
   /** Directory backing a registered layout table (where its completion
     * marker, stamps, manifest, and lease live) — a scheme-qualified
-    * Hadoop Path, so maintenance works wherever the catalog points. */
-  private def tableDir(s: SparkSession, qname: String): Path = {
-    import org.apache.spark.sql.functions.col
-    new Path(new java.net.URI(
-      s.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
-        .head().getString(1)))
+    * Hadoop Path, so maintenance works wherever the catalog points.
+    *
+    * MEMOIZED per (session, table) — r17: the DESC FORMATTED + head()
+    * resolution costs a ~20–50 ms plan + local job per call, and the
+    * probe/maintenance paths resolve the same location many times per
+    * operation (18 of llm_dedup_minhash_incremental's 38 bench jobs
+    * were this lookup). The catalog is SESSION-LOCAL, so an entry can
+    * only go stale through our own DDL: every in-file ALTER/DROP of a
+    * layout table is followed by [[forgetTableDir]] (foreign-process
+    * compacts never touch our catalog — they are detected by store
+    * probing in healStaleLocation, which repoints via an own-session
+    * ALTER and lands back here). */
+  private val tableDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+
+  /** Drop the memoized location of `qname` (and of its compacting twin —
+    * cheap, and keeps the invalidation rule "one call per DDL site"
+    * unconditional). Called immediately after every ALTER TABLE … SET
+    * LOCATION / DROP TABLE in this file. */
+  private def forgetTableDir(s: SparkSession, qname: String): Unit = {
+    tableDirMemo.remove((s, qname))
+    tableDirMemo.remove((s, s"${qname}_compacting"))
   }
+
+  private def tableDir(s: SparkSession, qname: String): Path =
+    tableDirMemo.computeIfAbsent((s, qname), { _ =>
+      import org.apache.spark.sql.functions.col
+      new Path(new java.net.URI(
+        s.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
+          .head().getString(1)))
+    })
 
   /** Split a layout directory name into (base, compactVersion):
     * `orders_b` → (orders_b, 0), `orders_b__v3` → (orders_b, 3). The
@@ -479,6 +506,7 @@ object Bucketed {
       case Some(cur) =>
         if (cur.toString != catDir.toString) {
           s.sql(s"ALTER TABLE $qname SET LOCATION '${cur.toString}'")
+          forgetTableDir(s, qname)
           s.catalog.refreshTable(qname)
         }
         cur
@@ -839,7 +867,9 @@ object Bucketed {
             } catch {
               case e2: Throwable =>
                 // restore failed: wipe so a torn family is never served
-                qnames.foreach(q => s.sql(s"DROP TABLE IF EXISTS $q"))
+                qnames.foreach { q =>
+                  s.sql(s"DROP TABLE IF EXISTS $q"); forgetTableDir(s, q)
+                }
                 dirs.foreach(LayoutFs.deleteDir(_, c))
                 e.addSuppressed(e2)
             }
@@ -1136,6 +1166,7 @@ object Bucketed {
           LayoutFs.writeString(new Path(newDir, ManifestName),
             tags.toSeq.sorted.mkString("\n"), c)
         s.sql(s"ALTER TABLE $qname SET LOCATION '${newDir.toString}'")
+        forgetTableDir(s, qname)
         LayoutFs.touch(new Path(newDir, Marker), c) // certification up
       } catch {
         case e: Throwable =>
@@ -1143,11 +1174,13 @@ object Bucketed {
           // appended batches, and its stamps all survive the failure
           try {
             s.sql(s"ALTER TABLE $qname SET LOCATION '${dir.toString}'")
+            forgetTableDir(s, qname)
             LayoutFs.touch(marker, c)
             LayoutFs.deleteDir(newDir, c)
           } catch {
             case e2: Throwable =>
               s.sql(s"DROP TABLE IF EXISTS $qname")
+              forgetTableDir(s, qname)
               LayoutFs.deleteDir(dir, c)
               LayoutFs.deleteDir(newDir, c)
               e.addSuppressed(e2)
@@ -1228,12 +1261,14 @@ object Bucketed {
             resolveCurrentDir(s, locPath, name) match {
               case Some(fresh) =>
                 s.sql(s"ALTER TABLE $qname SET LOCATION '${fresh.toString}'")
+                forgetTableDir(s, qname)
                 s.catalog.refreshTable(qname)
               case None => rebuild match {
                 case Some(rb) =>
                   // uncertified everywhere: crashed mid-swap — rebuild
                   // here, inside the lease we already hold
                   s.sql(s"DROP TABLE $qname")
+                  forgetTableDir(s, qname)
                   rb()
                 case None => throw new IllegalStateException(
                   s"layout $qname has no certified version on the store (a " +

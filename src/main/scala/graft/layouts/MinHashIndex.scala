@@ -152,11 +152,21 @@ object MinHashIndex {
   }
 
   /** Bucket count of a registered bucketed table (from the catalog, so
-    * append always matches the layout it extends). */
+    * append always matches the layout it extends). MEMOIZED per
+    * (session, table) — r17: the DESC FORMATTED + head() resolution is a
+    * ~20–50 ms plan + local job, paid three times per probe. The count
+    * is immutable for a registered layout: append/compact derive their
+    * write spec from it, and a REBUILT layout lives under a different
+    * content-tagged database, so the qualified name itself rotates. */
+  private val bucketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
   private[graft] def bucketsOf(s: SparkSession, table: String): Int =
-    s.sql(s"DESC FORMATTED $table")
-      .filter(col("col_name") === "Num Buckets")
-      .head().getString(1).trim.toInt
+    bucketsMemo.computeIfAbsent((s, table), { _ =>
+      s.sql(s"DESC FORMATTED $table")
+        .filter(col("col_name") === "Num Buckets")
+        .head().getString(1).trim.toInt
+    })
 
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
     * fully qualified for `spark.table`.

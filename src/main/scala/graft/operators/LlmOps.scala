@@ -194,6 +194,21 @@ object LlmOps extends QueryGroup {
     * index's stored bkey is exactly that string, so the oracle's band
     * join is byte-identical to the probe join), candidate set, exact
     * Jaccard, member expansion. */
+  /** The persisted neardup-repbase MinHash index BOTH incremental rows
+    * probe (`llm_dedup_minhash_incremental`, `llm_corpus_prep_incremental`
+    * — one corpus, one tag, one layout) — exposed so the bench prewarms
+    * it under the IDENTICAL cache key and reports the one-time build as
+    * a separate `builds` line item (the [[persistedIvfIndex]] convention;
+    * r17: on a fresh data vintage the ~3 s signature+bucketBy build
+    * otherwise lands inside whichever row runs first). */
+  def neardupRepbaseIndex(s: SparkSession, dir: String): (String, String) = {
+    val path = graft.Fixtures.neardupCorpus(s, dir)
+    val corpus = s.read.parquet(path).filter(col("id") % 1000000000L < 1000000L)
+    graft.layouts.MinHashIndex.ensure(
+      s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
+      nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
+  }
+
   private val llmDedupMinhashIncremental = GraftQuery(
     "llm_dedup_minhash_incremental",
     (s, dir) => {
@@ -211,9 +226,7 @@ object LlmOps extends QueryGroup {
       val batch = all.filter(repLocal >= 1000000L)
         .unionByName(corpus.filter(col("id") % 40 === 0)
           .select((col("id") + 2000000L).as("id"), col("text")))
-      val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
-        s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
-        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
+      val (bandsT, repsT) = neardupRepbaseIndex(s, dir)
       val (ver, bReps) = graft.layouts.MinHashIndex.probe(
         s, bandsT, repsT, batch, shingleWords = 5, nHashes = SIG_HASHES,
         nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, threshold = 0.5)
@@ -1167,12 +1180,17 @@ object LlmOps extends QueryGroup {
       // doc-level stats below stay on the raw table — n_chars is a stored
       // column, not derivable from the normalized text, and that agg is
       // map-side cheap with no explode.
+      // termCounts feeds TWO consumers (top-terms window, token totals) —
+      // eager checkpoint so the tokenize/explode/aggregate pass runs once
+      // (r17; the checkpointed form is the collapsed (lang, term) table,
+      // vocabulary-sized, not the exploded token stream)
       val termCounts = Tables.documents(s, dir)
         .groupBy(col("lang"), col("text"))
         .agg(count(lit(1)).as("g_size"))
         .select(col("lang"), col("g_size"),
           explode(split(TextOps.normalize(col("text")), " ")).as("term"))
         .groupBy(col("lang"), col("term")).agg(sum(col("g_size")).as("n"))
+        .localCheckpoint()
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
       val top = termCounts
@@ -1243,8 +1261,15 @@ object LlmOps extends QueryGroup {
       val terms = groups
         .select(col("rep_id"), col("g_size"),
           explode(split(TextOps.normalize(col("text")), " ")).as("term"))
+      // tf feeds TWO consumers (df and the scored join) — un-checkpointed
+      // the tokenize/explode/aggregate pass runs twice (r17 RowProbe:
+      // 4.8 s task time for a 1.6 s row). One eager checkpoint of the
+      // (rep, term) table — already the collapsed, distinct-sized form —
+      // halves the explode volume; groups recompute for the final member
+      // fan-out stays (doc-sized, no explode).
       val tf = terms.groupBy("rep_id", "term")
         .agg(count(lit(1)).as("tf"), max(col("g_size")).as("g_size"))
+        .localCheckpoint()
       val df = tf.groupBy("term").agg(sum(col("g_size")).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("rep_id"))
@@ -1336,15 +1361,26 @@ object LlmOps extends QueryGroup {
       // (lang, text) groups only. Profile counts are docs-per-trigram, so
       // the weighted sum over groups reproduces them exactly; the per-rep
       // prediction is a function of the text and fans out to members.
+      // the dedup groups feed THREE consumers (trigram extraction below —
+      // itself read twice — and the final member fan-out) and the trigram
+      // stream TWO (profile counts, scoring); un-checkpointed, Catalyst
+      // re-evaluates the groupBy per consumer and the extraction — the
+      // row's dominant cost — runs twice (r17 RowProbe: 5.7 s of task
+      // time for a 1.8 s row). Eager stage checkpoints make each pass
+      // run exactly once, the TrainingDataPrep materialization-point
+      // rule applied inside one row. At 100 TB these are the stage
+      // outputs a corpus-stats pipeline checkpoints to storage anyway.
       val groups = Tables.documents(s, dir)
         .groupBy(col("lang"), col("text"))
         .agg(sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("g_size"))
         .withColumn("rep_id", col("members")(0))
+        .localCheckpoint()
       val repTris = groups
         .withColumn("norm", TextOps.normalize(col("text")))
         .select(col("rep_id"), col("lang"), col("g_size"),
           explode(TextOps.charTrigrams("norm")).as("tri"))
+        .localCheckpoint()
       val wProf = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("tri").asc_nulls_first)
       val profiles = repTris
@@ -3806,9 +3842,7 @@ object LlmOps extends QueryGroup {
       val corpus = s.read.parquet(corpusPath)
         .filter(col("id") % 1000000000L < 1000000L)
       val batch = s.read.parquet(batchPath)
-      val (bandsT, repsT) = graft.layouts.MinHashIndex.ensure(
-        s, dir, corpus, "neardup_repbase", shingleWords = 5, nHashes = SIG_HASHES,
-        nBands = LSH_BANDS, rowsPerBand = LSH_ROWS, srcTables = Seq("documents"))
+      val (bandsT, repsT) = neardupRepbaseIndex(s, dir)
       val words = split(TextOps.normalize(col("text")), " ")
       val evalSh = corpus.filter(col("id") % 1000000000L % 97 === 0)
         .select(explode(TextOps.wordShingles(

@@ -81,6 +81,23 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.forall { case (_, chars, toks) => toks < chars && toks > 0 })
   }
 
+  test("size-driven strategies agree: driver-local == distributed delta on one table") {
+    // r17: the small-table branch trains on a collected type table. The
+    // JVM-reference assertions above would be near-tautological for it
+    // (same algorithm shape), so pin the two SHIPPED strategies against
+    // each other directly — the cut must be invisible in the merges.
+    val docs = Tables.documents(spark, sf)
+      .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(_.getString(0))
+    val wf = docs.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    import spark.implicits._
+    val wfDf = wf.toSeq.toDF("w", "cnt")
+    val local = Bpe.train(wfDf, 15)                      // under the default threshold
+    val delta = Bpe.train(wfDf, 15, deltaThreshold = 0L) // forced distributed
+    assert(local == delta, s"strategies diverge:\nlocal $local\ndelta $delta")
+  }
+
   test("delta-updated path produces the identical merge list") {
     val docs = Tables.documents(spark, sf)
       .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
