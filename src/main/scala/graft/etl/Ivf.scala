@@ -202,14 +202,19 @@ object Ivf {
     * per-iteration decimal-exact means are computed over the subsample;
     * callers that pin exact-recall oracles against specific centroids
     * (the k = 16 ANN rows) use the uncapped overload. */
+  /** Cell budget (rows × dims) for the DRIVER-LOCAL Lloyd strategy: a
+    * training matrix under this many doubles (16 MB at 2²¹) is collected
+    * once and the iterations run in-JVM — the same model-parameter
+    * budget each iteration's centroid collect already lives in, since
+    * reference k-means trainers hold the training subset in memory.
+    * Above it (or when the hash subsample makes the collected size
+    * unknowable pre-collect) the distributed loop runs as before. */
+  private[graft] val LocalTrainMaxCells = 1L << 21
+
   def train(vecs: DataFrame, k: Int, iters: Int, sampleCap: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val spark = vecs.sparkSession
     import spark.implicits._
-    def materialize(cents: DataFrame): DataFrame =
-      cents.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq.toDF("cent_id", "cv")
     // Training is EAGER (each iteration collects the k×dims model), so the
     // input can be cached for its duration and released before returning:
     // without this, every iteration's job re-runs the caller's upstream
@@ -217,6 +222,39 @@ object Ivf {
     val input = vecs.persist()
     try {
       val full = input.count()
+      // r17 SIZE-DRIVEN strategy (the Bpe.train convention): an unsampled
+      // training set whose matrix fits LocalTrainMaxCells collects once
+      // and Lloyd runs driver-side — one job instead of one
+      // two-shuffle job PER ITERATION. Centroids are bit-identical by
+      // construction: assignment goes through the SAME compiled kernel
+      // (functions.NearestCentroid.nearestId) and the per-dimension
+      // means through Spark's own Decimal(28,14) cast + exact decimal
+      // sums (order-free) — VectorSpec pins local == distributed on a
+      // real corpus. Any null/ragged vector row falls back to the
+      // distributed loop, whose null semantics stay authoritative.
+      val dims0 =
+        if (full <= sampleCap && full > 0 && full <= LocalTrainMaxCells) {
+          // one tiny job to learn the width BEFORE deciding to collect —
+          // the row count alone cannot bound the matrix bytes
+          val h = input.select(col("v")).head()
+          if (h.isNullAt(0)) 0 else h.getAs[scala.collection.Seq[Any]](0).size
+        } else 0
+      if (dims0 > 0 && full * dims0 <= LocalTrainMaxCells) {
+        val rows = input.select(col("vec_id"), col("v")).collect()
+        val dims = dims0
+        val clean = rows.forall { r =>
+          !r.isNullAt(1) && {
+            val sq = r.getAs[scala.collection.Seq[Any]](1)
+            sq.size == dims && !sq.contains(null)
+          }
+        }
+        if (clean) {
+          val local = rows.map(r =>
+            (r.getLong(0), r.getAs[scala.collection.Seq[Any]](1)
+              .map(_.asInstanceOf[Double]).toArray))
+          return trainLloydLocal(spark, local, k, iters)
+        }
+      }
       val trainSet =
         if (full <= sampleCap) input
         else {
@@ -224,21 +262,82 @@ object Ivf {
           val num = math.min(den, den * sampleCap / full + 1)
           input.filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num)).persist()
         }
-      try {
-        var cents = trainSet.orderBy(col("vec_id").asc).limit(k)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        for (_ <- 1 to iters) {
-          cents = materialize(assign(trainSet, cents)
-            .select(col("cent_id"), posexplode(col("v")))
-            .groupBy(col("cent_id"), col("pos"))
-            .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
-              count(lit(1)).cast(DoubleType)).as("m"))
-            .groupBy(col("cent_id"))
-            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-              x => x.getField("m")).as("cv")))
-        }
-        cents
-      } finally if (!(trainSet eq input)) trainSet.unpersist(blocking = false)
+      try trainLloydDistributed(trainSet, k, iters)
+      finally if (!(trainSet eq input)) trainSet.unpersist(blocking = false)
     } finally input.unpersist(blocking = false)
+  }
+
+  /** The distributed Lloyd loop (the strategy for training sets past
+    * [[LocalTrainMaxCells]] and for hash-subsampled sets). Package-visible
+    * so VectorSpec can pin local ≡ distributed on one corpus. */
+  private[graft] def trainLloydDistributed(trainSet: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val spark = trainSet.sparkSession
+    import spark.implicits._
+    def materialize(cents: DataFrame): DataFrame =
+      cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.toDF("cent_id", "cv")
+    var cents = trainSet.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cents = materialize(assign(trainSet, cents)
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(28, 14))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv")))
+    }
+    cents
+  }
+
+  /** The driver-local Lloyd loop over a collected (vec_id, v) matrix —
+    * the distributed iteration's arithmetic, step for step: init = the k
+    * lowest vec_ids; assignment = the nearest_centroid kernel itself
+    * (same object code — graft.functions.NearestCentroid.nearestId over
+    * the cent_id-ascending flat matrix); means = Spark Decimal(28,14)
+    * cast of each element (HALF_UP, the Cast rule), EXACT decimal sums
+    * (addition of equal-scale decimals is associative, so driver order
+    * cannot matter), cast to double, divided by the cell count — and
+    * empty cells drop, exactly as groupBy drops keyless groups. */
+  private def trainLloydLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Array[Double])], k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    def dec14(x: Double): java.math.BigDecimal = {
+      val d = org.apache.spark.sql.types.Decimal(x)
+      // Cast(double → decimal(28,14)) semantics: HALF_UP, null on
+      // overflow — an overflowed element vanishes from the sum but its
+      // row still counts, exactly like the aggregate form
+      if (d.changePrecision(28, 14)) d.toJavaBigDecimal else null
+    }
+    var cents: Array[(Long, Array[Double])] =
+      rows.sortBy(_._1).take(k).map { case (id, v) => (id, v) }
+    for (_ <- 1 to iters) {
+      val order = cents.sortBy(_._1)
+      val cids = order.map(_._1)
+      val flat = order.flatMap(_._2)
+      val nb = graft.functions.NearestCentroid.normSqrts(flat, cids.length)
+      val dims = flat.length / cids.length
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[java.math.BigDecimal], Array[Long])]
+      rows.foreach { case (_, v) =>
+        val cid = graft.functions.NearestCentroid.nearestId(v, flat, cids, nb)
+        val (acc, cnt) = sums.getOrElseUpdate(cid,
+          (Array.fill(dims)(java.math.BigDecimal.ZERO), Array(0L)))
+        cnt(0) += 1
+        var i = 0
+        while (i < dims) {
+          val d = dec14(v(i))
+          if (d != null) acc(i) = acc(i).add(d)
+          i += 1
+        }
+      }
+      cents = sums.iterator.map { case (cid, (acc, cnt)) =>
+        (cid, acc.map(_.doubleValue() / cnt(0).toDouble))
+      }.toArray
+    }
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cv")
   }
 }

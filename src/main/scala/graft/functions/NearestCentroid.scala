@@ -76,25 +76,7 @@ case class NearestCentroid(vec: Expression, cvsExpr: Expression, cidsExpr: Expre
   private lazy val dims: Int = cvs.length / cids.length
   /** √nb per centroid, accumulated in element order — the exact factor
     * CosineSimilarity's per-pair norm loop produces. */
-  private lazy val nbSqrt: Array[Double] = Array.tabulate(cids.length) { j =>
-    var nb = 0.0
-    var i = 0
-    while (i < dims) { val y = cvs(j * dims + i); nb += y * y; i += 1 }
-    math.sqrt(nb)
-  }
-
-  /** Spark Round(d, 6): HALF_UP on BigDecimal.valueOf, NaN/∞ unchanged.
-    * Shared fast-path implementation: [[NearestCentroids.round6]]. */
-  private def round6(d: Double): Double = NearestCentroids.round6(d)
-
-  /** Spark's nan-safe double ordering: NaN == NaN, NaN above all else. */
-  private def gt(x: Double, y: Double): Boolean = {
-    val xn = java.lang.Double.isNaN(x); val yn = java.lang.Double.isNaN(y)
-    if ((xn && yn) || x == y) false
-    else if (xn) true
-    else if (yn) false
-    else x > y
-  }
+  private lazy val nbSqrt: Array[Double] = NearestCentroid.normSqrts(cvs, cids.length)
 
   override def eval(input: InternalRow): Any = {
     val vAny = vec.eval(input)
@@ -106,9 +88,49 @@ case class NearestCentroid(vec: Expression, cvsExpr: Expression, cidsExpr: Expre
     if (vData.numElements() != dims) return cids(0)
     var i = 0
     while (i < dims) { if (vData.isNullAt(i)) return cids(0); i += 1 }
-    val v = vData.toDoubleArray()
+    NearestCentroid.nearestId(vData.toDoubleArray(), cvs, cids, nbSqrt)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCentroid =
+    copy(vec = newChildren(0), cvsExpr = newChildren(1), cidsExpr = newChildren(2))
+}
+
+object NearestCentroid {
+
+  /** √norm per centroid of a flat row-major k×dims matrix, accumulated
+    * in element order — the exact factor CosineSimilarity's per-pair
+    * norm loop produces. */
+  def normSqrts(cvs: Array[Double], k: Int): Array[Double] = {
+    val dims = cvs.length / k
+    Array.tabulate(k) { j =>
+      var nb = 0.0
+      var i = 0
+      while (i < dims) { val y = cvs(j * dims + i); nb += y * y; i += 1 }
+      math.sqrt(nb)
+    }
+  }
+
+  /** Spark's nan-safe double ordering: NaN == NaN, NaN above all else. */
+  private def gt(x: Double, y: Double): Boolean = {
+    val xn = java.lang.Double.isNaN(x); val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || x == y) false
+    else if (xn) true
+    else if (yn) false
+    else x > y
+  }
+
+  /** The per-row argmax kernel [[NearestCentroid.eval]] runs — factored
+    * out (r17) so the driver-local Lloyd path (Ivf.train on a collected
+    * training set) assigns through the IDENTICAL compiled code instead
+    * of a reimplementation that could drift by an ulp. `v` must already
+    * be null-free and of matrix width (eval's null contract stays at the
+    * expression boundary). */
+  def nearestId(v: Array[Double], cvs: Array[Double], cids: Array[Long],
+      nbSqrt: Array[Double]): Long = {
+    val dims = cvs.length / cids.length
     var na = 0.0
-    i = 0
+    var i = 0
     while (i < dims) { val x = v(i); na += x * x; i += 1 }
     val naSqrt = math.sqrt(na)
     var bestC = 0.0
@@ -119,14 +141,10 @@ case class NearestCentroid(vec: Expression, cvsExpr: Expression, cidsExpr: Expre
       val base = j * dims
       i = 0
       while (i < dims) { dot += v(i) * cvs(base + i); i += 1 }
-      val c = round6(dot / (naSqrt * nbSqrt(j)))
+      val c = NearestCentroids.round6(dot / (naSqrt * nbSqrt(j)))
       if (j == 0 || gt(c, bestC)) { bestC = c; bestCid = cids(j) }
       j += 1
     }
     bestCid
   }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): NearestCentroid =
-    copy(vec = newChildren(0), cvsExpr = newChildren(1), cidsExpr = newChildren(2))
 }

@@ -2614,11 +2614,20 @@ object LlmOps extends QueryGroup {
     (s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+      // g feeds FIVE consumers (repbg/c2 via bg, c1, v, the final member
+      // fan-out) and three of them are broadcast builds that each re-ran
+      // the dedup groupBy + split from the scan (r17 RowProbe: four
+      // concurrent 1.5–1.7 s broadcast jobs, 10.1 s task time for a
+      // 3.0 s row). One eager checkpoint of the doc-sized group table —
+      // NOT of the distinct-pair table, whose materialization the r7
+      // note below measured as a loss — lets each count pass start from
+      // cached rows.
       val g = d.groupBy(col("t"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("gsz"))
         .withColumn("words", split(col("t"), " "))
+        .localCheckpoint()
       val bg = g.select(col("rep"), col("gsz"),
         explode(zip_with(
           slice(col("words"), lit(1), size(col("words")) - 1),

@@ -406,6 +406,27 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(viaTop(99L) == Seq(1L, 3L, 7L), s"zero-norm vector order: ${viaTop(99L)}")
   }
 
+  test("Ivf.train strategies: driver-local Lloyd ≡ distributed Lloyd, " +
+      "centroid for centroid, on a real corpus") {
+    // r17: small unsampled training sets collect once and iterate on the
+    // driver (same nearest_centroid kernel, Spark-Decimal means). The cut
+    // must be invisible in the model: compare against the distributed
+    // loop on the real embeddings — genuine doubles, not round literals.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val local = centMap(graft.etl.Ivf.train(vecs, k = 16, iters = 3))
+    val dist = centMap(graft.etl.Ivf.trainLloydDistributed(vecs, k = 16, iters = 3))
+    assert(local == dist,
+      s"strategies diverge: ${local.keySet} vs ${dist.keySet}, " +
+        local.collect { case (k, v) if dist.get(k).exists(_ != v) =>
+          s"$k: $v vs ${dist(k)}" }.take(3).mkString("; "))
+  }
+
   test("Ivf.train sampleCap: no-op when cap ≥ N; capped training is deterministic, " +
       "partitioning-independent, and still separates well-separated clusters") {
     import spark.implicits._
