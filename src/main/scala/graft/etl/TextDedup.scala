@@ -29,13 +29,25 @@ object TextDedup {
       nBands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     require(nBands * rowsPerBand == nHashes, "bands*rows must equal signature length")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Both stage tables below feed MULTIPLE consumers — grouped: the
+    // shingle table + both member-expansion joins; sh: the banding pass +
+    // both sides of the candidate verification — and un-checkpointed,
+    // Catalyst re-evaluated the normalize+groupBy+shingle pipeline once
+    // per consumer (r17 RowProbe: the corpus-prep composite's dominant
+    // task time was this subtree ×3). Eager checkpoints run each pass
+    // exactly once; the materialized forms are the dedup-group table
+    // (norm + members, text-sized) and the per-REP shingle arrays (the
+    // set the verify step must hold twice anyway) — not the exploded
+    // token stream the r7 bigram note warns about.
     val grouped = docs
       .withColumn("norm", TextOps.normalize(col("text")))
       .groupBy(col("norm"))
       .agg(min(col("id")).as("rep_id"), sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint()
     val sh = grouped
       .withColumn("shingles", expr(s"word_shingles(norm, $shingleWords)"))
       .select(col("rep_id").as("id"), col("shingles"))
+      .localCheckpoint()
     val banded = sh
       // single-pass native signature (see MinHashSignature scaladoc: the
       // higher-order TextOps.minhashSignature re-hashes per seed, 64x cost)

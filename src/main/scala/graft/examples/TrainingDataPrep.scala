@@ -109,12 +109,18 @@ object TrainingDataPrep {
     val s2 = scored.filter(col("q.quality") >= qualityMin).localCheckpoint(false)
 
     // 3. near-dup removal on survivors: LSH candidates + exact Jaccard,
-    // drop the larger id of each verified pair
-    val dupIds = TextDedup.minhashPairs(
-        s2.select(col("doc_id").as("id"), col("text")),
-        shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4,
-        threshold = neardupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // drop the larger id of each verified pair. A threshold past 1.0
+    // (the "stage disabled" convention the _stages twin uses) provably
+    // matches no pair — Jaccard ≤ 1 — so the whole signature/band/verify
+    // pipeline is skipped instead of computed and discarded (r17: the
+    // twin row paid ~1.5 s for a filter that cannot pass).
+    val dupIds =
+      if (neardupThreshold > 1.0) s2.select(col("doc_id")).limit(0)
+      else TextDedup.minhashPairs(
+          s2.select(col("doc_id").as("id"), col("text")),
+          shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4,
+          threshold = neardupThreshold)
+        .select(col("doc_b").as("doc_id")).distinct()
     val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
     // 4. chunk-boilerplate filter: per-doc fraction of content-defined
@@ -128,18 +134,27 @@ object TrainingDataPrep {
     // words array per chunk — see functions.CdcChunks; the normalize
     // still materializes first, the original CSE lesson)
     graft.functions.GraftFunctions.register(docsIn.sparkSession)
-    val chunks = s3
-      .withColumn("norm", TextOps.normalize(col("text")))
-      .select(col("doc_id"), posexplode(expr("cdc_chunks(norm)")))
-      .select(col("doc_id"), col("pos").as("idx"), col("col").as("c"))
-    val owned = chunks.groupBy(col("c"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-      .groupBy(col("f.doc_id").as("doc_id")).agg(count(lit(1)).as("n_owned"))
-    val boilerIds = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-      .join(owned, Seq("doc_id"), "left")
-      .filter((col("n_chunks") - coalesce(col("n_owned"), lit(0L))).cast("double")
-        > col("n_chunks").cast("double") * chunkDupMax)
-      .select("doc_id")
+    // chunkDupMax ≥ 1.0 (the _stages "stage disabled" setting) provably
+    // drops nothing — a doc owns ≥ 0 of its chunks, so
+    // n_chunks − n_owned > n_chunks·1.0 cannot hold — skip the CDC
+    // chunk/ownership machinery outright (same r17 short-circuit rule
+    // as the near-dup stage above)
+    val boilerIds =
+      if (chunkDupMax >= 1.0) s3.select(col("doc_id")).limit(0)
+      else {
+        val chunks = s3
+          .withColumn("norm", TextOps.normalize(col("text")))
+          .select(col("doc_id"), posexplode(expr("cdc_chunks(norm)")))
+          .select(col("doc_id"), col("pos").as("idx"), col("col").as("c"))
+        val owned = chunks.groupBy(col("c"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+          .groupBy(col("f.doc_id").as("doc_id")).agg(count(lit(1)).as("n_owned"))
+        chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+          .join(owned, Seq("doc_id"), "left")
+          .filter((col("n_chunks") - coalesce(col("n_owned"), lit(0L))).cast("double")
+            > col("n_chunks").cast("double") * chunkDupMax)
+          .select("doc_id")
+      }
     val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
     // 5. chunk-level decontamination (only when an eval set is supplied):

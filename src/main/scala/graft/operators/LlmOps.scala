@@ -65,10 +65,17 @@ object LlmOps extends QueryGroup {
     * only the single-row width could pinch at, say, 10⁸ copies of one
     * item — at which point collect per (content, member-id mod C) chunk
     * and expand in two levels to bound the row. */
+  /** Eagerly checkpointed (r17): every caller consumes the group table
+    * at least twice (the rep projection feeding index/score passes AND
+    * the member fan-out), and un-checkpointed each consumer re-ran the
+    * full-vector groupBy shuffle (RowProbe: 2–3 evaluations per ANN
+    * row). One materialization of the dedup-group table — the stage
+    * output a vector pipeline persists anyway. */
   private def vecGroups(vecs: DataFrame): DataFrame =
     vecs.groupBy(col("v"))
       .agg(min(col("vec_id")).as("rep_id"),
         sort_array(collect_list(col("vec_id"))).as("members"))
+      .localCheckpoint()
 
   /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash.
     * groupBy+min instead of a per-hash window: the partial aggregate
@@ -840,9 +847,14 @@ object LlmOps extends QueryGroup {
       // groups are re-expanded after the banded pass, which is linear in
       // the TRUE output size (all-pairs within an identical group is the
       // specified answer, not overhead).
+      // checkpointed for the same reason as [[vecGroups]] (r17): reps is
+      // read by the count, the router's sample, the banding pass and both
+      // verification sides, and grouped again by both member expansions —
+      // seven consumers of one groupBy-shuffle subtree
       val grouped = all.groupBy(col("v"))
         .agg(min(col("vec_id")).as("rep_id"),
           sort_array(collect_list(col("vec_id"))).as("members"))
+        .localCheckpoint()
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       // LSH geometry sized from the DISTINCT vector count — the set that
       // is actually bucketed: fixed small bucket counts go quadratic on
