@@ -77,7 +77,12 @@ object IncrementalPrep {
     // 1. within-batch exact dedup on the raw text
     val exactKept = batch.groupBy(col("text"))
       .agg(min(col("id")).as("id")).select("id")
-    val b1 = batch.join(exactKept, "id").localCheckpoint(false)
+    val b1 = batch.join(exactKept, "id")
+      // per-doc token count once, carried through every stage subset —
+      // the attrition report reuses it (the TrainingDataPrep r17 rule)
+      .withColumn("tok",
+        size(split(TextOps.normalize(col("text")), " ")).cast("long"))
+      .localCheckpoint(false)
 
     // 2. quality filter — the oracled formula, map-side
     val scored = b1.withColumn("q", TextOps.qualityFeatures(col("text")))
@@ -173,6 +178,6 @@ object IncrementalPrep {
       ("corpus_neardup", 3, b3.drop("q")), ("batch_neardup", 4, b4.drop("q")),
       ("decontaminate", 5, b5.drop("q"))))
 
-    Outputs(b5.drop("q"), dropped, attrition)
+    Outputs(b5.drop("q", "tok"), dropped, attrition)
   }
 }

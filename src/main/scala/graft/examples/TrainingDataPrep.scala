@@ -100,6 +100,12 @@ object TrainingDataPrep {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val s1 = docs.join(exactKept, "doc_id")
+      // normalized-token count computed ONCE here and carried through
+      // every later stage (each is a row subset of s1), so the attrition
+      // report's per-stage token sums stop re-running the
+      // normalize+split pipeline over all five stage outputs (r17)
+      .withColumn("tok",
+        size(split(TextOps.normalize(col("text")), " ")).cast("long"))
       // two downstream stages and the attrition count branch from this
       // survivor set (the op-60 materialization point)
       .localCheckpoint(false)
@@ -252,8 +258,12 @@ object TrainingDataPrep {
   private[examples] def attritionReport(nIn: Long,
       stageDefs: Seq[(String, Int, DataFrame)]): DataFrame = {
     val labeled = stageDefs.map { case (name, ord, df) =>
-      df.select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-        size(split(TextOps.normalize(col("text")), " ")).cast("long").as("tok"))
+      // stages that already carry a per-doc `tok` column (computed once
+      // at the stage-1 checkpoint) reuse it; otherwise derive it here
+      val tok =
+        if (df.columns.contains("tok")) col("tok")
+        else size(split(TextOps.normalize(col("text")), " ")).cast("long")
+      df.select(lit(ord).as("stage_ord"), lit(name).as("stage"), tok.as("tok"))
     }.reduce(_ unionByName _)
     val outAgg = labeled.groupBy(col("stage_ord"))
       .agg(count(lit(1)).as("docs_out"), sum(col("tok")).as("tokens_out"))

@@ -471,6 +471,11 @@ object LlmOps extends QueryGroup {
         .withColumn("sh", expr("word_shingles(norm, 3)"))
         .withColumn("rep", col("members")(0))
         .select(col("source"), col("rep"), col("members"), col("sh"))
+        // three consumers (both self-join sides + intra) each re-ran the
+        // capped-block window + groupBy + shingle extraction (r17
+        // RowProbe: 5.5–7 s task time for a ~1.4 s row) — checkpoint the
+        // block-capped, distinct-sized group table once
+        .localCheckpoint()
       val a = groups.as("a")
       val b = groups.as("b")
       val cross = a.join(b,
