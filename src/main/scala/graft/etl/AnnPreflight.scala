@@ -90,7 +90,17 @@ object AnnPreflight {
     * preflight is a diagnostic, its result is driver-resident by
     * design, and materializing it eagerly lets the sample-bounded
     * members persist release before the call returns (no storage leaks
-    * into the caller's session). */
+    * into the caller's session).
+    *
+    * PRECONDITION: `vecs` must be a DETERMINISTIC plan — it is evaluated
+    * twice (the census pass and the members pass re-run `Ivf.assign`
+    * instead of materializing the full corpus, which is the whole
+    * scale-hygiene point). A nondeterministic source (sample,
+    * monotonically_increasing_id, shuffle-order-dependent ids) can make
+    * the census cells disagree with the second pass's membership and
+    * silently skew probe selection; such callers must persist/checkpoint
+    * their projection before calling (r16 ADVICE — all in-repo callers
+    * are deterministic). */
   def recallFloor(vecs: DataFrame, books: Seq[Pq.Codebook],
       cents: Seq[(Long, Seq[Double])], dims: Int,
       sampleCells: Int = 4, topTier: Int = 10): DataFrame = {

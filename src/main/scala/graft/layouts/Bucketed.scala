@@ -729,6 +729,11 @@ object Bucketed {
     // mid-protocol before each subsequent IO step, and restore the flag
     // once at the end.
     var sawInterrupt = Thread.interrupted()
+    // the restore runs in a finally (r16 ADVICE): anything OTHER than the
+    // IOExceptions handled below escaping mid-protocol (e.g. a
+    // RuntimeException out of LayoutFs.fs resolution) must not
+    // permanently swallow the pending interrupt the clear absorbed
+    try {
     val got = try LayoutFs.fs(lease, c).rename(lease, tomb)
       catch { case _: java.io.IOException => false }
     if (got) {
@@ -785,8 +790,11 @@ object Bucketed {
     // interrupt suppressed so the protocol's IO ran uninterrupted;
     // re-flag it now that the tombstone is resolved (outside the got
     // branch — with the clear hoisted above the rename-aside, a failed
-    // rename must not swallow a pending interrupt)
-    if (sawInterrupt) Thread.currentThread().interrupt()
+    // rename must not swallow a pending interrupt — and in a finally,
+    // so neither can an escaping non-IO exception)
+    } finally {
+      if (sawInterrupt) Thread.currentThread().interrupt()
+    }
   }
 
   // ---------------------------------------------------------------------

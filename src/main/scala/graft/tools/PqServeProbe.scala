@@ -30,14 +30,20 @@ object PqServeProbe {
     dot / math.sqrt(na * nb)
   }
 
-  /** The executed scan's numFiles metric — the pruning observable both
-    * stages report (one FileSourceScanExec per single-relation stage;
-    * AQE is off in this probe so the leaf is not AQE-wrapped). */
-  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+  /** The executed scans' numFiles metric — the pruning observable both
+    * stages report. SUMS over every FileSourceScanExec leaf and requires
+    * at least one (r16 ADVICE: the collectFirst form silently reported
+    * the wrong leaf's count — or 0 — if a probe shape ever gained a join
+    * or an AQE wrapper; a shape change now fails the probe loudly). */
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.metrics("numFiles").value
-    }.getOrElse(0L)
+    }
+    require(scans.nonEmpty,
+      "scanNumFiles: no FileSourceScanExec leaf — probe plan shape changed")
+    scans.sum
+  }
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
