@@ -703,7 +703,13 @@ object Bench {
       // a classic-only smoke run at sf0.1 overwrites the quiet full-mode
       // record with totals that aren't comparable (burned in r16: the
       // ee7aa75 smoke run shipped a 1.32 s "record" built from twins)
-      val mode = if (classicOnly) ".classic" else ""
+      // ... and headline-only runs likewise (r17: an sf0.1 headline-only
+      // session — e.g. a low-core-count scaling check — clobbered the
+      // full record with a registry-less one, the same bug class)
+      val mode =
+        if (classicOnly) ".classic"
+        else if (sys.env.contains("SPARK_GRAFT_HEADLINE_ONLY")) ".headline"
+        else ""
       val mirror =
         if (base == "sf0.1") s"BENCH_LOCAL$mode.json"
         else s"BENCH_LOCAL.$base$mode.json"
