@@ -143,6 +143,46 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("word_shingles / char_ngrams byte fast paths: adversarial inputs match " +
+      "the declarative forms (fallback-trigger shapes included)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // every fast-path branch + every fallback trigger: empty, whitespace
+    // edges (leading/trailing/double space → word_shingles fallback),
+    // non-ASCII (→ char_ngrams fallback), short texts, exact-k windows,
+    // heavy repetition (distinct filter), single char
+    val texts = Seq(
+      "", " ", "a", "ab", "a b", "a b c", "a b c d e f",
+      " a b c", "a b c ", "a  b c", "a b  c d",
+      "x x x x x x x x", "ab ab ab ab", "the cat the cat the cat",
+      "café au lait très bon", "über alles über alles",
+      "日本語 テスト 日本語",
+      "one two three four five six seven eight nine ten")
+    val df = texts.toDF("t")
+    val shBoth = df.select(
+        expr("word_shingles(t, 3)").as("fast"),
+        array_distinct(TextOps.wordShingles(col("t"), 3)).as("slow"))
+      .collect()
+    shBoth.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"word_shingles mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    val legacyTri = expr(
+      """array_distinct(transform(sequence(1, greatest(length(t) - 2, 1)),
+           i -> substr(t, i, 3)))""")
+    val triBoth = df.filter(length(col("t")) > 0).select(
+        expr("char_ngrams(t, 3)").as("fast"), legacyTri.as("slow"))
+      .collect()
+    triBoth.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"char_ngrams mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    // n > 8 takes the fallback; pin it against the declarative form too
+    val legacy9 = expr(
+      """array_distinct(transform(sequence(1, greatest(length(t) - 8, 1)),
+           i -> substr(t, i, 9)))""")
+    val nineBoth = df.filter(length(col("t")) > 0).select(
+        expr("char_ngrams(t, 9)").as("fast"), legacy9.as("slow"))
+      .collect()
+    nineBoth.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("jaccard_sim matches size(intersect)/size(union) on shingle sets") {
     GraftFunctions.register(spark)
     val sh = Tables.documents(spark, sf)
