@@ -56,6 +56,7 @@ object GraftExtensions {
     ("minhash_sig", 2, e => MinHashSignature(e(0), e(1))),
     ("char_ngrams", 2, e => CharNgrams(e(0), e(1))),
     ("word_shingles", 2, e => WordShingles(e(0), e(1))),
+    ("word_bigrams", 1, e => WordBigrams(e(0))),
     ("jaccard_sim", 2, e => ArrayJaccard(e(0), e(1))),
     ("shingle_rows", 2, e => ShingleRows(e(0), e(1))),
     ("hash_embed", 2, e => HashEmbed(e(0), e(1))),

@@ -59,11 +59,26 @@ object MinHashIndex {
     * and joined form. */
   private[graft] def bandRows(corpus: DataFrame, shingleWords: Int,
       nHashes: Int, nBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val reps = repRows(corpus)
+    (bandsOfReps(reps, shingleWords, nHashes, nBands, rowsPerBand), reps)
+  }
+
+  /** Dedup-group representatives (rep, norm) of a (id, text) corpus —
+    * the shared first stage of [[bandRows]] and [[probe]]. */
+  private def repRows(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val reps = corpus
+    corpus
       .withColumn("norm", TextOps.normalize(col("text")))
       .groupBy(col("norm")).agg(min(col("id")).as("rep"))
-    val bands = reps
+      .select(col("rep"), col("norm"))
+  }
+
+  /** Band rows derived from a (rep, norm) rep table — map-side only
+    * (signature + band explode), so a caller holding a MATERIALIZED rep
+    * table pays no second aggregation for its bands. */
+  private def bandsOfReps(reps: DataFrame, shingleWords: Int,
+      nHashes: Int, nBands: Int, rowsPerBand: Int): DataFrame =
+    reps
       .withColumn("sig", expr(s"minhash_sig(word_shingles(norm, $shingleWords), $nHashes)"))
       .select(col("rep"), posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
@@ -72,8 +87,6 @@ object MinHashIndex {
       .select(concat(col("pos").cast("string"), lit(":"), col("col")).as("bkey"),
         col("rep"))
       .withColumn("bkey64", xxhash64(col("bkey")))
-    (bands, reps.select(col("rep"), col("norm")))
-  }
 
   /** Default bucket count for index tables. Larger than the fact
     * layouts' floor because the BANDS table is also the probe's PRUNING
@@ -199,9 +212,10 @@ object MinHashIndex {
     * (PlanSpec-pinned; the r7 SMJ-on-bucketing shape paid a per-probe
     * string compare plus the merge machinery on every index row), and
     * verification texts are fetched by id from the rep table for the
-    * touched reps only. The candidate set is localCheckpoint-ed: it
-    * feeds multiple consumers and the band join must not re-execute per
-    * consumer.
+    * touched reps only. The candidate set is COLLECTED (r18): it feeds
+    * multiple consumers as the broadcast build side anyway, so holding
+    * it driver-side merges the key-collect and checkpoint actions the
+    * r17 shape paid separately.
     *
     * CONCURRENCY CONTRACT (r9 ADVICE): the file-pruned scan captures the
     * bucket FILE LIST driver-side and reads those paths as plain parquet,
@@ -231,40 +245,75 @@ object MinHashIndex {
             "overlap append/compact on the same layout (probe → append → " +
             "compact is the sequential ingest lifecycle)")
     }
-    val (bBandsRaw, bReps) = bandRows(batch, shingleWords, nHashes, nBands, rowsPerBand)
+    // ONE eager checkpoint of the batch's rep table: it feeds the band
+    // derivation, the verification side (bSh) AND the caller's follow-up
+    // append/member expansion — un-checkpointed, the batch's
+    // normalize+groupBy pass ran once per consumer (r18; the r17
+    // multiply-consumed-subtree rule applied to the probe's own input).
+    val bReps = repRows(batch).localCheckpoint()
     // FILE-PRUNED band scan (r9, the r8 verdict's item 3, sharpened):
     // the probe's residual corpus-linear term was the full band-table
-    // scan. The batch's distinct band keys are KB-scale by the
-    // fixed-batch contract, so collect them (bounded driver collect,
-    // capped at MaxPruneKeys) and read ONLY the touched buckets' FILES
-    // — see [[prunedScan]] for the derivation, the exactness argument,
-    // and why this is a file LIST, not the engine's own IN-filter bucket
-    // pruning (whose per-row InSet probe was a measured loss —
-    // tools.PruneAB). The batch bands are checkpointed once: the key
-    // collect and the broadcast join must not recompute the signature
-    // pass.
-    val bBands = bBandsRaw.select(col("bkey64"), col("rep").as("brep"))
-      .localCheckpoint()
-    val keys = bBands.select(col("bkey64")).distinct()
-      .limit(MaxPruneKeys + 1).collect().map(_.getLong(0))
+    // scan. The batch's band rows are KB–MB by the fixed-batch contract
+    // — the pre-r18 shape already pulled every band row to the driver
+    // (inside the broadcast build) and every candidate pair into a
+    // localCheckpoint + a broadcast, so collecting both HERE adds no new
+    // driver exposure (spark.driver.maxResultSize stays the loud
+    // backstop) and merges four probe-internal actions into two: the
+    // band collect yields the distinct prune keys AND the join's build
+    // side (a LocalRelation broadcast builds driver-side, no job), and
+    // the candidate collect yields the rep prune keys AND both verify
+    // joins' build side. Bands derive MAP-SIDE from the checkpointed rep
+    // table, so the signature pass runs exactly once. See [[prunedScan]]
+    // for the file-list pruning derivation and exactness argument.
+    val localBands = bandsOfReps(bReps, shingleWords, nHashes, nBands, rowsPerBand)
+      .select(col("bkey64"), col("rep").as("brep"))
+      .collect()
+    val keys = {
+      val set = new java.util.HashSet[Long]()
+      localBands.foreach(r => set.add(r.getLong(0)))
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      arr
+    }
     val (idxScan, bandStats) = prunedScan(s, bandsTable, keys)
+    val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bkey64",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("brep",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bBands = s.createDataFrame(
+      java.util.Arrays.asList(localBands: _*), bandSchema)
     val cand = idxScan.withColumnRenamed("rep", "crep")
       .join(broadcast(bBands), "bkey64")
       .select(col("brep"), col("crep")).distinct()
-      .localCheckpoint()
+      .collect()
     // same pruning for the verification fetch: the touched corpus reps
     // are candidate-bounded (batch-proportional), so the rep-text scan
     // reads only their buckets instead of the whole rep table
-    val crepIds = cand.select(col("crep")).distinct()
-      .limit(MaxPruneKeys + 1).collect().map(_.getLong(0))
+    val crepIds = {
+      val set = new java.util.HashSet[Long]()
+      cand.foreach(r => set.add(r.getLong(1)))
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      arr
+    }
     val (repsScan, repStats) = prunedScan(s, repsTable, crepIds)
     lastProbeStats = Some((bandStats, repStats))
-    val cSh = cand.select(col("crep")).distinct()
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("brep",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("crep",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val candDf = s.createDataFrame(
+      java.util.Arrays.asList(cand: _*), candSchema)
+    val cSh = candDf.select(col("crep")).distinct()
       .join(repsScan, col("crep") === col("rep"))
       .select(col("crep"), expr(s"word_shingles(norm, $shingleWords)").as("csh"))
     val bSh = bReps.select(col("rep").as("brep"),
       expr(s"word_shingles(norm, $shingleWords)").as("bsh"))
-    val pairs = cand.join(bSh, "brep").join(cSh, "crep")
+    val pairs = candDf.join(bSh, "brep").join(cSh, "crep")
       .withColumn("jaccard", expr("jaccard_sim(bsh, csh)"))
       .filter(col("jaccard") >= threshold)
       .select(col("brep"), col("crep"), col("jaccard"))

@@ -2629,6 +2629,7 @@ object LlmOps extends QueryGroup {
   private val llmBigramLmScore = GraftQuery(
     "llm_bigram_lm_score",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
       // g feeds FIVE consumers (repbg/c2 via bg, c1, v, the final member
@@ -2638,18 +2639,21 @@ object LlmOps extends QueryGroup {
       // 3.0 s row). One eager checkpoint of the doc-sized group table —
       // NOT of the distinct-pair table, whose materialization the r7
       // note below measured as a loss — lets each count pass start from
-      // cached rows.
+      // cached rows. r18: the checkpoint no longer materializes a
+      // per-group `words` ARRAY next to the text (it duplicated every
+      // byte of t in the pinned stage); the bigram stream derives from
+      // t directly via the native one-pass word_bigrams kernel (byte
+      // slices, no split-to-Strings, no zip_with/slice copies — the
+      // declarative form paid that per count pass), c1 re-derives its
+      // word slice map-side, and v takes the last word via
+      // substring_index (same value as element_at(words, -1)).
       val g = d.groupBy(col("t"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("gsz"))
-        .withColumn("words", split(col("t"), " "))
         .localCheckpoint()
       val bg = g.select(col("rep"), col("gsz"),
-        explode(zip_with(
-          slice(col("words"), lit(1), size(col("words")) - 1),
-          slice(col("words"), lit(2), size(col("words")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        explode(expr("word_bigrams(t)")).as("bigram"))
       // Each count table re-aggregates the instance stream DIRECTLY: the
       // explodes are map-side and the shuffles carry only post-combine
       // distinct keys, so recomputation is cheap. The "obvious" fix of
@@ -2662,7 +2666,16 @@ object LlmOps extends QueryGroup {
       // corpus-sized and the passes are combine-friendly.
       val repbg = bg.groupBy(col("rep"), col("bigram")).agg(count(lit(1)).as("cnt"))
       val c2 = bg.groupBy(col("bigram")).agg(sum(col("gsz")).as("c2"))
-      val c1 = g.select(col("gsz"),
+      // NOTE (r18 negative result): swapping this split for a native
+      // byte tokenizer (word_tokens) was built and MEASURED A LOSS here
+      // and on tfidf/text_stats (task time +28–60 %): split is
+      // whole-stage-codegen-native, and a CodegenFallback generator
+      // child forces row materialization inside an otherwise fused
+      // explode+aggregate pipeline. Kernel swaps only pay when the
+      // replaced form is itself interpreted (zip_with/slice/concat,
+      // higher-order transforms) — not against codegen built-ins.
+      val c1 = g.withColumn("words", split(col("t"), " "))
+        .select(col("gsz"),
           explode(slice(col("words"), lit(1), size(col("words")) - 1)).as("w1"))
         .groupBy(col("w1")).agg(sum(col("gsz")).as("c1"))
       // vocabulary = distinct(bigram first words ∪ each doc's LAST word):
@@ -2671,11 +2684,11 @@ object LlmOps extends QueryGroup {
       // element_at row per rep, replacing a fourth full explode+distinct
       // over the token stream. Strict win: no new materialization.
       val v = c1.select(col("w1").as("x"))
-        .unionByName(g.select(element_at(col("words"), -1).as("x")))
+        .unionByName(g.select(substring_index(col("t"), " ", -1).as("x")))
         .agg(countDistinct(col("x")).cast(DoubleType).as("vsz"))
       val scored = repbg
         .join(c2, "bigram")
-        .join(c1, split(col("bigram"), " ").getItem(0) === c1("w1"))
+        .join(c1, substring_index(col("bigram"), " ", 1) === c1("w1"))
         .crossJoin(broadcast(v))
         .select(col("rep"), col("cnt"),
           (col("cnt").cast(DoubleType) *

@@ -183,6 +183,28 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     nineBoth.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("word_bigrams matches the zip_with(slice, slice, concat) multiset form " +
+      "(duplicates kept, order kept) on real docs and adversarial inputs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val legacy = expr(
+      """zip_with(slice(split(t, ' '), 1, size(split(t, ' ')) - 1),
+                  slice(split(t, ' '), 2, size(split(t, ' ')) - 1),
+                  (a, b) -> concat(a, ' ', b))""")
+    val adversarial = Seq(
+      "", " ", "a", "a b", "a b c", "a b a b a b",
+      " a b", "a b ", "a  b", "a  b  c d",
+      "the cat sat the cat sat").toDF("t")
+    val corpus = Tables.documents(spark, sf)
+      .select(TextOps.normalize(col("text")).as("t"))
+    Seq(adversarial, corpus).foreach { df =>
+      df.select(expr("word_bigrams(t)").as("fast"), legacy.as("slow"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"word_bigrams mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    }
+  }
+
   test("jaccard_sim matches size(intersect)/size(union) on shingle sets") {
     GraftFunctions.register(spark)
     val sh = Tables.documents(spark, sf)
