@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.functions.TextOps
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,11 +44,11 @@ object TextDedup {
       .withColumn("norm", TextOps.normalize(col("text")))
       .groupBy(col("norm"))
       .agg(min(col("id")).as("rep_id"), sort_array(collect_list(col("id"))).as("members"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val sh = grouped
       .withColumn("shingles", expr(s"word_shingles(norm, $shingleWords)"))
       .select(col("rep_id").as("id"), col("shingles"))
-      .localCheckpoint()
+      .stageCheckpoint()
     val banded = sh
       // single-pass native signature (see MinHashSignature scaladoc: the
       // higher-order TextOps.minhashSignature re-hashes per seed, 64x cost)
@@ -174,7 +175,7 @@ object TextDedup {
     // block-Jaccard join per propagation round at sf0.1).
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .stageCheckpoint()
     // An empty edge set means every node is its own singleton component —
     // return directly. Besides skipping pointless shuffle rounds, this is
     // a correctness guard: with zero label rows the monotone-mass test's

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.functions.GraftFunctions
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -283,7 +284,7 @@ object VectorLsh {
       sampleCap = math.max(64 * k, 1 << 14))
     // checkpoint: both join sides below reference the assignment, and
     // without materialization each side re-runs the scan + top-m kernel
-    val assigned = Ivf.assignTop(reps, cents, m = probeCells).localCheckpoint()
+    val assigned = Ivf.assignTop(reps, cents, m = probeCells).stageCheckpoint()
     val bucketed = withBandBuckets(assigned, nBands, bitsPerBand, dims)
     // indexed side: primary cell only; probe side: all top-3 cells
     val prim = bucketed

@@ -1,6 +1,7 @@
 package graft.examples
 
 import graft.functions.TextOps
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import graft.layouts.MinHashIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,11 +83,11 @@ object IncrementalPrep {
       // the attrition report reuses it (the TrainingDataPrep r17 rule)
       .withColumn("tok",
         size(split(TextOps.normalize(col("text")), " ")).cast("long"))
-      .localCheckpoint(false)
+      .stageCheckpoint(eager = false)
 
     // 2. quality filter — the oracled formula, map-side
     val scored = b1.withColumn("q", TextOps.qualityFeatures(col("text")))
-    val b2 = scored.filter(col("q.quality") >= qualityMin).localCheckpoint(false)
+    val b2 = scored.filter(col("q.quality") >= qualityMin).stageCheckpoint(eager = false)
 
     // 3. near-dup vs the corpus through the persisted index. probe()
     // checkpoints the candidate set itself; `pairs` feeds both the drop
@@ -94,7 +95,7 @@ object IncrementalPrep {
     val (pairs, bReps) = MinHashIndex.probe(
       s, bandsTable, repsTable, b2.select(col("id"), col("text")),
       shingleWords, nHashes, nBands, rowsPerBand, threshold)
-    val pairsCk = pairs.localCheckpoint(false)
+    val pairsCk = pairs.stageCheckpoint(eager = false)
     // member expansion: batch ids → their dedup-group rep via the norm
     val bMembers = b2.withColumn("norm", TextOps.normalize(col("text")))
       .join(bReps.withColumnRenamed("rep", "brep"), "norm")
@@ -102,7 +103,7 @@ object IncrementalPrep {
     val corpusDupIds = bMembers
       .join(pairsCk.select(col("brep")).distinct(), "brep")
       .select("id").distinct()
-    val b3 = b2.join(corpusDupIds, Seq("id"), "left_anti").localCheckpoint(false)
+    val b3 = b2.join(corpusDupIds, Seq("id"), "left_anti").stageCheckpoint(eager = false)
 
     // 4. near-dup within the batch: drop the larger id of each verified
     // pair (keep-first — TrainingDataPrep stage-3 semantics)
@@ -110,7 +111,7 @@ object IncrementalPrep {
         b3.select(col("id"), col("text")),
         shingleWords, nHashes, nBands, rowsPerBand, threshold)
       .select(col("doc_b").as("id")).distinct()
-    val b4 = b3.join(batchDupIds, Seq("id"), "left_anti").localCheckpoint(false)
+    val b4 = b3.join(batchDupIds, Seq("id"), "left_anti").stageCheckpoint(eager = false)
 
     // 5. doc-level decontamination: shingle set materialized BELOW the
     // explode (the llm_decontaminate_chunks plan lessons: size(f(x))
@@ -130,7 +131,7 @@ object IncrementalPrep {
             col("n_sh").cast("double") * contamMin)
           .select("id").distinct()
     }
-    val b5 = b4.join(contamIds, Seq("id"), "left_anti").localCheckpoint(false)
+    val b5 = b4.join(contamIds, Seq("id"), "left_anti").stageCheckpoint(eager = false)
 
     // materialize stages eagerly in dependency order (the attrition
     // report's union branches must never race to fill a shared cache)

@@ -1,6 +1,7 @@
 package graft.examples
 
 import graft.etl.TextDedup
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import graft.functions.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -108,11 +109,11 @@ object TrainingDataPrep {
         size(split(TextOps.normalize(col("text")), " ")).cast("long"))
       // two downstream stages and the attrition count branch from this
       // survivor set (the op-60 materialization point)
-      .localCheckpoint(false)
+      .stageCheckpoint(eager = false)
 
     // 2. quality filter — the oracled formula, map-side
     val scored = s1.withColumn("q", TextOps.qualityFeatures(col("text")))
-    val s2 = scored.filter(col("q.quality") >= qualityMin).localCheckpoint(false)
+    val s2 = scored.filter(col("q.quality") >= qualityMin).stageCheckpoint(eager = false)
 
     // 3. near-dup removal on survivors: LSH candidates + exact Jaccard,
     // drop the larger id of each verified pair. A threshold past 1.0
@@ -127,7 +128,7 @@ object TrainingDataPrep {
           shingleWords = 5, nHashes = 64, nBands = 16, rowsPerBand = 4,
           threshold = neardupThreshold)
         .select(col("doc_b").as("doc_id")).distinct()
-    val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    val s3 = s2.join(dupIds, Seq("doc_id"), "left_anti").stageCheckpoint(eager = false)
 
     // 4. chunk-boilerplate filter: per-doc fraction of content-defined
     // chunks whose first occurrence (min (doc_id, idx)) is elsewhere;
@@ -161,7 +162,7 @@ object TrainingDataPrep {
             > col("n_chunks").cast("double") * chunkDupMax)
           .select("doc_id")
       }
-    val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    val s4 = s3.join(boilerIds, Seq("doc_id"), "left_anti").stageCheckpoint(eager = false)
 
     // 5. chunk-level decontamination (only when an eval set is supplied):
     // a doc dies when any CDC chunk concentrates ≥ chunkContamMin of its
@@ -188,7 +189,7 @@ object TrainingDataPrep {
           .filter(col("hits").cast("double") >= col("n_chsh").cast("double") * chunkContamMin)
           .select("doc_id").distinct()
     }
-    val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    val s5 = s4.join(contamIds, Seq("doc_id"), "left_anti").stageCheckpoint(eager = false)
 
     // Materialize the stage checkpoints EAGERLY, in dependency order. The attrition
     // report references every stage from several branches of one union;

@@ -304,35 +304,38 @@ object Bucketed {
     * marker, stamps, manifest, and lease live) — a scheme-qualified
     * Hadoop Path, so maintenance works wherever the catalog points.
     *
-    * MEMOIZED per (session, table) — r17: the DESC FORMATTED + head()
-    * resolution costs a ~20–50 ms plan + local job per call, and the
-    * probe/maintenance paths resolve the same location many times per
-    * operation (18 of llm_dedup_minhash_incremental's 38 bench jobs
-    * were this lookup). The catalog is SESSION-LOCAL, so an entry can
+    * MEMOIZED per (context, table) — r17 introduced the memo (the DESC
+    * FORMATTED + head() resolution costs a ~20–50 ms plan + local job
+    * per call; 18 of llm_dedup_minhash_incremental's 38 bench jobs were
+    * this lookup); r18 fixed its lifecycle (LayoutUtil.CatalogMemo):
+    * weak CONTEXT keys instead of strong session keys, one shared map
+    * for every sibling session of a context (they share the catalog, so
+    * a DDL + invalidation in any session must reach all), and an
+    * external (hive) metastore skips memoization entirely — another
+    * process's ALTER would bypass [[forgetTableDir]]. An entry can then
     * only go stale through our own DDL: every in-file ALTER/DROP of a
     * layout table is followed by [[forgetTableDir]] (foreign-process
     * compacts never touch our catalog — they are detected by store
     * probing in healStaleLocation, which repoints via an own-session
     * ALTER and lands back here). */
-  private val tableDirMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+  private val tableDirMemo = new LayoutUtil.CatalogMemo[Path]
 
   /** Drop the memoized location of `qname` (and of its compacting twin —
     * cheap, and keeps the invalidation rule "one call per DDL site"
     * unconditional). Called immediately after every ALTER TABLE … SET
     * LOCATION / DROP TABLE in this file. */
   private def forgetTableDir(s: SparkSession, qname: String): Unit = {
-    tableDirMemo.remove((s, qname))
-    tableDirMemo.remove((s, s"${qname}_compacting"))
+    tableDirMemo.forget(s, qname)
+    tableDirMemo.forget(s, s"${qname}_compacting")
   }
 
   private def tableDir(s: SparkSession, qname: String): Path =
-    tableDirMemo.computeIfAbsent((s, qname), { _ =>
+    tableDirMemo.getOrCompute(s, qname) {
       import org.apache.spark.sql.functions.col
       new Path(new java.net.URI(
         s.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
           .head().getString(1)))
-    })
+    }
 
   /** Split a layout directory name into (base, compactVersion):
     * `orders_b` → (orders_b, 0), `orders_b__v3` → (orders_b, 3). The

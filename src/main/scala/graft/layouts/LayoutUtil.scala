@@ -98,6 +98,50 @@ object LayoutUtil {
         sort_array(collect_list(col("vec_id"))).as("members"))
 
   // ---------------------------------------------------------------------
+  // Catalog-metadata memos: weak per-CONTEXT maps (r18)
+  // ---------------------------------------------------------------------
+
+  /** Memo for catalog-derived layout metadata (table location, bucket
+    * count). r18 lifecycle fix of the r17 memos, which were static maps
+    * keyed by (SparkSession, name) with no eviction:
+    *
+    *  - sessions were STRONG keys, so a per-request/per-tenant
+    *    `newSession()` deployment accreted dead-session entries and
+    *    pinned every session for the JVM's life;
+    *  - sibling sessions of one SparkContext SHARE the catalog
+    *    (sharedState), so a DDL + invalidation in session B left
+    *    session A's entry stale — the exact stale-dir hazard the r17
+    *    scaladoc waved at.
+    *
+    * Keying by the SparkContext (weakly) fixes both at once: entries
+    * never reference a session, and every sibling session reads/
+    * invalidates ONE map, so an ALTER/DROP in any of them invalidates
+    * for all. The remaining precondition — no OTHER PROCESS mutates the
+    * catalog underneath us — is now ASSERTED, not assumed: a session on
+    * an external (hive) metastore skips memoization entirely and
+    * resolves fresh every call. */
+  private[layouts] final class CatalogMemo[V] {
+    private val byContext = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+        java.util.concurrent.ConcurrentHashMap[String, V]]())
+
+    private def inMemoryCatalog(s: org.apache.spark.sql.SparkSession): Boolean =
+      s.sparkContext.getConf
+        .get("spark.sql.catalogImplementation", "in-memory") == "in-memory"
+
+    def getOrCompute(s: org.apache.spark.sql.SparkSession, key: String)(f: => V): V =
+      if (!inMemoryCatalog(s)) f
+      else byContext.computeIfAbsent(s.sparkContext,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
+        .computeIfAbsent(key, _ => f)
+
+    def forget(s: org.apache.spark.sql.SparkSession, key: String): Unit = {
+      val m = byContext.get(s.sparkContext)
+      if (m != null) { m.remove(key); () }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Served relations: one file listing per (session, artifact path)
   // ---------------------------------------------------------------------
 

@@ -1,6 +1,7 @@
 package graft.layouts
 
 import graft.functions.TextOps
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,20 +167,21 @@ object MinHashIndex {
 
   /** Bucket count of a registered bucketed table (from the catalog, so
     * append always matches the layout it extends). MEMOIZED per
-    * (session, table) — r17: the DESC FORMATTED + head() resolution is a
-    * ~20–50 ms plan + local job, paid three times per probe. The count
+    * (context, table) — r17: the DESC FORMATTED + head() resolution is a
+    * ~20–50 ms plan + local job, paid three times per probe; r18: weak
+    * context keys + hive-metastore bypass via LayoutUtil.CatalogMemo
+    * (see Bucketed.tableDirMemo for the lifecycle rationale). The count
     * is immutable for a registered layout: append/compact derive their
     * write spec from it, and a REBUILT layout lives under a different
     * content-tagged database, so the qualified name itself rotates. */
-  private val bucketsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+  private val bucketsMemo = new LayoutUtil.CatalogMemo[Integer]
 
   private[graft] def bucketsOf(s: SparkSession, table: String): Int =
-    bucketsMemo.computeIfAbsent((s, table), { _ =>
+    bucketsMemo.getOrCompute(s, table) {
       s.sql(s"DESC FORMATTED $table")
         .filter(col("col_name") === "Num Buckets")
         .head().getString(1).trim.toInt
-    })
+    }
 
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
     * fully qualified for `spark.table`.
@@ -250,7 +252,7 @@ object MinHashIndex {
     // append/member expansion — un-checkpointed, the batch's
     // normalize+groupBy pass ran once per consumer (r18; the r17
     // multiply-consumed-subtree rule applied to the probe's own input).
-    val bReps = repRows(batch).localCheckpoint()
+    val bReps = repRows(batch).stageCheckpoint()
     // FILE-PRUNED band scan (r9, the r8 verdict's item 3, sharpened):
     // the probe's residual corpus-linear term was the full band-table
     // scan. The batch's band rows are KB–MB by the fixed-batch contract

@@ -1,6 +1,7 @@
 package graft.layouts
 
 import graft.etl.{AnnPreflight, Ivf, Pq}
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -93,7 +94,7 @@ object PqIndex {
       // the group artifact materializes once: encode's argmin projection
       // must not fuse into the aggregate's output method (the Janino
       // 64 KB fusion note on llm_embed_pq)
-      val grouped = LayoutUtil.repsWithMembers(corpus).localCheckpoint()
+      val grouped = LayoutUtil.repsWithMembers(corpus).stageCheckpoint()
       try {
         val reps = grouped.select(col("vec_id"), col("v"))
         val cents = Ivf.train(reps, k, iters, ivfSampleCap)

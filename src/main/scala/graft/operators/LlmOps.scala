@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, QueryGroup, Tables}
+import graft.etl.StageCheckpoint.StageCheckpointOps
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,7 +76,7 @@ object LlmOps extends QueryGroup {
     vecs.groupBy(col("v"))
       .agg(min(col("vec_id")).as("rep_id"),
         sort_array(collect_list(col("vec_id"))).as("members"))
-      .localCheckpoint()
+      .stageCheckpoint()
 
   /** op 69 — exact dedup: normalize → sha256 → keep min doc_id per hash.
     * groupBy+min instead of a per-hash window: the partial aggregate
@@ -354,7 +355,7 @@ object LlmOps extends QueryGroup {
         .withColumn("norm", TextOps.normalize(col("text")))
         .withColumn("sh", expr("word_shingles(norm, 3)"))
         .select(col("source"), col("rep"), col("members"), col("sh"))
-        .localCheckpoint()
+        .stageCheckpoint()
       // In-group pair expansion instead of a blocked self-join: collect
       // each (cap-bounded) block once and generate edges INSIDE one
       // native expression call per block — the self-join materialized
@@ -475,7 +476,7 @@ object LlmOps extends QueryGroup {
         // capped-block window + groupBy + shingle extraction (r17
         // RowProbe: 5.5–7 s task time for a ~1.4 s row) — checkpoint the
         // block-capped, distinct-sized group table once
-        .localCheckpoint()
+        .stageCheckpoint()
       val a = groups.as("a")
       val b = groups.as("b")
       val cross = a.join(b,
@@ -859,7 +860,7 @@ object LlmOps extends QueryGroup {
       val grouped = all.groupBy(col("v"))
         .agg(min(col("vec_id")).as("rep_id"),
           sort_array(collect_list(col("vec_id"))).as("members"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       // LSH geometry sized from the DISTINCT vector count — the set that
       // is actually bucketed: fixed small bucket counts go quadratic on
@@ -1207,7 +1208,7 @@ object LlmOps extends QueryGroup {
         .select(col("lang"), col("g_size"),
           explode(split(TextOps.normalize(col("text")), " ")).as("term"))
         .groupBy(col("lang"), col("term")).agg(sum(col("g_size")).as("n"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
       val top = termCounts
@@ -1286,7 +1287,7 @@ object LlmOps extends QueryGroup {
       // fan-out stays (doc-sized, no explode).
       val tf = terms.groupBy("rep_id", "term")
         .agg(count(lit(1)).as("tf"), max(col("g_size")).as("g_size"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val df = tf.groupBy("term").agg(sum(col("g_size")).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("rep_id"))
@@ -1392,12 +1393,12 @@ object LlmOps extends QueryGroup {
         .agg(sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("g_size"))
         .withColumn("rep_id", col("members")(0))
-        .localCheckpoint()
+        .stageCheckpoint()
       val repTris = groups
         .withColumn("norm", TextOps.normalize(col("text")))
         .select(col("rep_id"), col("lang"), col("g_size"),
           explode(TextOps.charTrigrams("norm")).as("tri"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val wProf = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc_nulls_last, col("tri").asc_nulls_first)
       val profiles = repTris
@@ -2651,7 +2652,7 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("gsz"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val bg = g.select(col("rep"), col("gsz"),
         explode(expr("word_bigrams(t)")).as("bigram"))
       // Each count table re-aggregates the instance stream DIRECTLY: the
@@ -3045,7 +3046,7 @@ object LlmOps extends QueryGroup {
       // into the vecGroups aggregate's output method — that fused method
       // overflows Janino's 64 KB limit and the whole stage falls back to
       // interpreted execution (measured on the ADC twin).
-      val g = vecGroups(docVec(s, dir)).localCheckpoint()
+      val g = vecGroups(docVec(s, dir)).stageCheckpoint()
       val reps = g.select(col("rep_id").as("vec_id"), col("v"))
       val coded = graft.etl.Pq.encodeWithStats(reps, mdl.dims, mdl.books)
         .withColumn("vn2", call_function("dot_fast", col("v"), col("v")))
@@ -3161,7 +3162,7 @@ object LlmOps extends QueryGroup {
       val dims = Tables.embeddings(s, dir)
         .select(size(col("embedding"))).head.getInt(0)
       val reps = vecGroups(docVec(s, dir))
-        .select(col("rep_id").as("vec_id"), col("v")).localCheckpoint()
+        .select(col("rep_id").as("vec_id"), col("v")).stageCheckpoint()
       try {
         PqModels(dims,
           graft.etl.Pq.train(reps, dims, 8, 16, 4),
@@ -3207,7 +3208,7 @@ object LlmOps extends QueryGroup {
       // dedup artifact materialized once (see llm_embed_pq's fusion note)
       val reps = vecGroups(docVec(s, dir))
         .select(col("rep_id").as("vec_id"), col("v"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val books = mdl.books
       // the CODES TABLE is the artifact an IVF-PQ system persists: encode
       // once here (localCheckpoint — the Bpe materialization convention),
@@ -3217,7 +3218,7 @@ object LlmOps extends QueryGroup {
       // interpreted fallback); scoring from checkpointed codes does not.
       val coded = graft.etl.Pq.encodeWithStats(reps, mdl.dims, books)
         .select(col("vec_id"), col("codes"), col("recon_norm2"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val q = docVec(s, dir).filter(col("vec_id") === 0).head.getSeq[Double](1)
       coded
         .withColumn("adc_cos", adcCosCol(books, q))
@@ -3306,13 +3307,13 @@ object LlmOps extends QueryGroup {
       // (build_pq_model): the row measures assign + encode + probed search
       val mdl = pqModels(s, dir)
       val vecs = docVec(s, dir)
-      val grouped = vecGroups(vecs).localCheckpoint()
+      val grouped = vecGroups(vecs).stageCheckpoint()
       val reps = grouped.select(col("rep_id").as("vec_id"), col("v"))
       val books = mdl.books
       val indexed = graft.etl.Ivf.assign(reps, centsDf(s, mdl.cents))
       val coded = graft.etl.Pq.encodeWithStats(indexed, mdl.dims, books)
         .select(col("vec_id"), col("cent_id"), col("codes"), col("recon_norm2"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val q = vecs.filter(col("vec_id") === 0).head.getSeq[Double](1)
       val probes = topProbes(mdl.cents, q, 4)
       coded
@@ -3660,7 +3661,7 @@ object LlmOps extends QueryGroup {
       val lens = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(TextOps.normalize(col("text")), " ")).cast(LongType).as("n_tokens"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val n = lens.count()
       val b = math.max(8L, (n + 63L) / 64L)
       val hist = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
@@ -3758,7 +3759,7 @@ object LlmOps extends QueryGroup {
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("members"),
           count(lit(1)).as("gsz"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val words = g
         .withColumn("w", split(col("pt"), " "))
         .select(col("rep"), col("gsz"), col("members"), col("w"),

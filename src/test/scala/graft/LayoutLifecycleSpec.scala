@@ -54,6 +54,34 @@ class LayoutLifecycleSpec extends AnyFunSuite with SparkTestBase {
       "_GRAFT_LEASE_" + d.getName.replaceAll("__v\\d+$", ""))
   }
 
+  test("sibling-session DDL invalidates the location memo (r18): a compact " +
+      "run from a SECOND session of the same context repoints the catalog, " +
+      "and the FIRST session's next file listing resolves the new dir — " +
+      "never the stale decertified one") {
+    Bucketed.invalidate(spark, "sibmemo_lspec")
+    val orders = Tables.orders(spark, dir)
+    val Seq(t) = Bucketed.ensure(spark, dir, Seq(
+      Bucketed.Spec("sibmemo_lspec", slices(orders, "o_orderkey", 0 to 5), "o_orderkey",
+        srcTables = Seq("orders"))), buckets = 4)
+    // session A memoizes the location (bucketFiles resolves through it)
+    val filesBefore = Bucketed.bucketFiles(spark, t).values.flatten.toSet
+    assert(filesBefore.nonEmpty)
+    assert(!filesBefore.exists(_.contains("__v1")))
+    // sibling session B — same SparkContext, same shared catalog — appends
+    // and compacts: the catalog repoints to the __v1 dir; B's DDL must
+    // invalidate the memo for A too (one weak per-context map, r18)
+    val sib = spark.newSession()
+    Bucketed.appendOnce(sib, "sib-6", Seq(t -> slice(orders, "o_orderkey", 6)))
+    Bucketed.compact(sib, t)
+    // session A must now list the NEW location — a stale memo would serve
+    // the decertified pre-compact dir (pre-append content)
+    val filesAfter = Bucketed.bucketFiles(spark, t).values.flatten.toSet
+    assert(filesAfter.nonEmpty && filesAfter.forall(_.contains("__v1")),
+      s"stale location served after sibling-session compact: $filesAfter")
+    assert(sortedRows(spark.table(t)) ==
+      sortedRows(slices(orders, "o_orderkey", 0 to 6)))
+  }
+
   test("rename-free compact: each compaction repoints the catalog at a new " +
       "versioned directory, GCs the old one, and a fresh JVM's ensure() " +
       "resolves the highest certified version") {
