@@ -38,24 +38,36 @@ object Scd {
     val attrChanged: Column = attrs
       .map(a => !(col(s"m.$a") <=> col(s"d.$a")))
       .reduce(_ || _)
-    val changed = col("d.bk").isNotNull && col("m.bk").isNotNull && attrChanged
+    // ONE pass over ONE join (r18): the previous form unioned four
+    // filtered branches of `j`, and Catalyst plans a union of subtree
+    // copies as four separate joins — the full-outer join (and the delta
+    // derivation under it) executed 4×, and the analysis tree carried
+    // 4 copies (etl_scd2_load RowProbe: 2.1 s summed task / 0.6 s driver
+    // for a 0.3 s job). Each join row instead routes through one
+    // case-driven explode emitting its 1–2 output rows: unchanged keys
+    // and master-only keys pass the current row through, changed keys
+    // emit close + re-version, delta-only keys emit the insert. Same
+    // rows, same schema — the output is a row SET (callers order it).
+    def outRow(bk: Column, av: Seq[Column], from: Column, to: Column,
+        cur: Column): Column =
+      struct((bk.as("bk") +: av.zip(attrs).map { case (c, a) => c.as(a) }) :+
+        from.as("valid_from") :+ to.as("valid_to") :+ cur.as("is_current"): _*)
     def mAttrs = attrs.map(a => col(s"m.$a"))
     def dAttrs = attrs.map(a => col(s"d.$a"))
-    val unchanged = j.filter(col("d.bk").isNull || (col("m.bk").isNotNull && !changed))
-      .select(col("m.bk") +: mAttrs :+ col("m.valid_from") :+ col("m.valid_to")
-        :+ col("m.is_current"): _*)
-    val closed = j.filter(changed)
-      .select(col("m.bk") +: mAttrs :+ col("m.valid_from") :+ effD.as("valid_to")
-        :+ lit(0).as("is_current"): _*)
-    val newVersion = j.filter(changed)
-      .select(col("d.bk") +: dAttrs :+ effD.as("valid_from")
-        :+ lit(null).cast(DateType).as("valid_to") :+ lit(1).as("is_current"): _*)
-    val inserted = j.filter(col("m.bk").isNull)
-      .select(col("d.bk") +: dAttrs :+ effD.as("valid_from")
-        :+ lit(null).cast(DateType).as("valid_to") :+ lit(1).as("is_current"): _*)
+    val nullD = lit(null).cast(DateType)
+    val currentRow = outRow(col("m.bk"), mAttrs, col("m.valid_from"),
+      col("m.valid_to"), col("m.is_current"))
+    val freshRow = outRow(col("d.bk"), dAttrs, effD, nullD, lit(1))
+    val routed = j.select(explode(
+      when(col("m.bk").isNull, array(freshRow)) // delta-only: insert
+        .when(col("d.bk").isNotNull && attrChanged, // changed: close + re-version
+          array(outRow(col("m.bk"), mAttrs, col("m.valid_from"), effD, lit(0)),
+            freshRow))
+        .otherwise(array(currentRow))).as("r")) // unchanged / master-only
+      .select(col("r.bk") +: attrs.map(a => col(s"r.$a")) :+ col("r.valid_from")
+        :+ col("r.valid_to") :+ col("r.is_current"): _*)
     history.select(col("bk") +: attrs.map(col) :+ col("valid_from")
         :+ col("valid_to") :+ col("is_current"): _*)
-      .unionByName(unchanged).unionByName(closed)
-      .unionByName(newVersion).unionByName(inserted)
+      .unionByName(routed)
   }
 }

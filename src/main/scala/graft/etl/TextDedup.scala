@@ -176,32 +176,20 @@ object TextDedup {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .stageCheckpoint()
-    // An empty edge set means every node is its own singleton component —
-    // return directly. Besides skipping pointless shuffle rounds, this is
-    // a correctness guard: with zero label rows the monotone-mass test's
-    // global sum is NULL, which would NPE the convergence compare.
-    if (sym.isEmpty) {
-      lastIters = 0
-      return nodes.select(col("id"), col("id").as("cluster_id"))
-    }
-    // Propagate over the EDGE-TOUCHED subgraph only: a node with no edges
-    // is its own component by definition and never changes label, so
-    // iterating it is pure waste — and at corpus scale the near-dup graph
-    // is a sliver of the node set (the per-round joins shrink from
-    // corpus-sized to duplicate-subgraph-sized). `sym` holds both
-    // directions, so the `a` side alone covers every incident node.
-    val active = sym.select(col("a").as("id")).distinct().localCheckpoint()
-    // SELF-LOOPS fold each node's own label into the neighbor min, so a
-    // propagation round is ONE join + ONE aggregation — the old shape's
-    // second join (recombining least(own, nbrMin) against the previous
-    // labels) is gone. Both inputs are checkpointed, so referencing the
-    // union per round re-reads cached blocks, never the edge subtree.
-    val symSelf = sym
-      .unionByName(active.select(col("id").as("a"), col("id").as("b")))
-    // Round 1 needs NO join at all: the initial label of node b IS b, so
-    // the first neighborhood min is just min(b) per a over symSelf.
-    var labels = symSelf.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl"))
+    // Round 1 needs NO join and NO separate `active` materialization
+    // (r18 — two fixed jobs off every call): the initial label of node b
+    // IS b, so the first neighborhood min over (sym ∪ self-loops) equals
+    // least(own id, min over sym's b) — computable from `sym` alone. The
+    // propagation runs over the EDGE-TOUCHED subgraph only (a node with
+    // no edges is its own component and never changes label; at corpus
+    // scale the near-dup graph is a sliver of the node set), and the
+    // label table's own id column IS that active set — the previous
+    // shape materialized it separately and paid an isEmpty probe besides.
+    val labels0 = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("lbl"))
       .localCheckpoint()
+    var labels = labels0
     // Convergence by monotone label mass: min-propagation only ever
     // DECREASES a label (the self-loop keeps the own label in the min),
     // so a round changed something iff sum(lbl) strictly dropped. The
@@ -212,6 +200,28 @@ object TextDedup {
       df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
     var prevMass = mass(labels)
+    // An empty edge set means every node is its own singleton component —
+    // detected from the mass probe (zero label rows sum to NULL), so the
+    // empty case costs no extra isEmpty job.
+    if (prevMass == null) {
+      lastIters = 0
+      labels.unpersist(blocking = false)
+      return nodes.select(col("id"), col("id").as("cluster_id"))
+    }
+    // the active node set rides the ROUND-1 label table (labels0), which
+    // stays pinned for the whole call — symSelf and the final
+    // singleton-rejoin read it every round, and an unpersisted
+    // localCheckpoint cannot be recomputed (only superseded LATER rounds
+    // are released in the loop below)
+    val active = labels0.select(col("id"))
+    // SELF-LOOPS fold each node's own label into the neighbor min, so a
+    // propagation round is ONE join + ONE aggregation — the old shape's
+    // second join (recombining least(own, nbrMin) against the previous
+    // labels) is gone. Both inputs are checkpointed (`active` reads the
+    // checkpointed label table), so referencing the union per round
+    // re-reads cached blocks, never the edge subtree.
+    val symSelf = sym
+      .unionByName(active.select(col("id").as("a"), col("id").as("b")))
     var converged = false
     var i = 1 // the join-free init above is round 1
     while (!converged && i < maxIters) {
@@ -239,8 +249,9 @@ object TextDedup {
       if (p != null) p.unpersist(blocking = false)
       val m = mass(next)
       // `next` is eagerly materialized — release the superseded round's
-      // blocks before looping
-      labels.unpersist(blocking = false)
+      // blocks before looping (NEVER labels0: symSelf and the final
+      // rejoin read it, and truncated lineage cannot recompute)
+      if (labels ne labels0) labels.unpersist(blocking = false)
       labels = next
       converged = m.compareTo(prevMass) == 0
       prevMass = m
