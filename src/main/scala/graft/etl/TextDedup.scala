@@ -40,6 +40,14 @@ object TextDedup {
     // (norm + members, text-sized) and the per-REP shingle arrays (the
     // set the verify step must hold twice anyway) — not the exploded
     // token stream the r7 bigram note warns about.
+    // NOTE (r18 negative result, do not retry): merging the two
+    // checkpoints into ONE (rep_id, members, shingles) table — shingles
+    // computed inside the group job, norm dropped — saved a job but
+    // measured a consistent ~5–8 % LOSS on llm_dedup_minhash and both
+    // corpus-prep composites (warm min-of-5, two A/B rounds): the
+    // member-expansion joins then deserialize every row's shingle array
+    // they never read, which costs more than the second materialization
+    // pass it saved. Row-format checkpoints don't column-prune.
     val grouped = docs
       .withColumn("norm", TextOps.normalize(col("text")))
       .groupBy(col("norm"))
