@@ -331,10 +331,12 @@ object Bucketed {
 
   private def tableDir(s: SparkSession, qname: String): Path =
     tableDirMemo.getOrCompute(s, qname) {
-      import org.apache.spark.sql.functions.col
-      new Path(new java.net.URI(
-        s.sql(s"DESC FORMATTED $qname").filter(col("col_name") === "Location")
-          .head().getString(1)))
+      // catalog metadata API, not DESC FORMATTED + head(): the SQL form
+      // launches ~3 tiny executeTake jobs per (memo-missed) resolution —
+      // r18 RowProbe attributed 6 such jobs per fresh session to each
+      // probe row — while getTableMetadata is a pure driver call
+      new Path(s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier(qname)).location)
     }
 
   /** Split a layout directory name into (base, compactVersion):

@@ -178,9 +178,13 @@ object MinHashIndex {
 
   private[graft] def bucketsOf(s: SparkSession, table: String): Int =
     bucketsMemo.getOrCompute(s, table) {
-      s.sql(s"DESC FORMATTED $table")
-        .filter(col("col_name") === "Num Buckets")
-        .head().getString(1).trim.toInt
+      // catalog metadata API, not DESC FORMATTED + head() (r18): the SQL
+      // form launches ~3 tiny executeTake jobs per memo-missed
+      // resolution; getTableMetadata is a pure driver call
+      val meta = s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier(table))
+      meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed table — cannot derive its bucket count"))
     }
 
   /** Ensure the index layout exists; returns (bandsTable, repsTable)
