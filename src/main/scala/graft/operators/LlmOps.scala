@@ -1781,8 +1781,11 @@ object LlmOps extends QueryGroup {
         concat_ws(" ",
           concat_ws(" ", reverse(split(col("host"), " "))),
           lit("ssentinel"), col("snip")).as("text"))
+    // native word_shingles (r18): the global .distinct() sees the same
+    // values as the declarative multiset it replaced
+    graft.functions.GraftFunctions.register(s)
     val evalSh = evalDocs
-      .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+      .select(explode(expr("word_shingles(snip, 5)")).as("sh"))
       .distinct()
     (docs,
       copies.unionByName(mutants).unionByName(stitched).unionByName(contaminated),
@@ -1904,14 +1907,19 @@ object LlmOps extends QueryGroup {
   private val llmDecontaminate = GraftQuery(
     "llm_decontaminate",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val words = split(TextOps.normalize(col("text")), " ")
       val evalDocs = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), concat_ws(" ", slice(words, 3, 10)).as("snip"))
       val contaminated = evalDocs.select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("alpha beta gamma delta "), col("snip")).as("text"))
+      // native word_shingles (r18): per-doc distinct set with the same
+      // first-occurrence order as array_distinct(declarative), so the
+      // global .distinct() sees identical values — the declarative
+      // transform/slice/concat_ws pyramid was the row's dominant kernel
       val evalShingles = evalDocs
-        .select(explode(TextOps.wordShingles(col("snip"), 5)).as("sh"))
+        .select(explode(expr("word_shingles(snip, 5)")).as("sh"))
         .distinct()
       val groups = docs.unionByName(contaminated)
         .groupBy(col("text"))
@@ -1920,7 +1928,7 @@ object LlmOps extends QueryGroup {
         .withColumn("norm", TextOps.normalize(col("text")))
       groups
         .select(col("rep"), col("members"),
-          explode(array_distinct(TextOps.wordShingles(col("norm"), 5))).as("sh"))
+          explode(expr("word_shingles(norm, 5)")).as("sh"))
         .join(broadcast(evalShingles), "sh")
         .groupBy(col("rep"), col("members"))
         .agg(count(lit(1)).as("n_hits"))
@@ -3884,9 +3892,11 @@ object LlmOps extends QueryGroup {
       val batch = s.read.parquet(batchPath)
       val (bandsT, repsT) = neardupRepbaseIndex(s, dir)
       val words = split(TextOps.normalize(col("text")), " ")
+      // native word_shingles (r18): same values under the .distinct()
+      // as the declarative multiset form it replaced
       val evalSh = corpus.filter(col("id") % 1000000000L % 97 === 0)
-        .select(explode(TextOps.wordShingles(
-          concat_ws(" ", slice(words, 3, 12)), 5)).as("sh"))
+        .withColumn("graft_snip", concat_ws(" ", slice(words, 3, 12)))
+        .select(explode(expr("word_shingles(graft_snip, 5)")).as("sh"))
         .distinct()
       graft.examples.IncrementalPrep.run(s, bandsT, repsT, batch,
         evalNgrams = Some(evalSh)).attrition
